@@ -1,0 +1,83 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect bottleneck) — the honest analog of writing results
+out on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from synthea_etl_spark.plans import all_queries  # noqa: E402
+from synthea_etl_spark.session import get_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: flagship agg, join chain, dashboard shapes, window,
+# dedup, plus the LLM-pipeline ops once registered.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q16_join_chain_revenue",
+    "q11_dedup_by_key",
+    "q18_groupby_count",
+    "q19_topk",
+    "q21_window_rank",
+]
+# LLM-ops headliners, included when present in the registry.
+HEADLINE_OPT = [
+    "q30_doc_exact_dedup",
+    "q33_minhash_lsh_candidates",
+    "q39_knn_bruteforce",
+    "q50_events_hourly",
+]
+
+
+def run_one(spark, fn) -> float:
+    t0 = time.time()
+    df = fn(spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry] + [
+        n for n in HEADLINE_OPT if n in registry
+    ]
+    spark = get_session("bench")
+    # warm the JVM/codegen path once so timings measure the engine, not
+    # first-query classloading
+    run_one(spark, registry["q18_groupby_count"].fn)
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_one(spark, registry[name].fn), 3)
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
