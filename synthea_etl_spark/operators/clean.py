@@ -100,9 +100,10 @@ def split_multivalue(df: DataFrame, columns: list[str] | None = None) -> DataFra
     out = df
     for c in targets:
         parts = F.split(F.trim(F.col(c)), MULTIVALUE_PATTERN)
+        # F.get (not getItem): missing part -> NULL under ANSI mode
         out = (
-            out.withColumn(f"{c}_part1", F.trim(parts.getItem(0)))
-            .withColumn(f"{c}_part2", F.trim(parts.getItem(1)))
+            out.withColumn(f"{c}_part1", F.trim(F.get(parts, 0)))
+            .withColumn(f"{c}_part2", F.trim(F.get(parts, 1)))
             .drop(c)
         )
     return out
@@ -136,7 +137,11 @@ def cast_to_schema(df: DataFrame, schema: StructType, timestamps_as_iso_strings:
                 ).alias(f_.name)
             )
         else:
-            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            # try_cast, not cast: under ANSI mode (Spark 4 default) a
+            # plain cast of the 'None' sentinel to int/double/date
+            # throws; the reference ran non-ANSI where it yields null.
+            # try_cast reproduces that null-on-malformed semantics.
+            cols.append(F.col(f_.name).try_cast(f_.dataType).alias(f_.name))
     return df.select(*cols)
 
 

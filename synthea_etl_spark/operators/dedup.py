@@ -1,0 +1,271 @@
+"""Deduplication operators for LLM data pipelines: exact, MinHash-LSH,
+SimHash, and n-gram Jaccard (beyond-reference surface; BASELINE.json
+north star).
+
+Everything runs as built-in expressions + joins — no Python on the data
+path — and every algorithm is deterministic: hash functions are derived
+from md5 (stable across engines/runs), so results are reproducible and
+DuckDB-oracle-checkable.
+
+Scale design (100 TB):
+- exact dedup = hash groupBy: one shuffle on a 16-byte key, partial
+  aggregation absorbs duplicates map-side.
+- MinHash-LSH: per-doc signature needs ONE explode + ONE groupBy
+  (num_hashes min-aggregates computed together, not num_hashes jobs);
+  banding turns all-pairs O(n^2) into per-bucket joins. Bucket skew
+  (giant near-dup clusters) is handled by AQE skew-join splitting.
+- SimHash: 64->60-bit fingerprint; candidate pairs via 4-band
+  pigeonhole (exact for hamming<=3: 3 differing bits can dirty at most
+  3 of 4 bands, so every qualifying pair shares a clean band) + exact
+  hamming verify. Self-join happens per band bucket, never all-pairs.
+- n-gram Jaccard: exact pair scoring used (a) standalone within small
+  blocks, (b) as the verify stage after LSH candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.operators.text import fingerprint, shingles, tokens
+
+# Prime modulus > 2^32 for MinHash permutations; hash inputs are 32-bit
+# (first 8 md5 hex chars), coefficients small -> products stay << 2^63.
+MINHASH_P = 4294967311
+
+
+def _hex_int(col: Column, nchars: int) -> Column:
+    """First `nchars` md5 hex chars as a bigint — the engine-portable
+    deterministic integer hash (DuckDB: CAST('0x'||substr(md5(x),..) AS
+    BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group by content fingerprint: keeper = min id, n_copies = group
+    size. One shuffle on the 128-bit key."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return only keeper rows (first id per fingerprint), full width."""
+    keepers = exact_dedup_stats(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min over shingles of
+    (a_i*h + b_i) mod p, h = 32-bit md5 prefix of the shingle.
+
+    One explode + one groupBy computing all num_hashes minima together
+    (a single shuffle; the reference-style per-column-job pattern would
+    be num_hashes scans). Docs with no shingles are dropped (nothing to
+    hash)."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
+        .dropDuplicates([id_col, "s"])
+        .withColumn("h", _hex_int(F.col("s"), 8))
+    )
+    aggs = [
+        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit((1000000007 * (i + 1)) % MINHASH_P)) % MINHASH_P).alias(
+            f"sig_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band), bucket-join within
+    (band_idx, band_hash): returns candidate pairs (id_a < id_b).
+
+    The unpivot-to-(doc, band, hash) form keeps one shuffle for the
+    self-join; per-bucket joins bound the pair blowup to bucket sizes."""
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+    a, bb = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pair scoring / LSH verify stage)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs (within a blocking
+    column if given — at scale ALWAYS block, via LSH buckets or a
+    domain key; unblocked all-pairs exists for oracle-scale data).
+
+    Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed via shingle explode +
+    equi-join on shingle (never a cross join): intersection counts come
+    from the join, set sizes from a per-doc aggregate."""
+    sh = df.select(
+        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+        F.explode(shingles(text_col, shingle_n)).alias("s"),
+    ).dropDuplicates([id_col, "s"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    join_cond = [F.col("x.s") == F.col("y.s")]
+    if block_col:
+        join_cond.append(F.col(f"x.{block_col}") == F.col(f"y.{block_col}"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), join_cond)
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 md5 hex chars -> stays positive in a signed 64
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash per doc: per-token 60-bit hash, each bit votes
+    +1/-1 (with multiplicity), fingerprint bit = sign of the vote sum.
+
+    One explode + one groupBy with 60 sum-aggregates computed together,
+    then bit reassembly — two narrow passes, one shuffle."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).withColumn(
+        "h", _hex_int(F.col("t"), 15)
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All pairs with hamming distance <= max_hamming, via 4-band
+    pigeonhole + exact verify. With <=3 differing bits at least one of
+    the 4 15-bit bands is identical, so band-bucket joins find EVERY
+    qualifying pair (exact, not approximate) while only comparing
+    within buckets."""
+    nbands = 4
+    width = SIMHASH_BITS // nbands
+    mask = (1 << width) - 1
+    bands = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bh"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("x"),
+    ).select(id_col, "simhash", "x.band", "x.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

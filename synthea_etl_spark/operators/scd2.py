@@ -1,0 +1,144 @@
+"""Generic SCD Type 2 merge (reference: Glue_Scripts/Patient_datamart.py:45-115).
+
+The reference hand-rolls SCD2 per dimension with a join/filter/union
+plan over Parquet. This is the same algorithm expressed as one generic,
+reusable operator, with the reference's defects fixed:
+
+- **history preserved**: the reference's 'unchanged' branch keeps only
+  rows that survive a join against *active* rows
+  (`Patient_datamart.py:82-83`), silently dropping inactive history of
+  unchanged keys on every run. We carry ALL existing rows of unchanged
+  keys forward.
+- **no read-overwrite race**: the reference overwrites the parquet path
+  it is reading (`:57` vs `:115`), relying on cache()+count() timing.
+  Writers here go through a temp-path + swap (see ``write_swap``).
+- **deterministic timestamps**: ``load_ts`` is an explicit parameter,
+  not current_timestamp(), so re-runs and oracle comparisons reproduce.
+- **idempotent**: merging the same snapshot twice is a no-op (hash
+  equality short-circuits every row into 'unchanged').
+
+Change detection is hash-based like the reference (`:53,58,74-76`):
+sha2-256 over '|'-joined attributes; surrogate key = sha2-256 over
+'|'-joined business keys + validity start, so each *version* gets a
+distinct sk.
+
+Scale: the merge is two shuffles (new-vs-old join on keys, the union
+needs none); with the dimension bucketed/partitioned by key the join
+co-locates. Changed-key sets are typically small → Catalyst broadcasts
+the key list for the expire join automatically under AQE.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_COLS = ("sk", "row_hash", "created_at", "modified_at", "is_active")
+
+
+def _with_hash(df: DataFrame, attrs: list[str], out: str) -> DataFrame:
+    return df.withColumn(out, F.sha2(F.concat_ws("|", *attrs), 256))
+
+
+def scd2_initial(snapshot: DataFrame, keys: list[str], attrs: list[str], load_ts: datetime) -> DataFrame:
+    """Cold-start load (reference: empty-frame branch,
+    Patient_datamart.py:92-105): every snapshot row becomes an active
+    version."""
+    ts = F.lit(load_ts).cast("timestamp_ntz")
+    snap = snapshot.select(*keys, *attrs).dropDuplicates(keys)
+    return (
+        _with_hash(snap, attrs, "row_hash")
+        .withColumn(
+            "sk",
+            F.sha2(F.concat_ws("|", *keys, F.lit(str(load_ts))), 256),
+        )
+        .withColumn("created_at", ts)
+        .withColumn("modified_at", ts)
+        .withColumn("is_active", F.lit(True))
+        .select(*keys, *attrs, *META_COLS)
+    )
+
+
+def scd2_merge(
+    existing: DataFrame | None,
+    snapshot: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    load_ts: datetime,
+) -> DataFrame:
+    """Merge a new full snapshot into an SCD2 dimension.
+
+    Returns the new dimension state: for each business key either the
+    carried-forward rows (no change), or expired old version(s) plus a
+    new active version (change/new key).
+    """
+    if existing is None:
+        return scd2_initial(snapshot, keys, attrs, load_ts)
+
+    ts = F.lit(load_ts).cast("timestamp_ntz")
+    snap = _with_hash(
+        snapshot.select(*keys, *attrs).dropDuplicates(keys), attrs, "row_hash"
+    )
+
+    active = existing.filter(F.col("is_active"))
+    # J1: new-vs-active left join on business keys (Patient_datamart.py:68-72)
+    joined = snap.alias("new").join(
+        active.select(*keys, F.col("row_hash").alias("old_hash")).alias("old"),
+        on=keys,
+        how="left",
+    )
+    # F4: changed = hash mismatch or brand-new key (Patient_datamart.py:74-76)
+    changed_new = joined.filter(
+        (F.col("old_hash").isNull()) | (F.col("new.row_hash") != F.col("old_hash"))
+    ).select(*keys, *attrs, "row_hash")
+
+    changed_keys = changed_new.select(*keys)
+
+    # J3: expire currently-active versions of changed keys
+    # (Patient_datamart.py:85-87). changed_keys is small → broadcast.
+    expired = (
+        active.join(F.broadcast(changed_keys), on=keys, how="inner")
+        .withColumn("modified_at", ts)
+        .withColumn("is_active", F.lit(False))
+    )
+
+    # Carry forward: inactive history rows ALWAYS survive (the
+    # reference drops them — Patient_datamart.py:82-83); active rows of
+    # unchanged keys survive via anti-join against the changed-key set.
+    history = existing.filter(~F.col("is_active"))
+    unchanged = active.join(F.broadcast(changed_keys), on=keys, how="left_anti")
+    unchanged = unchanged.unionByName(history)
+
+    fresh = (
+        changed_new.withColumn(
+            "sk", F.sha2(F.concat_ws("|", *keys, F.lit(str(load_ts))), 256)
+        )
+        .withColumn("created_at", ts)
+        .withColumn("modified_at", ts)
+        .withColumn("is_active", F.lit(True))
+    )
+
+    cols = [*keys, *attrs, *META_COLS]
+    # U1: 3-way unionByName (Patient_datamart.py:108-113)
+    return (
+        unchanged.select(*cols)
+        .unionByName(expired.select(*cols))
+        .unionByName(fresh.select(*cols))
+    )
+
+
+def write_swap(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Atomic-ish overwrite: write to a temp sibling, then swap —
+    removes the reference's read-overwrite race
+    (Patient_datamart.py:57,115). On real deployments use a
+    transactional table format; this is the pure-parquet equivalent."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + "__tmp"
+    df.write.format(fmt).mode("overwrite").save(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)

@@ -1,0 +1,199 @@
+"""Embedding similarity search: brute-force cosine top-k (exact
+baseline) and LSH-bucketed ANN (the scale path). Beyond-reference
+surface; BASELINE.json north star.
+
+Vectors are array<float> columns; all arithmetic runs JVM-side via
+zip_with/aggregate in double precision (element-wise ops are
+deterministic; only reductions would be order-sensitive, and
+F.aggregate folds left-to-right deterministically).
+
+Scale design:
+- brute force is O(n_queries * n_corpus) — correct baseline and the
+  oracle for recall tests, usable when queries are few (broadcast) or
+  corpus fits a block;
+- the ANN path buckets vectors by random-hyperplane sign bits
+  (hyperplanes derived deterministically from md5, no RNG state to
+  ship), probes each query's bucket plus multiprobe flips, then exact-
+  scores only within buckets: per-bucket joins instead of a cross
+  join. Recall tuned by n_planes/multiprobe; verified in tests against
+  the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is small -> broadcast; ranking uses similarity rounded to
+    `sim_decimals` with an id tie-break, so the top-k cut is
+    deterministic and engine-portable. Returns (query_id, neighbor_id,
+    sim, rank)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random +-1 hyperplanes from md5(plane,dim) —
+    reproducible everywhere without shipping RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = (vec . plane_p) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in row])
+        bit = F.when(_dot(vec, arr) >= 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 5,
+    dim: int = 64,
+    multiprobe: int = 2,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus by hyperplane sign bits, probe
+    each query's own bucket plus all single-bit flips (multiprobe=1),
+    exact-score within probed buckets only.
+
+    At 100 TB the corpus side is bucketed once (a narrow scan +
+    groupable key); each query touches 1+n_planes buckets instead of
+    the whole corpus. Recall vs brute force is tested in
+    tests/test_llm.py."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(n_planes, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q = q.withColumn("b0", _bucket_expr(F.col("qv"), planes))
+    probe_cols = [F.col("b0")]
+    if multiprobe >= 1:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if multiprobe >= 2:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probe_cols))).select(
+        "query_id", "qv", "bucket"
+    )
+
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (id_a < id_b, sim >=
+    threshold). All-pairs form for oracle-scale data; the scale path
+    prefixes this with LSH bucketing (same bucketing as knn_ann_lsh)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), sim_decimals).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM data pipelines (beyond-reference
+surface; BASELINE.json north star).
+
+All hot-path logic is built-in JVM expressions (split/regexp_count/
+md5/transform) — no Python UDFs — so whole-stage codegen applies and
+the operators scale linearly with input at 100 TB: every function here
+is a narrow (shuffle-free) per-row transform.
+
+Design choices:
+- tokens = \\s+ split of trimmed text (language-agnostic, cheap);
+- language-ID = stopword-hit scoring per language with a fixed
+  priority-order argmax (deterministic, SQL-expressible — a real
+  deployment would swap in a fastText-style model via pandas_udf, but
+  the plumbing and the fallback heuristic are this);
+- fingerprint = md5 over lowercased whitespace-collapsed text (the
+  canonical exact-dedup key);
+- shingles = word n-grams (the MinHash/Jaccard input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-approximating token count: word-piece-ish segments =
+    runs of letters, digits, or single punctuation (the common
+    'count tokens without a tokenizer' heuristic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length/stopword/uniqueness features used for corpus filtering.
+
+    Returns named Columns; callers select the ones they need (keeps
+    the scan narrow)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    stop_pat = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    n_stop = F.regexp_count(F.lower(c), F.lit(stop_pat))
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    nn = F.when(n_tok > 0, n_tok).otherwise(F.lit(1)).cast("double")
+    return {
+        "n_chars": F.length(c).cast("long"),
+        "n_tokens": n_tok.cast("long"),
+        "avg_token_len": (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / nn
+        ),
+        "stopword_ratio": n_stop.cast("double") / nn,
+        "punct_ratio": n_punct.cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double"),
+        "uniq_token_ratio": F.size(F.array_distinct(toks)).cast("double") / nn,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de")  # deterministic tie-break order
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    lo = F.lower(c)
+    return {
+        lang: F.regexp_count(lo, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Argmax language by stopword hits; 'und' (undetermined) when no
+    stopword matches at all. First-match-in-priority-order resolves
+    ties deterministically."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting & shingles
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical exact-dup key: md5 of lowercased, whitespace-collapsed,
+    trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; fewer than n tokens ->
+    empty array. Built with sequence+transform+slice (JVM-side)."""
+    toks = tokens(col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))

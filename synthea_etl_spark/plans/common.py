@@ -73,7 +73,8 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision — same truncation DuckDB applies when it reads NANOS."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    micros = (F.col("ts") / F.lit(1000)).cast("long")
+    # integer div: ns values exceed 2^53, double division would round
+    micros = F.expr("ts div 1000")
     ts = F.timestamp_micros(micros).cast("timestamp_ntz")
     return df.select(
         "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"

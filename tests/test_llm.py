@@ -1,0 +1,106 @@
+"""LLM-ops tests beyond the oracle gate: ANN recall vs the exact
+brute-force baseline, LSH candidate quality vs true Jaccard, and the
+multimodal decode plumbing (batch shape, stub behavior)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.operators import dedup as D
+from synthea_etl_spark.operators import multimodal as M
+from synthea_etl_spark.operators import similarity as S
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_ann_recall_vs_bruteforce(spark, embeddings):
+    """LSH-bucketed ANN with multiprobe must recover a solid fraction
+    of the true top-5 (random hyperplanes on 64-dim data; >=40% recall
+    at 8 planes is the expected regime, and a regression guard)."""
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(embeddings, queries, k=5)
+    approx = S.knn_ann_lsh(embeddings, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"ANN recall too low: {recall:.2f}"
+
+
+def test_ann_sims_are_exact_for_found_pairs(spark, embeddings):
+    """ANN must never report a wrong similarity — only possibly miss
+    pairs. Intersect with brute force and compare sims."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.knn_bruteforce(embeddings, queries, k=5).collect()
+    }
+    for r in S.knn_ann_lsh(embeddings, queries, k=5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.sim) < 1e-9
+
+
+def test_minhash_lsh_finds_true_near_dups(spark):
+    """Planted near-duplicates (one token changed in 100) must surface
+    as LSH candidates; unrelated docs must not pair up."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok50", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    sig = D.minhash_signature(df, "text", "doc_id")
+    cand = {(r.id_a, r.id_b) for r in D.lsh_candidates(sig, "doc_id").collect()}
+    assert (1, 2) in cand
+    assert (1, 3) not in cand and (2, 3) not in cand
+
+
+def test_simhash_hamming_small_for_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok50", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame([(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    fp = {r.doc_id: r.simhash for r in D.simhash(df, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[1], fp[2]) < 10
+    assert ham(fp[1], fp[3]) > 15
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    kept = {r.doc_id for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    assert kept == {1, 3}  # 2 is a case/whitespace dup of 1
+
+
+def test_multimodal_decode_stub_schema_and_values(spark, documents):
+    payloads = M.attach_payload(documents.limit(50), "text", "doc_id")
+    feats = M.decode_features(payloads, fake=True)
+    assert feats.columns == ["id", "n_bytes", "mean_byte", "head_hex", "content_type"]
+    rows = feats.collect()
+    assert len(rows) == 50
+    joined = {r.doc_id: r.text for r in documents.limit(50).collect()}
+    for r in rows[:5]:
+        raw = joined[r.id].encode()
+        assert r.n_bytes == len(raw)
+        assert r.head_hex == raw[:8].hex()
+        assert abs(r.mean_byte - sum(raw) / len(raw)) < 1e-9
+
+
+def test_multimodal_decode_without_codec_raises(spark, documents):
+    payloads = M.attach_payload(documents.limit(5), "text", "doc_id")
+    with pytest.raises(Exception) as ei:
+        M.decode_features(payloads, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)

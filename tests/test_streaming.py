@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion tests: AvailableNow file ingest with
+checkpoint (exactly-once across re-runs), the 18-table completeness
+barrier, and batch/stream parity of the hourly rollup incl. watermarked
+late data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from synthea_etl_spark.streaming.ingest import (
+    completeness_barrier,
+    hourly_rollup,
+    ingest_available_now,
+)
+
+CSV_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ]
+)
+
+
+def test_available_now_ingest_and_incremental_rerun(spark, tmp_path):
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    (landing / "a.csv").write_text("id,name\n1,x\n2,y\n")
+
+    ingest_available_now(spark, str(landing), str(out), str(ckpt), CSV_SCHEMA)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 2
+    assert "source_file" in got.columns
+
+    # second run with one new file: only the new rows land (checkpoint)
+    (landing / "b.csv").write_text("id,name\n3,z\n")
+    ingest_available_now(spark, str(landing), str(out), str(ckpt), CSV_SCHEMA)
+    rows = {r.id: r.name for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {1: "x", 2: "y", 3: "z"}
+
+
+def test_completeness_barrier(tmp_path):
+    base = tmp_path / "lake"
+    tables = ["patients", "encounters", "conditions"]
+    for t in tables[:2]:
+        os.makedirs(base / "2024-01-01" / t)
+    assert not completeness_barrier(str(base), "2024-01-01", tables)
+    os.makedirs(base / "2024-01-01" / "conditions")
+    assert completeness_barrier(str(base), "2024-01-01", tables)
+    assert not completeness_barrier(str(base), "2024-01-02", tables)
+
+
+@pytest.fixture()
+def event_rows(spark):
+    rows = [
+        (1, "2024-01-01 10:05:00", "click", 1.0),
+        (2, "2024-01-01 10:55:00", "click", 2.0),
+        (3, "2024-01-01 11:05:00", "view", 3.0),
+        (4, "2024-01-01 10:20:00", "view", 4.0),  # late but inside watermark
+    ]
+    return spark.createDataFrame(
+        rows, ["event_id", "ts_s", "event_type", "value"]
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_stream_batch_parity_hourly_rollup(spark, tmp_path, event_rows):
+    """The same hourly_rollup transform, run over a file stream with
+    watermark + AvailableNow, must equal the batch result — including a
+    late row arriving in a second file."""
+    src = tmp_path / "events"
+    # two 'arrival batches': the late 10:20 row lands in file 2
+    event_rows.filter(F.col("event_id") <= 3).write.parquet(str(src / "f1"))
+    event_rows.filter(F.col("event_id") == 4).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(event_rows.schema)
+        .option("recursiveFileLookup", True)
+        .parquet(str(src))
+        .withWatermark("ts", "2 hours")
+    )
+    q = (
+        hourly_rollup(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (str(r.hour), r.event_type): (r.cnt, r.sum_value)
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    batch = {
+        (str(r.hour), r.event_type): (r.cnt, r.sum_value)
+        for r in hourly_rollup(event_rows).collect()
+    }
+    assert streamed == batch
+    assert streamed[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+    assert streamed[("2024-01-01 10:00:00", "view")] == (1, 4.0)
