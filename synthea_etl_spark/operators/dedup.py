@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from synthea_etl_spark.operators.text import fingerprint, shingles, tokens
+from synthea_etl_spark.operators.util import rebalance_by_key
 
 # Prime modulus > 2^32 for MinHash permutations; hash inputs are 32-bit
 # (first 8 md5 hex chars), coefficients small -> products stay << 2^63.
@@ -84,13 +85,20 @@ def minhash_signature(
 
     One explode + one groupBy computing all num_hashes minima together
     (a single shuffle; the reference-style per-column-job pattern would
-    be num_hashes scans). Docs with no shingles are dropped (nothing to
-    hash)."""
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s"))
-        .dropDuplicates([id_col, "s"])
-        .withColumn("h", _hex_int(F.col("s"), 8))
-    )
+    be num_hashes scans). Duplicate shingles are NOT pre-deduped: min is
+    duplicate-insensitive, so the per-doc distinct (an extra full
+    shuffle of the exploded set) would change nothing — partial
+    aggregation absorbs the duplicates map-side instead. Docs with no
+    shingles are dropped (nothing to hash).
+
+    The input is rebalanced by id when the scan is narrower than the
+    session parallelism (see util.rebalance_by_key): post-explode
+    hashing is the CPU hot spot and must not inherit a 1-file scan's
+    parallelism; the groupBy below then reuses that partitioning, so
+    the exploded rows themselves never shuffle."""
+    sh = rebalance_by_key(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s")
+    ).withColumn("h", _hex_int(F.col("s"), 8))
     aggs = [
         F.min((F.lit(2 * i + 1) * F.col("h") + F.lit((1000000007 * (i + 1)) % MINHASH_P)) % MINHASH_P).alias(
             f"sig_{i}"
@@ -157,8 +165,9 @@ def jaccard_pairs(
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed via shingle explode +
     equi-join on shingle (never a cross join): intersection counts come
     from the join, set sizes from a per-doc aggregate."""
-    sh = df.select(
-        F.col(id_col), *( [F.col(block_col)] if block_col else [] ),
+    keep = [id_col] + ([block_col] if block_col else [])
+    sh = rebalance_by_key(df.select(*keep, text_col), id_col).select(
+        *[F.col(c) for c in keep],
         F.explode(shingles(text_col, shingle_n)).alias("s"),
     ).dropDuplicates([id_col, "s"])
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -200,10 +209,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     +1/-1 (with multiplicity), fingerprint bit = sign of the vote sum.
 
     One explode + one groupBy with 60 sum-aggregates computed together,
-    then bit reassembly — two narrow passes, one shuffle."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t")).withColumn(
-        "h", _hex_int(F.col("t"), 15)
-    )
+    then bit reassembly — two narrow passes, one shuffle (rebalanced by
+    id first when the scan is narrow, see util.rebalance_by_key)."""
+    tok = rebalance_by_key(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", _hex_int(F.col("t"), 15))
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(

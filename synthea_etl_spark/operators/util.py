@@ -1,0 +1,44 @@
+"""Shared operator utilities.
+
+``rebalance_by_key`` addresses a scan-parallelism hazard for
+explode-heavy operators (MinHash shingling, SimHash token votes,
+n-gram Jaccard): the CPU cost is dominated by post-explode hashing,
+whose parallelism is inherited from the *scan* (file splits / row
+groups), not from the data size after explode. When the input arrives
+in fewer partitions than the session's shuffle parallelism (one small
+file locally; a handful of giant row groups at scale), the 100-1000x
+exploded work runs on a handful of cores.
+
+The fix is a hash repartition of the COMPACT pre-explode rows by the
+document key, with an explicit partition count so AQE does not coalesce
+the (byte-wise tiny) shuffle back down — the point is CPU spread, not
+byte balance. Because the rows are hash-distributed by the same key the
+downstream ``groupBy(key)`` requires, Catalyst reuses the partitioning
+and the exploded data itself never shuffles. When the scan is already
+wide (the normal case on a cluster reading many files), this is a
+no-op — no shuffle is added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_parallelism(df: DataFrame) -> int:
+    """The session's target shuffle parallelism (fallback 200)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
+def rebalance_by_key(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``key_col`` iff the input has fewer
+    partitions than half the shuffle parallelism; otherwise pass
+    through unchanged (never adds a shuffle to an already-wide scan)."""
+    target = shuffle_parallelism(df)
+    n_in = df.rdd.getNumPartitions()
+    if n_in * 2 >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
