@@ -13,7 +13,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.common import QuerySpec, dsum, load, sql_dsum
 
 TS1 = datetime(2024, 1, 1)
 TS2 = datetime(2024, 2, 1)
@@ -136,6 +136,71 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source FROM documents
 """
 
 
+def q27_star_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema mart assembly (Patient_datamart.py:189-230 shape)
+    over TPC-H: SCD2 dim_nation initial load, then fact_customer =
+    customer grain with the dim surrogate key resolved by a broadcast
+    lookup (J4), pre-aggregated order count + exact decimal spend
+    joined in (A1 + J5 chained left joins), and per-column null fill
+    (F7). The dim is broadcast — the fact side never shuffles for
+    enrichment; counts aggregate BEFORE the join so the join input is
+    one row per key."""
+    from synthea_etl_spark.operators.scd2 import scd2_merge
+
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+
+    dim_nation = scd2_merge(
+        None,
+        n.select(
+            F.col("n_nationkey").alias("nation_key"),
+            F.col("n_name").alias("nation_name"),
+            F.col("n_regionkey").alias("region_key"),
+        ),
+        ["nation_key"],
+        ["nation_name", "region_key"],
+        TS1,
+    )
+    ord_stats = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        dsum("o_totalprice", "total_spend"),
+    )
+    lookup = dim_nation.filter(F.col("is_active")).select(
+        "nation_key", F.col("sk").alias("nation_sk")
+    )
+    return (
+        c.select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_nationkey").alias("nation_key"),
+        )
+        .join(F.broadcast(lookup), on="nation_key", how="left")
+        .join(ord_stats, on="customer_id", how="left")
+        .fillna({"total_orders": 0, "total_spend": 0.0})
+        .select("customer_id", "nation_sk", "total_orders", "total_spend")
+    )
+
+
+ORACLE_Q27 = f"""
+WITH dimn AS (
+  SELECT n_nationkey AS nation_key,
+         sha256(concat_ws('|', n_nationkey, '2024-01-01 00:00:00')) AS nation_sk
+  FROM nation
+),
+os AS (
+  SELECT o_custkey AS customer_id, COUNT(*) AS total_orders,
+         {sql_dsum('o_totalprice', 'total_spend')}
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey AS customer_id, nation_sk,
+       COALESCE(total_orders, 0) AS total_orders,
+       COALESCE(total_spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN dimn ON c_nationkey = nation_key
+LEFT JOIN os ON customer_id = c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_clean_pipeline": QuerySpec(
         q24_clean_pipeline, ORACLE_Q24, "full Raw->Staging clean chain", ("etl",)
@@ -145,5 +210,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q26_csv_repair_roundtrip": QuerySpec(
         q26_csv_repair_roundtrip, ORACLE_Q26, "dirty-CSV repair round trip", ("etl",)
+    ),
+    "q27_star_mart": QuerySpec(
+        q27_star_mart,
+        ORACLE_Q27,
+        "star-mart fact assembly: SCD2 dim lookup + pre-agg measures",
+        ("etl", "mart"),
     ),
 }
