@@ -145,6 +145,37 @@ def lsh_candidates(
     )
 
 
+def bottomk_sketch(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Bottom-k minwise sketch per document: the k smallest DISTINCT
+    32-bit shingle hashes, emitted one row per sketch slot
+    (id, slot, h) — the compact document signature used for set
+    similarity / containment estimation (|sketch_a ∩ sketch_b| / k
+    estimates Jaccard).
+
+    Unlike MinHash's k permutations over one hash, bottom-k needs the
+    distinct-ness of hashes (the k smallest of a multiset could repeat),
+    so the per-doc distinct happens inside the aggregate via
+    collect_set — still a single explode + single groupBy, with the
+    same narrow-scan rebalance as minhash_signature. Sketch size is
+    bounded (k longs/doc) regardless of document length."""
+    sh = rebalance_by_key(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("s")
+    ).withColumn("h", _hex_int(F.col("s"), 8))
+    sk = sh.groupBy(id_col).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("sketch")
+    )
+    return sk.select(
+        F.col(id_col),
+        F.posexplode(F.col("sketch")).alias("slot", "h"),
+    ).withColumn("slot", F.col("slot").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pair scoring / LSH verify stage)
 # ---------------------------------------------------------------------------

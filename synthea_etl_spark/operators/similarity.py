@@ -175,6 +175,132 @@ def knn_ann_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+
+def _lit_vec(v: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _centroid_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of cosine(vec, centroid_i) — JVM-side, one pass."""
+    return F.array(*[F.round(cosine(vec, _lit_vec(c)), 9) for c in centroids])
+
+
+def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid (max cosine) index, 0-based, deterministic
+    (array_position takes the FIRST max on ties)."""
+    sims = _centroid_sims(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: seed with the n_centroids corpus
+    vectors of smallest md5(id) (a stable pseudo-random sample — no RNG
+    state to ship), then refine with distributed Lloyd iterations
+    (assign via JVM expressions, per-dimension mean via posexplode +
+    groupBy). Only k*dim floats ever reach the driver; assignment and
+    averaging stay distributed — at 100 TB each iteration is one narrow
+    scan plus one (n_centroids*dim)-group aggregate."""
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("r"),
+        )
+        .orderBy("r")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(lloyd_iters):
+        assigned = corpus.select(
+            assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        centroids = [
+            [by_cluster[ci][p] for p in sorted(by_cluster[ci])]
+            if ci in by_cluster
+            else centroids[ci]  # empty cluster keeps its seed
+            for ci in range(len(centroids))
+        ]
+    return centroids
+
+
+def knn_ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: train centroids
+    (see ivf_train_centroids), assign the corpus to its nearest
+    centroid, probe each query's n_probe closest centroids, and
+    exact-score only inside probed cells.
+
+    Each query touches n_probe/n_centroids of the corpus instead of all
+    of it; the corpus-side assignment is a narrow per-row expression
+    (no shuffle) and the candidate join is an equi-join on the cluster
+    id. Recall vs brute force is asserted in tests/test_llm.py."""
+    from pyspark.sql import Window
+
+    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, lloyd_iters)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cluster", assign_cluster(F.col("cv"), centroids))
+
+    sims = _centroid_sims(F.col("qv"), centroids)
+    ranked = F.transform(
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda i: F.struct(
+            F.element_at(sims, i + 1).alias("sim"), i.alias("c")
+        ),
+    )
+    top_cells = F.slice(F.reverse(F.array_sort(ranked)), 1, n_probe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn("probe", F.explode(top_cells))
+        .select("query_id", "qv", F.col("probe.c").alias("cluster"))
+    )
+
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

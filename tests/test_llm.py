@@ -50,6 +50,50 @@ def test_ann_sims_are_exact_for_found_pairs(spark, embeddings):
             assert abs(exact[key] - r.sim) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark, embeddings):
+    """IVF (16 cells, probe 4) must recover a solid fraction of the
+    true top-5. Probing a quarter of the cells on clustered 64-dim
+    data lands well above 50%; the bound is a regression guard."""
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(embeddings, queries, k=5)
+    approx = S.knn_ann_ivf(embeddings, queries, k=5, n_centroids=16, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_sims_are_exact_for_found_pairs(spark, embeddings):
+    """IVF may miss neighbors but must never mis-score one."""
+    queries = embeddings.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.knn_bruteforce(embeddings, queries, k=5).collect()
+    }
+    for r in S.knn_ann_ivf(embeddings, queries, k=5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.sim) < 1e-9
+
+
+def test_bottomk_sketch_estimates_jaccard(spark):
+    """Identical docs share the whole sketch; disjoint docs share no
+    slots; the sketch has at most k slots per doc."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sk = D.bottomk_sketch(df, "text", "doc_id", k=4).collect()
+    by_doc = {}
+    for r in sk:
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    assert all(len(v) <= 4 for v in by_doc.values())
+    assert by_doc[1] == by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+
+
 def test_minhash_lsh_finds_true_near_dups(spark):
     """Planted near-duplicates (one token changed in 100) must surface
     as LSH candidates; unrelated docs must not pair up."""
