@@ -81,11 +81,59 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window sessionization (30-min gap): Spark's
+    native session assignment, state-managed by Catalyst in streaming.
+    Window semantics differ from q51's lag-based split on the exact
+    boundary: session_window starts a NEW session when the gap is >=
+    30 min (window [t, t+gap) half-open), and session_end is
+    last_event + gap. The oracle mirrors that exactly."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_Q52 = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_no
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q50_events_hourly": QuerySpec(
         q50_events_hourly, ORACLE_Q50, "tumbling hourly rollup (stream twin)", ("stream",)
     ),
     "q51_sessionize": QuerySpec(
         q51_sessionize, ORACLE_Q51, "gap-based sessionization", ("stream", "window")
+    ),
+    "q52_session_window": QuerySpec(
+        q52_session_window, ORACLE_Q52, "built-in session_window rollup", ("stream", "window")
     ),
 }

@@ -115,3 +115,66 @@ def test_stream_batch_parity_hourly_rollup(spark, tmp_path, event_rows):
     assert streamed == batch
     assert streamed[("2024-01-01 10:00:00", "click")] == (2, 3.0)
     assert streamed[("2024-01-01 10:00:00", "view")] == (1, 4.0)
+
+
+def _sess_df(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts_s"]).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+
+
+def test_stateful_sessionize_gap_close_and_timeout_flush(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions close (and emit)
+    when a later in-key event exceeds the gap, and idle sessions flush
+    when the event-time watermark passes their timeout — across
+    restarts of an AvailableNow query (checkpointed state)."""
+    from synthea_etl_spark.streaming.stateful import sessionize_stateful
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "user_id string, ts timestamp"
+
+    def run_batch(rows, sub):
+        _sess_df(spark, rows).write.parquet(f"{src}/{sub}")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+        )
+        q = (
+            sessionize_stateful(stream, gap_seconds=1800)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: u1 has a 2-event session then a >30min-later singleton
+    # (closes the first session in-batch); u2 stays open.
+    run_batch(
+        [
+            ("u1", "2024-01-01 10:00:00"),
+            ("u1", "2024-01-01 10:10:00"),
+            ("u1", "2024-01-01 11:30:00"),
+            ("u2", "2024-01-01 10:00:00"),
+        ],
+        "b1",
+    )
+    # batch 2: watermark (11:30 from batch 1) > u2's 10:30 timeout ->
+    # u2 flushes; advance event time past u1's 12:00 timeout.
+    run_batch([("u3", "2024-01-01 13:00:00")], "b2")
+    # batch 3: watermark (13:00) > u1's 12:00 timeout -> u1 flushes.
+    run_batch([("u4", "2024-01-01 15:00:00")], "b3")
+
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert ("u1", "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2) in got
+    assert ("u2", "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1) in got
+    assert ("u1", "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1) in got
+    # open sessions (u3 after b3's watermark? u4 always) never emit early
+    assert not any(u == "u4" for u, *_ in got)
