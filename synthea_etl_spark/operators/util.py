@@ -42,3 +42,38 @@ def rebalance_by_key(df: DataFrame, key_col: str) -> DataFrame:
     if n_in * 2 >= target:
         return df
     return df.repartition(target, F.col(key_col))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    salt_expr,
+    n_salt: int,
+    sums: dict[str, object] | None = None,
+    count_alias: str | None = None,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregation.
+
+    When a groupBy key is heavily skewed (a handful of keys own most
+    rows), the final-aggregation task for a hot key can be 1000x its
+    siblings. Salting splits each key into ``n_salt`` sub-groups for
+    the first (wide) aggregation, then combines the per-salt partials
+    in a second, tiny aggregation — two shuffles, both balanced, and
+    results identical to the direct groupBy because SUM and COUNT
+    re-aggregate exactly (callers pass decimal-cast columns for
+    float-exactness, see plans/common.dsum).
+
+    ``sums`` maps output alias -> column expression to SUM;
+    ``count_alias`` adds a row count. AQE's skew-join splitting does
+    not cover single-stage aggregation skew — this operator is the
+    explicit fix."""
+    sums = sums or {}
+    salted = df.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salt)))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(c).alias(a) for a, c in sums.items()],
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    final = [F.sum(a).alias(a) for a in sums]
+    if count_alias:
+        final.append(F.sum("_cnt").alias(count_alias))
+    return partial.groupBy(*keys).agg(*final)

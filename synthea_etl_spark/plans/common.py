@@ -122,10 +122,16 @@ def sql_davg(expr: str, alias: str) -> str:
 def all_queries() -> dict[str, QuerySpec]:
     """Aggregate every plans module's QUERIES dict, keeping insertion
     order (module order = SURVEY §2 order)."""
-    from synthea_etl_spark.plans import relational, etl, llm, streaming_batch
+    from synthea_etl_spark.plans import (
+        relational,
+        etl,
+        llm,
+        streaming_batch,
+        extended,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, etl, llm, streaming_batch):
+    for mod in (relational, etl, llm, streaming_batch, extended):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
