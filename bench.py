@@ -34,12 +34,17 @@ HEADLINE = [
     "q19_topk",
     "q21_window_rank",
 ]
-# LLM-ops headliners, included when present in the registry.
+# LLM-ops + extended-surface headliners, included when present.
 HEADLINE_OPT = [
+    "q27_star_mart",
     "q30_doc_exact_dedup",
     "q33_minhash_lsh_candidates",
-    "q39_knn_bruteforce",
+    "q37_knn_bruteforce",
+    "q43_knn_ann_ivf",
+    "q48_winnow_fingerprints",
     "q50_events_hourly",
+    "q52_session_window",
+    "q55_rollup",
 ]
 
 

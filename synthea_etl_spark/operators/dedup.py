@@ -145,6 +145,48 @@ def lsh_candidates(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: hash every word n-gram, slide a
+    window of ``window`` consecutive hashes, keep each window's min,
+    return distinct (id, fp) rows. Any shared run of
+    ``window + shingle_n - 1`` tokens between two documents shares a
+    fingerprint; ~2/window of hashes are kept.
+
+    Expressed as posexplode + scalar md5 + windowed min rather than
+    array-lambda expressions on purpose: higher-order-function lambdas
+    (transform/aggregate) run INTERPRETED in Spark, while the exploded
+    form keeps the md5/conv hot loop inside whole-stage codegen —
+    ~10x faster at identical results (measured sf0.1: 10s -> ~1s).
+    One shuffle total: the rebalance hash-partitions by id, and both
+    the window (partitionBy id) and the final distinct (id, fp — a
+    superset of the partitioning key) reuse that exchange."""
+    from pyspark.sql import Window
+
+    sh = rebalance_by_key(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, shingle_n)).alias("i", "s"),
+    ).withColumn("h", _hex_int(F.col("s"), 8))
+    w_min = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy(id_col)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.col("i"),
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("m"),
+        )
+        .filter(F.col("i") <= F.col("m") - window)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def bottomk_sketch(
     df: DataFrame,
     text_col: str,

@@ -202,6 +202,29 @@ FROM events GROUP BY 1
 """
 
 
+def q57_sql_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Athena/Power BI serving path collapsed to
+    spark.sql over catalog views (SURVEY §3 entry point 3, §2.9
+    dashboard workload shape): register the table, serve SQL text.
+    Same Catalyst plan as the DataFrame twin (q18/q19) — parse +
+    analyze resolve against the session catalog."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment AS segment, count(*) AS cnt
+        FROM v_customer
+        GROUP BY c_mktsegment
+        ORDER BY cnt DESC, segment
+        """
+    )
+
+
+ORACLE_Q57 = """
+SELECT c_mktsegment AS segment, count(*) AS cnt
+FROM customer GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q44_jsonl_source": QuerySpec(
         q44_jsonl_source, ORACLE_Q44, "schema'd JSON-lines source round trip", ("source",)
@@ -223,5 +246,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q56_pivot": QuerySpec(
         q56_pivot, _sql_pivot_oracle(), "pivot with explicit values", ("agg",)
+    ),
+    "q57_sql_dashboard": QuerySpec(
+        q57_sql_dashboard, ORACLE_Q57, "spark.sql serving path over catalog views", ("sql",)
     ),
 }
