@@ -202,6 +202,170 @@ FROM events GROUP BY 1
 """
 
 
+def q58_regr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear regression (value vs. event day) from exact
+    decimal moments: n, Σx, Σy, Σxx, Σxy, Σyy accumulate exactly
+    (partial-agg friendly, one pass), and slope/intercept/corr derive
+    from them in double. The built-in regr_slope/corr accumulate in
+    floating point — partial-aggregation-order-dependent, hence
+    unreproducible at scale; the moment form is the deterministic
+    equivalent (same trick as plans/common.dsum)."""
+    e = load(spark, sf_dir, "events")
+    # Exact MICROsecond epochs (cast-to-long would truncate fractional
+    # seconds that DuckDB's epoch() keeps — sub-second drift shifts
+    # every moment). x is micro-days = micros/86400: one IEEE division
+    # of identical integers -> identical doubles on both engines.
+    day0 = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    micros = F.unix_micros(F.col("ts").cast("timestamp")) - day0
+    # micro-unit integers: every product below is exact 64-bit integer
+    # arithmetic (no decimal-multiplication semantics to diverge on);
+    # per-row products fit long, sums go through decimal(38,0).
+    # Centering near the data means (15 days, value~50) conditions the
+    # covariance formula: without it, n*Sxy - Sx*Sy cancels 10+ leading
+    # digits and the engines' last-ulp differences (FMA contraction)
+    # surface in the 6th decimal of the slope.
+    xi = F.round(micros / F.lit(86400.0)).cast("long") - F.lit(15_000_000)
+    yi = F.round(F.col("value") * 1e6).cast("long") - F.lit(50_000_000)
+    d = e.select("event_type", xi.alias("xi"), yi.alias("yi"))
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(big(F.col("xi"))).cast("double").alias("sx"),
+        F.sum(big(F.col("yi"))).cast("double").alias("sy"),
+        F.sum(big(F.col("xi") * F.col("xi"))).cast("double").alias("sxx"),
+        F.sum(big(F.col("xi") * F.col("yi"))).cast("double").alias("sxy"),
+        F.sum(big(F.col("yi") * F.col("yi"))).cast("double").alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx  # micro-unit scales cancel; shift-invariant
+    mean_x = F.col("sx") / F.col("n") + 15_000_000.0  # de-centered micro
+    mean_y = F.col("sy") / F.col("n") + 50_000_000.0
+    return m.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round((mean_y - slope * mean_x) / 1e6, 6).alias("intercept"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr"),
+    )
+
+
+ORACLE_Q58 = """
+WITH d AS (
+  SELECT event_type,
+         CAST(round((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) / 86400.0) AS BIGINT) - 15000000 AS xi,
+         CAST(round(value * 1e6) AS BIGINT) - 50000000 AS yi
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(yi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xi * xi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(xi * yi AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(yi * yi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM d GROUP BY event_type
+)
+SELECT event_type,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round(((sy / n + 50000000.0)
+              - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * (sx / n + 15000000.0))
+             / 1e6, 6) AS intercept,
+       round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q59 as-of join / q60 bucketed range join
+# ---------------------------------------------------------------------------
+
+
+def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (an operator Spark's API lacks; composed
+    from union + windowed last-ignorenulls, one shuffle — see
+    operators/asof.py): each purchase event enriched with the user's
+    latest view event at-or-before it. (user_id, ts) pairs are unique
+    per event type in TESTDATA, so the latest-preceding row is
+    well-defined."""
+    from synthea_etl_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("vts"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    return asof_join(
+        purchases, views, ["user_id"], "ts", "vts", ["view_ts", "view_value"]
+    )
+
+
+ORACLE_Q59 = """
+SELECT l.event_id, l.user_id, l.ts, l.value,
+       r.ts AS view_ts, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q60_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/asof.range_join_bucketed): map
+    every event to the gap-session interval containing it — an
+    equi-join on (key, time-bucket) with interval explosion, never a
+    per-key cross product. Gap sessions can't overlap, so each event
+    lands in exactly one interval."""
+    from synthea_etl_spark.operators.asof import range_join_bucketed
+    from synthea_etl_spark.plans.streaming_batch import q51_sessionize
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = q51_sessionize(spark, sf_dir).select(
+        "user_id", "session_no", "session_start", "session_end"
+    )
+    out = range_join_bucketed(
+        e,
+        sessions,
+        ["user_id"],
+        "ts",
+        "session_start",
+        "session_end",
+        bucket_width=3600,
+    )
+    return out.select("event_id", "user_id", "session_no")
+
+
+ORACLE_Q60 = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g
+),
+sess AS (
+  SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM s GROUP BY user_id, session_no
+)
+SELECT e.event_id, e.user_id, sess.session_no
+FROM events e
+JOIN sess ON e.user_id = sess.user_id
+         AND e.ts BETWEEN sess.session_start AND sess.session_end
+"""
+
+
 def q57_sql_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's Athena/Power BI serving path collapsed to
     spark.sql over catalog views (SURVEY §3 entry point 3, §2.9
@@ -249,5 +413,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q57_sql_dashboard": QuerySpec(
         q57_sql_dashboard, ORACLE_Q57, "spark.sql serving path over catalog views", ("sql",)
+    ),
+    "q58_regr_stats": QuerySpec(
+        q58_regr_stats, ORACLE_Q58, "deterministic regression/corr from decimal moments", ("agg",)
+    ),
+    "q59_asof_join": QuerySpec(
+        q59_asof_join, ORACLE_Q59, "backward as-of join via union + windowed carry", ("join",)
+    ),
+    "q60_range_join": QuerySpec(
+        q60_range_join, ORACLE_Q60, "bucketed interval/range join", ("join",)
     ),
 }

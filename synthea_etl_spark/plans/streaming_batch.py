@@ -39,11 +39,13 @@ def q51_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning so Catalyst plans a single exchange."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is timestamp_ntz; epoch seconds via ntz->timestamp (session is
-    # pinned UTC) -> long, matching DuckDB's epoch(ts) on naive ts.
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # EXACT microsecond epochs (ntz->timestamp under the pinned-UTC
+    # session, then unix_micros): a cast to long would truncate
+    # sub-second precision and silently disagree with any engine that
+    # keeps it whenever a gap falls inside (1800, 1801) seconds.
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     sess = e.select(
         "user_id",
         "ts",
@@ -64,7 +66,7 @@ ORACLE_Q51 = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -108,7 +110,7 @@ ORACLE_Q52 = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
