@@ -73,3 +73,94 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "id long, payload binary, "
+    "meta struct<n_bytes: long, content_type: string, width: int, height: int>"
+)
+
+
+def resize_payloads(
+    df: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Distributed image resize: payload -> re-encoded payload +
+    updated (width, height) metadata, 1-to-1 via mapInPandas. The
+    codec is stubbed (no PIL here): fake=True substitutes a
+    deterministic byte transform (truncate/cycle-pad to width*height
+    bytes) so batch shape, output schema, and metadata propagation are
+    exercised end-to-end; a real deployment replaces only the inner
+    per-payload function with Image.open/resize/save."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires PIL/opencv, absent here; "
+                    "pass fake=True for the deterministic stub"
+                )
+
+            def fake_resize(b: bytes) -> bytes:
+                if not len(b):
+                    return bytes(target)
+                reps = -(-target // len(b))  # ceil
+                return (bytes(b) * reps)[:target]
+
+            payload = pdf["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "payload": payload,
+                    "meta": [
+                        {
+                            "n_bytes": len(p),
+                            "content_type": m["content_type"],
+                            "width": width,
+                            "height": height,
+                        }
+                        for p, m in zip(payload, pdf["meta"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "id long, frame_idx int, frame binary, n_frames int"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Distributed frame sampling: one input payload -> 0..k frame
+    rows (1-to-many mapInPandas — output batches need not align with
+    input rows). The decoder is stubbed: fake=True treats the payload
+    as fixed-size byte frames and keeps every ``every_n``-th; a real
+    deployment swaps in pyav/ffmpeg keyframe extraction with the same
+    row-explosion shape."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "video decode requires pyav/ffmpeg, absent here; "
+                    "pass fake=True for the deterministic stub"
+                )
+            ids, idxs, frames, totals = [], [], [], []
+            for i, b in zip(pdf["id"], pdf["payload"]):
+                b = bytes(b)
+                n = len(b) // frame_bytes
+                for fi in range(0, n, every_n):
+                    ids.append(i)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+                    totals.append(n)
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
+            )
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -65,6 +65,43 @@ def test_partition_pruning_reaches_scan(spark):
     assert "event_date" in plan[start : start + 200]
 
 
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Co-located joins via bucketing (the 100 TB fact-fact join
+    strategy): two tables bucketed by the join key join WITHOUT any
+    Exchange in the plan — bucket pruning replaces the shuffle. The
+    reference never joins two facts; at scale this is how repeated
+    lineitem-orders-grade joins amortize their shuffle to write time."""
+    warehouse = str(tmp_path / "wh")
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        # force the sort-merge path: at real scale neither side fits a
+        # broadcast — that's the regime bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, df, key in (("t_ord", orders, "o_orderkey"), ("t_li", li, "l_orderkey")):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", f"{warehouse}/{name}")
+                .saveAsTable(name)
+            )
+        j = spark.table("t_li").join(
+            spark.table("t_ord"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_li")
+        spark.sql("DROP TABLE IF EXISTS t_ord")
+
+
 def test_salted_agg_no_single_key_reducer(spark):
     """The first (wide) aggregation of the salted plan must group by
     (key, salt) — visible as two HashAggregate pairs in the plan."""

@@ -143,6 +143,39 @@ def test_multimodal_decode_stub_schema_and_values(spark, documents):
         assert abs(r.mean_byte - sum(raw) / len(raw)) < 1e-9
 
 
+def test_multimodal_resize_schema_and_determinism(spark, documents):
+    """Fake resize must produce exactly width*height payload bytes,
+    propagate content_type, and stamp the new dimensions."""
+    pay = M.attach_payload(documents.limit(50), "text", "doc_id", "image/png")
+    out = M.resize_payloads(pay, 16, 8, fake=True)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.payload) == 16 * 8
+        assert (r.meta.width, r.meta.height) == (16, 8)
+        assert r.meta.content_type == "image/png"
+        assert r.meta.n_bytes == 16 * 8
+    # deterministic across runs
+    again = {r.id: bytes(r.payload) for r in M.resize_payloads(pay, 16, 8, fake=True).collect()}
+    assert {r.id: bytes(r.payload) for r in rows} == again
+
+
+def test_multimodal_frame_sampling_one_to_many(spark, documents):
+    """Frame sampling is 1-to-many: every n_frames//every_n-th frame
+    row per payload, 64 bytes each, indices stepping by every_n."""
+    pay = M.attach_payload(documents.limit(20), "text", "doc_id", "video/mp4")
+    out = M.sample_frames(pay, frame_bytes=64, every_n=4, fake=True).collect()
+    assert out, "no frames sampled"
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r)
+        assert len(r.frame) == 64
+    for rows in by_id.values():
+        idxs = sorted(r.frame_idx for r in rows)
+        n = rows[0].n_frames
+        assert idxs == list(range(0, n, 4))
+
+
 def test_multimodal_decode_without_codec_raises(spark, documents):
     payloads = M.attach_payload(documents.limit(5), "text", "doc_id")
     with pytest.raises(Exception) as ei:
