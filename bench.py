@@ -45,6 +45,10 @@ HEADLINE_OPT = [
     "q50_events_hourly",
     "q52_session_window",
     "q55_rollup",
+    "q59_asof_join",
+    "q61_tpch_q3",
+    "q62_tpch_q5",
+    "q63_tpch_q6",
 ]
 
 

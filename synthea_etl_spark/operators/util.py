@@ -77,3 +77,29 @@ def salted_agg(
     if count_alias:
         final.append(F.sum("_cnt").alias(count_alias))
     return partial.groupBy(*keys).agg(*final)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    salt_expr,
+    n_salt: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the big/skewed side gets a salt from
+    one of ITS columns (any well-distributed expression — an id hash),
+    the other side is replicated n_salt times, and the join runs on
+    (keys + salt). A hot key's rows now spread over n_salt reducers
+    instead of one. Results are identical to the plain join; cost is
+    n_salt-fold replication of the right side — use when the right
+    side is too big to broadcast but n_salt copies still beat one
+    straggler task. (AQE's skew-join split handles many cases at
+    runtime; explicit salting is for skew you KNOW about, and for
+    aggregation-after-join pipelines where AQE's split boundaries
+    don't help.)"""
+    l = left.withColumn("_salt", F.pmod(salt_expr, F.lit(n_salt)))
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return l.join(r, on=[*key_cols, "_salt"], how=how).drop("_salt")

@@ -128,10 +128,11 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         streaming_batch,
         extended,
+        tpch,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, etl, llm, streaming_batch, extended):
+    for mod in (relational, etl, llm, streaming_batch, extended, tpch):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")

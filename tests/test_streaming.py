@@ -178,3 +178,44 @@ def test_stateful_sessionize_gap_close_and_timeout_flush(spark, tmp_path):
     assert ("u1", "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1) in got
     # open sessions (u3 after b3's watermark? u4 always) never emit early
     assert not any(u == "u4" for u, *_ in got)
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): a
+    duplicate fingerprint arriving in a later batch inside the
+    watermark window is suppressed — the streaming twin of the q30
+    batch dedup, with state bounded by the watermark (old fingerprints
+    age out instead of accumulating forever)."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "fp string, ts timestamp"
+
+    def run(rows, sub):
+        spark.createDataFrame(rows, ["fp", "ts_s"]).select(
+            "fp", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.parquet(f"{src}/{sub}")
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["fp"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(
+        [("a", "2024-01-01 10:00:00"), ("b", "2024-01-01 10:05:00")],
+        "b1",
+    )
+    # 'a' again within the watermark -> dropped; 'c' is new -> kept
+    run(
+        [("a", "2024-01-01 10:20:00"), ("c", "2024-01-01 10:30:00")],
+        "b2",
+    )
+    got = sorted(r.fp for r in spark.read.parquet(out).collect())
+    assert got == ["a", "b", "c"]
