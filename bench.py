@@ -4,7 +4,7 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect bottleneck) — the honest analog of writing results
-out on a cluster. Each query runs twice and the best time is reported:
+out on a cluster. Each query runs three times and the best time is reported:
 steady-state timing excludes one-off driver costs (Catalyst analysis
 cache warm-up, whole-stage-codegen JIT compilation) that amortize to
 zero in any real deployment while data-proportional work does not.
@@ -52,7 +52,7 @@ HEADLINE_OPT = [
 ]
 
 
-def run_one(spark, fn, runs: int = 2) -> float:
+def run_one(spark, fn, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.time()
