@@ -366,6 +366,134 @@ JOIN sess ON e.user_id = sess.user_id
 """
 
 
+def q66_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake (a column added mid-history):
+    older files lack `source`; ``mergeSchema`` unions the file schemas
+    and null-fills the missing column — no rewrite of old data. At
+    100 TB, schema-merge happens over footers only."""
+    d = load(spark, sf_dir, "documents")
+    out = tempfile.gettempdir() + "/sparkgraft_schema_evo"
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    old.write.mode("overwrite").parquet(out + "/v1")
+    new.write.mode("overwrite").parquet(out + "/v2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(out)
+    )
+
+
+ORACLE_Q66 = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN source ELSE NULL END AS source
+FROM documents
+"""
+
+
+def q67_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with unmatched rows on BOTH sides (customers
+    without order stats, order stats without selected customers) —
+    the only outer-join flavor the §2 inventory lacked."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 != 1)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(o, on="c_custkey", how="full_outer").select(
+        "c_custkey", "c_name", "n_orders"
+    )
+
+
+ORACLE_Q67 = """
+WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+o AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders
+      FROM orders WHERE o_custkey % 3 <> 1 GROUP BY 1)
+SELECT COALESCE(c.c_custkey, o.c_custkey) AS c_custkey, c_name, n_orders
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.c_custkey
+"""
+
+
+def q68_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over one (partition, total order):
+    lag/lead, 3-row moving exact sum, dense rank by value, quartile
+    bucket, running count. All share the user_id partitioning — one
+    exchange serves every window."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    mov = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(mov)
+        .cast("double")
+        .alias("moving_sum3"),
+        F.dense_rank().over(wv).alias("value_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+ORACLE_Q68 = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+       CAST(dense_rank() OVER (PARTITION BY user_id
+            ORDER BY value DESC, event_id) AS INTEGER) AS value_rank,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS running_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q70_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (entity-resolution staple): part-name
+    pairs within a brand block with Levenshtein distance <= 2. The
+    block key bounds the pair space (never an all-pairs cross join);
+    at scale the block is an LSH bucket or sorted-neighborhood key."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+ORACLE_Q70 = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 def q57_sql_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's Athena/Power BI serving path collapsed to
     spark.sql over catalog views (SURVEY §3 entry point 3, §2.9
@@ -422,5 +550,17 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q60_range_join": QuerySpec(
         q60_range_join, ORACLE_Q60, "bucketed interval/range join", ("join",)
+    ),
+    "q66_schema_evolution": QuerySpec(
+        q66_schema_evolution, ORACLE_Q66, "mergeSchema read across schema versions", ("source",)
+    ),
+    "q67_full_outer": QuerySpec(
+        q67_full_outer, ORACLE_Q67, "full outer join, unmatched both sides", ("join",)
+    ),
+    "q68_window_suite": QuerySpec(
+        q68_window_suite, ORACLE_Q68, "lag/lead/moving-sum/rank/ntile windows", ("window",)
+    ),
+    "q70_fuzzy_pairs": QuerySpec(
+        q70_fuzzy_pairs, ORACLE_Q70, "blocked Levenshtein fuzzy matching", ("join", "text")
     ),
 }
