@@ -51,6 +51,32 @@ def test_available_now_ingest_and_incremental_rerun(spark, tmp_path):
     assert rows == {1: "x", 2: "y", 3: "z"}
 
 
+def test_available_now_ingest_archives_processed_files(spark, tmp_path):
+    """S10 (Datasource_To_Source.py's copy-to-archive, Spark-native):
+    cleanSource=archive moves committed source files into the archive
+    dir on a later batch — the landing zone drains without a driver
+    file loop."""
+    landing = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    archive = tmp_path / "archive"
+    landing.mkdir()
+    (landing / "a.csv").write_text("id,name\n1,x\n")
+    ingest_available_now(
+        spark, str(landing), str(out), str(ckpt), CSV_SCHEMA, archive_dir=str(archive)
+    )
+    # archiving is asynchronous-per-batch: a later run performs it
+    (landing / "b.csv").write_text("id,name\n2,y\n")
+    ingest_available_now(
+        spark, str(landing), str(out), str(ckpt), CSV_SCHEMA, archive_dir=str(archive)
+    )
+    archived = [p.name for p in archive.rglob("*.csv")]
+    assert "a.csv" in archived
+    assert not (landing / "a.csv").exists()
+    rows = {r.id for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {1, 2}
+
+
 def test_completeness_barrier(tmp_path):
     base = tmp_path / "lake"
     tables = ["patients", "encounters", "conditions"]
