@@ -270,6 +270,64 @@ def jaccard_pairs(
     return out
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: every node gets
+    ``cluster_id`` = the minimum id reachable through the pair graph —
+    the canonical 'keep one representative per duplicate cluster' step
+    after LSH/SimHash candidate generation.
+
+    Iterative min-label propagation on DataFrames: each round joins
+    current labels across edges and keeps the per-node minimum;
+    convergence is checked with a cheap count of changed labels
+    (near-dup components are shallow — text clusters have small
+    diameter — so a handful of rounds suffices; max_iters bounds
+    pathological chains). Each round is one join + one partial-agg
+    groupBy on node id. ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1."""
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("neigh_min", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        no_change = updated.filter(F.col("_changed")).limit(1).isEmpty()
+        labels = updated.drop("_changed")
+        if no_change:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

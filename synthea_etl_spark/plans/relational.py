@@ -399,15 +399,21 @@ def q16_join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "n_name")
-        .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+        .transform(
+            lambda joined: exact_agg(
+                joined,
+                keys=["r_name", "n_name"],
+                sums={"revenue": revenue},
+                count_alias="n_items",
+            )
+        )
         .orderBy("r_name", "n_name")
-    )  # dsum kept: joins, not the 2-agg pipeline, dominate this plan
+    )
 
 
 ORACLE_Q16 = f"""
 SELECT r_name, n_name,
-       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       {sql_msum('l_extendedprice * (1 - l_discount)', 'revenue')},
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey

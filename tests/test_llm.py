@@ -120,6 +120,22 @@ def test_simhash_hamming_small_for_near_dups(spark):
     assert ham(fp[1], fp[3]) > 15
 
 
+def test_connected_components_chain_star_isolated(spark):
+    """Min-label propagation must label a 4-chain, a star, and an
+    isolated pair each with their component minimum — chains exercise
+    multi-round convergence."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11), (10, 12), (10, 13),  # star centered at 10
+         (20, 21)],                   # isolated pair
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
+
+
 def test_exact_dedup_keeps_first(spark):
     df = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "different")],
