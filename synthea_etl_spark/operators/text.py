@@ -141,6 +141,30 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def make_sentence_udtf():
+    """Python UDTF (Spark 4): one text row -> N (sent_idx, sentence)
+    rows — the table-function surface (SURVEY §2.8 lists none in the
+    reference; this is the engine's). Splitting consumes the
+    ``[.!?]+\\s+`` separator so the result is reproducible in RE2-based
+    engines too (no lookbehind). Register with
+    ``spark.udtf.register("split_sentences", make_sentence_udtf())``
+    and use via LATERAL."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(re.split(r"[.!?]+\s+", text.strip())):
+                if s:
+                    yield (i, s)
+
+    return SplitSentences
+
+
 def winnow_fingerprints(
     col: Column | str, shingle_n: int = 3, window: int = 4
 ) -> Column:

@@ -494,6 +494,118 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q73_group_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-group aggregation via applyInPandas (the
+    group-map Arrow path — SURVEY §2.8's missing UDAF surface): exact
+    per-user median of value. numpy's interpolated median equals
+    SQL percentile_cont/quantile_cont semantics, so even the UDF path
+    sits under the DuckDB oracle gate. At scale this is one shuffle on
+    the group key; each group materializes as one Arrow batch (fine
+    for per-user rows; for giant groups use the two-phase builtin
+    instead)."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+
+    def median(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "median_value": [round(float(np.median(pdf["value"])), 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        median, "user_id long, median_value double, n long"
+    )
+
+
+ORACLE_Q73 = """
+SELECT user_id, round(quantile_cont(value, 0.5), 6) AS median_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q74_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-quality observability): one pass
+    computing per-column null count, exact distinct count, min/max
+    (as strings) for every customer column — the stats layer a lake
+    catalog publishes. Single wide aggregate, then unpivoted
+    driver-side expression list (no per-column jobs — contrast the
+    reference's per-column count() anti-pattern,
+    Raw_To_Staging.py:118)."""
+    c = load(spark, sf_dir, "customer")
+    aggs = []
+    for col in c.columns:
+        aggs += [
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"{col}__nulls"),
+            F.countDistinct(col).alias(f"{col}__distinct"),
+            F.min(F.col(col).cast("string")).alias(f"{col}__min"),
+            F.max(F.col(col).cast("string")).alias(f"{col}__max"),
+        ]
+    wide = c.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.col(f"{col}__nulls").cast("long").alias("n_nulls"),
+                F.col(f"{col}__distinct").cast("long").alias("n_distinct"),
+                F.col(f"{col}__min").alias("min_str"),
+                F.col(f"{col}__max").alias("max_str"),
+            )
+            for col in c.columns
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _sql_profile_oracle() -> str:
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    parts = [
+        f"""SELECT '{c}' AS column,
+            CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+            MIN(CAST({c} AS VARCHAR)) AS min_str,
+            MAX(CAST({c} AS VARCHAR)) AS max_str
+     FROM customer"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q75_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (train/eval split staple):
+    exactly 20 customers per market segment, chosen by md5(id) order —
+    a reproducible pseudo-random draw with no RNG state, identical on
+    any engine/cluster/partitioning. One shuffle (the window
+    partition)."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_mktsegment", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_Q75 = """
+SELECT c_custkey, c_mktsegment, CAST(rn AS INTEGER) AS rn FROM (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+  FROM customer
+) WHERE rn <= 20
+"""
+
+
 def q57_sql_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's Athena/Power BI serving path collapsed to
     spark.sql over catalog views (SURVEY §3 entry point 3, §2.9
@@ -562,5 +674,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q70_fuzzy_pairs": QuerySpec(
         q70_fuzzy_pairs, ORACLE_Q70, "blocked Levenshtein fuzzy matching", ("join", "text")
+    ),
+    "q73_group_median_pandas": QuerySpec(
+        q73_group_median_pandas, ORACLE_Q73, "applyInPandas group aggregation (exact median)", ("udf", "agg")
+    ),
+    "q74_profile_table": QuerySpec(
+        q74_profile_table, _sql_profile_oracle(), "one-pass column profiler", ("agg", "quality")
+    ),
+    "q75_stratified_sample": QuerySpec(
+        q75_stratified_sample, ORACLE_Q75, "deterministic stratified sample", ("sample",)
     ),
 }
