@@ -109,6 +109,22 @@ def split_multivalue(df: DataFrame, columns: list[str] | None = None) -> DataFra
     return out
 
 
+def empty_to_null(df: DataFrame) -> DataFrame:
+    """Standard CSV semantics: an empty string field IS a null. The
+    reference gets this implicitly (its repair stage writes '' to CSV,
+    and the next stage's CSV read parses '' as null,
+    Source_Raw_Dynamic.py:122 -> Raw_To_Staging.py:166); a single-pass
+    pipeline must apply it explicitly before the null sentinel."""
+    return df.select(
+        *[
+            F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c)
+            if t == "string"
+            else F.col(c)
+            for c, t in df.dtypes
+        ]
+    )
+
+
 def null_sentinel(df: DataFrame, sentinel: str = "None") -> DataFrame:
     """F6: replace nulls in string columns with the literal 'None'
     (reference: Raw_To_Staging.py:128). fillna(str) only touches
@@ -181,6 +197,7 @@ def clean_pipeline(
     out = trim_strings(out)
     out = fix_phone_columns(out)
     out = split_multivalue(out, multivalue_columns)
+    out = empty_to_null(out)
     out = null_sentinel(out, sentinel)
     if schema is not None:
         out = cast_to_schema(out, schema)
