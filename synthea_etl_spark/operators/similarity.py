@@ -291,12 +291,20 @@ def knn_ann_ivf(
     id. Recall vs brute force is asserted in tests/test_llm.py."""
     from pyspark.sql import Window
 
-    centroids = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, lloyd_iters)
+    # NOTE: training/assignment re-scan the corpus; at 100 TB that's
+    # the right trade (materializing a full-corpus projection costs
+    # more than the narrow re-scans it saves — measured neutral even
+    # locally).
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+
+    centroids = ivf_train_centroids(
+        base, "neighbor_id", "cv", n_centroids, lloyd_iters
+    )
 
     assign = make_assign_udf(centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cluster", assign(F.col("cv")))
+    c = base.withColumn("cluster", assign(F.col("cv")))
 
     sims = _centroid_sims(F.col("qv"), centroids)
     ranked = F.transform(

@@ -494,6 +494,43 @@ WHERE levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+def q78_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant source (the dirty-data story at the source
+    level, complementing the reference's CSV repair): JSONL where
+    every doc_id%10==0 line is deterministically mangled, read in
+    PERMISSIVE mode with a ``_corrupt_record`` column — bad lines
+    quarantine instead of failing the job. Output: good/corrupt
+    accounting per language (corrupt rows have no lang -> bucketed
+    as '_corrupt')."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = tempfile.gettempdir() + "/sparkgraft_corrupt_jsonl"
+    line = F.to_json(F.struct("doc_id", "lang"))
+    mangled = F.when(
+        F.col("doc_id") % 10 == 0, F.concat(F.lit("{BROKEN"), line)
+    ).otherwise(line)
+    d.select(mangled.alias("value")).write.mode("overwrite").text(out)
+    parsed = spark.read.schema(
+        "doc_id long, lang string, _corrupt_record string"
+    ).json(out)
+    return (
+        parsed.withColumn(
+            "bucket",
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt")).otherwise(
+                F.col("lang")
+            ),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_Q78 = """
+SELECT CASE WHEN doc_id % 10 = 0 THEN '_corrupt' ELSE lang END AS bucket,
+       COUNT(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 def q73_group_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-group aggregation via applyInPandas (the
     group-map Arrow path — SURVEY §2.8's missing UDAF surface): exact
@@ -674,6 +711,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q70_fuzzy_pairs": QuerySpec(
         q70_fuzzy_pairs, ORACLE_Q70, "blocked Levenshtein fuzzy matching", ("join", "text")
+    ),
+    "q78_corrupt_records": QuerySpec(
+        q78_corrupt_records, ORACLE_Q78, "PERMISSIVE corrupt-record quarantine", ("source", "quality")
     ),
     "q73_group_median_pandas": QuerySpec(
         q73_group_median_pandas, ORACLE_Q73, "applyInPandas group aggregation (exact median)", ("udf", "agg")

@@ -245,3 +245,62 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     )
     got = sorted(r.fp for r in spark.read.parquet(out).collect())
     assert got == ["a", "b", "c"]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: purchases join the same
+    user's views within the preceding hour. Both sides carry
+    watermarks so Catalyst can bound the join state; results equal the
+    equivalent batch interval join."""
+    src = tmp_path / "ss_events"
+    rows = [
+        ("u1", "view", "2024-01-01 10:00:00"),
+        ("u1", "purchase", "2024-01-01 10:30:00"),   # joins the 10:00 view
+        ("u1", "purchase", "2024-01-01 12:00:00"),   # no view within 1h
+        ("u2", "view", "2024-01-01 09:00:00"),
+        ("u2", "purchase", "2024-01-01 09:20:00"),   # joins the 9:00 view
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "kind", "ts_s"]).select(
+        "user_id", "kind", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.write.parquet(str(src))
+
+    def split(stream):
+        views = (
+            stream.filter(F.col("kind") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "2 hours")
+        )
+        purchases = (
+            stream.filter(F.col("kind") == "purchase")
+            .select("user_id", F.col("ts").alias("buy_ts"))
+            .withWatermark("buy_ts", "2 hours")
+        )
+        return purchases.join(
+            views,
+            (purchases.user_id == views.user_id)
+            & (F.col("view_ts") <= F.col("buy_ts"))
+            & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+        ).select(purchases.user_id, "buy_ts", "view_ts")
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        split(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, str(r.buy_ts), str(r.view_ts))
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    batch = {
+        (r.user_id, str(r.buy_ts), str(r.view_ts)) for r in split(df).collect()
+    }
+    assert streamed == batch
+    assert ("u1", "2024-01-01 10:30:00", "2024-01-01 10:00:00") in streamed
+    assert ("u2", "2024-01-01 09:20:00", "2024-01-01 09:00:00") in streamed
+    assert not any(b == "2024-01-01 12:00:00" for _, b, _ in streamed)
