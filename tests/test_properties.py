@@ -1,0 +1,151 @@
+"""Property-based checks (SURVEY §5 item 4) with hypothesis over
+small in-memory frames: SCD2 invariants, repair width guarantees,
+dedup idempotence, as-of join vs a per-row Python reference.
+
+Example counts are small (Spark jobs per example are ~100ms); the
+properties, not the volume, carry the value.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.operators.scd2 import scd2_merge
+
+TS1, TS2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+snapshot_st = st.dictionaries(
+    st.integers(min_value=0, max_value=9),  # key
+    st.integers(min_value=0, max_value=3),  # attribute version
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(snap1=snapshot_st, snap2=snapshot_st)
+@settings(**SETTINGS)
+def test_scd2_invariants_hold_for_any_two_snapshots(spark, snap1, snap2):
+    """For ANY pair of snapshots: exactly one active row per key seen;
+    active rows equal the latest snapshot's values for keys it
+    contains; history rows are never lost."""
+
+    def df(snap):
+        rows = [(k, f"v{v}") for k, v in snap.items()]
+        return spark.createDataFrame(rows, "k int, name string")
+
+    if not snap1 and not snap2:
+        return
+    dim1 = scd2_merge(None, df(snap1), ["k"], ["name"], TS1) if snap1 else None
+    dim2 = (
+        scd2_merge(dim1, df(snap2), ["k"], ["name"], TS2) if snap2 else dim1
+    )
+    rows = dim2.collect()
+
+    seen_keys = set(snap1) | set(snap2)
+    active = {r.k: r.name for r in rows if r.is_active}
+    assert set(active) == seen_keys  # one active row per key, no loss
+    n_active = sum(1 for r in rows if r.is_active)
+    assert n_active == len(seen_keys)
+    for k in seen_keys:
+        expected = snap2.get(k, snap1.get(k))
+        assert active[k] == f"v{expected}"
+    # a key changed between snapshots keeps its expired v1 row
+    for k in set(snap1) & set(snap2):
+        if snap1[k] != snap2[k]:
+            hist = [r for r in rows if r.k == k and not r.is_active]
+            assert len(hist) == 1 and hist[0].name == f"v{snap1[k]}"
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters='",\n\r', min_codepoint=32, max_codepoint=126
+                ),
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_csv_repair_always_yields_header_width(spark, tmp_path_factory, rows):
+    """Ragged rows of ANY width pad/truncate to exactly the header's
+    column count (P7). Blank lines are skipped (standard CSV reader
+    semantics — the reference would pad them into all-empty rows;
+    documented divergence)."""
+    from synthea_etl_spark.sources.csv_repair import repair_csv
+
+    tmp = tmp_path_factory.mktemp("prop_csv")
+    header = ["a", "b", "c"]
+    lines = [",".join(header)] + [",".join(r) for r in rows]
+    (tmp / "f.csv").write_text("\n".join(lines) + "\n")
+    out = repair_csv(spark, str(tmp))
+    assert out.columns == header
+    n_nonblank = sum(1 for r in rows if ",".join(r) != "")
+    assert out.count() == n_nonblank
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_exact_dedup_idempotent_and_minimal(spark, vals):
+    """dedup_full: applying twice equals applying once, and the result
+    has no duplicate rows."""
+    from synthea_etl_spark.operators.clean import dedup_full
+
+    df = spark.createDataFrame(vals, "a int, b int")
+    once = dedup_full(df)
+    twice = dedup_full(once)
+    r1 = sorted(map(tuple, once.collect()))
+    r2 = sorted(map(tuple, twice.collect()))
+    assert r1 == r2
+    assert len(r1) == len(set(r1)) == len(set(vals))
+
+
+@given(
+    left=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    right=st.lists(st.integers(0, 50), min_size=0, max_size=8),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """asof_join's carried value equals the max right ts <= left ts,
+    computed independently in Python, for one key and arbitrary
+    timestamps (duplicates on the right collapse to one row first —
+    the determinism precondition the operator documents)."""
+    from synthea_etl_spark.operators.asof import asof_join
+
+    right = sorted(set(right))
+    l = spark.createDataFrame(
+        [(1, t) for t in left], "k int, lts long"
+    ).select("k", F.timestamp_seconds("lts").alias("lts"))
+    r = spark.createDataFrame(
+        [(1, t, t * 10) for t in right], "k int, rts long, payload long"
+    ).select("k", F.timestamp_seconds("rts").alias("rts"), "payload")
+    out = asof_join(l, r, ["k"], "lts", "rts", ["payload"])
+    got = {r_.lts: r_.payload for r_ in out.collect()}
+    for t in left:
+        import datetime as _dt
+
+        key = _dt.datetime.fromtimestamp(t, _dt.timezone.utc).replace(tzinfo=None)
+        preceding = [x for x in right if x <= t]
+        expect = max(preceding) * 10 if preceding else None
+        assert got[key] == expect
