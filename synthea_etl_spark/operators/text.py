@@ -141,6 +141,33 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(k >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+PII_PATTERNS: dict[str, str] = {
+    # RE2-compatible (no lookaround) so oracles can reproduce them
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (JVM regexp_count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with a <KIND> tag — the scrubbing pass
+    a training-data pipeline runs before tokenization. Order matters:
+    SSN before phone (a 3-2-4 SSN would otherwise half-match the
+    3-3-4 phone pattern only by luck of engine alternation; explicit
+    ordering keeps engines in lockstep)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for kind in ("email", "ssn", "phone"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
 def make_sentence_udtf():
     """Python UDTF (Spark 4): one text row -> N (sent_idx, sentence)
     rows — the table-function surface (SURVEY §2.8 lists none in the
