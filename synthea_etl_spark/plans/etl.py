@@ -201,6 +201,65 @@ LEFT JOIN os ON customer_id = c_custkey
 """
 
 
+def q81_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC journal apply (MERGE-style upsert/delete collapse): a
+    synthetic change log over customers — seq 1 insert for every key,
+    seq 2 update for custkey%4==0, seq 3 delete for custkey%10==0 —
+    collapsed to final state by keeping each key's highest-seq op and
+    dropping deletes. One window shuffle on the key; the idiom that
+    turns an append-only log into a snapshot without a transactional
+    table format."""
+    from synthea_etl_spark.operators.clean import dedup_by_key
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    ins = c.select(
+        "c_custkey", F.lit(1).alias("seq"), F.lit("I").alias("op"), F.col("c_name").alias("name")
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            F.concat(F.col("c_name"), F.lit("-updated")).alias("name"),
+        )
+    )
+    dele = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit(3).alias("seq"), F.lit("D").alias("op"), F.lit(None).cast("string").alias("name")
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    latest = dedup_by_key(log, keys=["c_custkey"], order_by=[F.desc("seq")])
+    return latest.filter(F.col("op") != "D").select("c_custkey", "name")
+
+
+ORACLE_Q81 = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 4 = 0 THEN c_name || '-updated' ELSE c_name END AS name
+FROM customer
+WHERE c_custkey % 10 <> 0
+"""
+
+
+def q82_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read over an SCD2 dimension: the version of every
+    key that was active at 2024-01-15 (after load 1, before load 2) —
+    rows whose validity interval covers the timestamp. Pure filter
+    over the q25 dimension state; at scale this is a partition-pruned
+    scan, no reconstruction."""
+    dim = q25_scd2_two_loads(spark, sf_dir)
+    asof = F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    return dim.filter(
+        (F.col("created_at") <= asof)
+        & (F.col("is_active") | (F.col("modified_at") > asof))
+    ).select("k", "name", "segment", "is_active")
+
+
+ORACLE_Q82 = """
+SELECT k, c_name AS name, c_mktsegment AS segment, (k % 10 <> 0) AS is_active
+FROM (SELECT c_custkey AS k, c_name, c_mktsegment FROM customer) base
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q24_clean_pipeline": QuerySpec(
         q24_clean_pipeline, ORACLE_Q24, "full Raw->Staging clean chain", ("etl",)
@@ -216,5 +275,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q27,
         "star-mart fact assembly: SCD2 dim lookup + pre-agg measures",
         ("etl", "mart"),
+    ),
+    "q81_cdc_apply": QuerySpec(
+        q81_cdc_apply, ORACLE_Q81, "CDC journal collapse to snapshot", ("etl",)
+    ),
+    "q82_scd2_asof": QuerySpec(
+        q82_scd2_asof, ORACLE_Q82, "SCD2 time-travel (as-of) read", ("etl", "mart")
     ),
 }
