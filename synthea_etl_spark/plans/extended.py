@@ -463,6 +463,42 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def q83_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-count-based): each
+    event's trailing-1-hour exact event count and decimal value sum
+    for its user. rangeBetween needs a numeric ordering column ->
+    exact microsecond epoch; the frame is then [-1h, now] in micros.
+    Complements q68's ROWS frames."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_1h"),
+    )
+
+
+ORACLE_Q83 = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q70_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (entity-resolution staple): part-name
     pairs within a brand block with Levenshtein distance <= 2. The
@@ -711,6 +747,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q70_fuzzy_pairs": QuerySpec(
         q70_fuzzy_pairs, ORACLE_Q70, "blocked Levenshtein fuzzy matching", ("join", "text")
+    ),
+    "q83_time_range_window": QuerySpec(
+        q83_time_range_window, ORACLE_Q83, "trailing-1h RANGE-frame window", ("window",)
     ),
     "q78_corrupt_records": QuerySpec(
         q78_corrupt_records, ORACLE_Q78, "PERMISSIVE corrupt-record quarantine", ("source", "quality")
