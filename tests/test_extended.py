@@ -109,3 +109,30 @@ def test_salted_agg_no_single_key_reducer(spark):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 4  # partial+final, both phases
     assert "_salt" in plan
+
+
+def test_no_accidental_cartesian_products(spark):
+    """Plan lint over the ENTIRE declared inventory: no query may plan
+    a cartesian/broadcast-nested-loop join except the ops that are
+    intentionally all-pairs over a broadcast side (brute-force kNN and
+    exact near-dup scoring). Guards against a refactor silently
+    dropping a join condition."""
+    import __spark_entry__ as ent
+    from tests.conftest import SF_SMALL
+
+    allowed = {
+        "q37_knn_bruteforce",      # broadcast queries x corpus by design
+        "q38_embedding_near_dup",  # all-pairs exact scoring (oracle baseline)
+        "q39_knn_ann_lsh",         # broadcast probe set
+        "q43_knn_ann_ivf",         # broadcast probe set
+        "q72_tfidf_top_terms",     # crossJoin of a 1-row count frame
+    }
+    bad = []
+    for name, fn in ent.queries().items():
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name in allowed:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"unintended cartesian/BNLJ in: {bad}"

@@ -197,3 +197,32 @@ def test_multimodal_decode_without_codec_raises(spark, documents):
     with pytest.raises(Exception) as ei:
         M.decode_features(payloads, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "media decode" in str(ei.value)
+
+
+def test_multimodal_binary_file_source(spark, tmp_path):
+    """The real media ingestion path: spark.read.format('binaryFile')
+    over raw files -> the engine's multimodal shape (id, payload,
+    meta) -> Arrow feature extraction. Confirms the source contract
+    (path, length, content) feeds attach-less payload plumbing."""
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"f{i}.bin": bytes([i] * (16 + i)) for i in range(4)}
+    for name, b in payloads.items():
+        (media / name).write_bytes(b)
+
+    raw = spark.read.format("binaryFile").load(str(media))
+    shaped = raw.select(
+        F.regexp_extract(F.col("path"), r"f(\d+)\.bin$", 1).cast("long").alias("id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").cast("long").alias("n_bytes"),
+            F.lit("application/octet-stream").alias("content_type"),
+        ).alias("meta"),
+    )
+    feats = {r.id: r for r in M.decode_features(shaped, fake=True).collect()}
+    assert set(feats) == {0, 1, 2, 3}
+    for i in range(4):
+        b = payloads[f"f{i}.bin"]
+        assert feats[i].n_bytes == len(b)
+        assert feats[i].head_hex == b[:8].hex()
+        assert abs(feats[i].mean_byte - (sum(b) / len(b))) < 1e-9
