@@ -246,6 +246,14 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in seeds]
+    if lloyd_iters > 0:
+        from synthea_etl_spark.operators.util import rebalance_by_key
+
+        # the Lloyd pass explodes dim values per vector; spread a
+        # narrow scan before that blow-up (no-op on wide cluster scans)
+        corpus = rebalance_by_key(
+            corpus.select(id_col, vec_col), id_col
+        )
     for _ in range(lloyd_iters):
         assign = make_assign_udf(centroids)
         assigned = corpus.select(
