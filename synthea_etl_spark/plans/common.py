@@ -212,10 +212,11 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_batch,
         extended,
         tpch,
+        tpch2,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, etl, llm, streaming_batch, extended, tpch):
+    for mod in (relational, etl, llm, streaming_batch, extended, tpch, tpch2):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
