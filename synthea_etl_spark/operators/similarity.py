@@ -214,6 +214,47 @@ def make_assign_udf(centroids: list[list[float]]):
     return assign
 
 
+def make_probe_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched query-side probe: top-``n_probe`` centroid indices
+    by cosine, one numpy matmul per batch. The expression alternative
+    (k cosines as nested literal arrays fed through array_sort) builds
+    a k*dim-literal Catalyst tree whose ANALYSIS/CODEGEN time dominates
+    the whole query (~3 s at k=16, dim=64 — measured); this UDF keeps
+    the plan O(1) regardless of k*dim. Sims round to 9 dp first; ties
+    resolve to the lowest centroid index (stable argsort)."""
+    M = np.asarray(centroids, dtype="float64")
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("array<int>")
+    def probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy())
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = np.round(Xn @ Mn.T, 9)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return probe
+
+
+def make_cosine_udf():
+    """Arrow-batched pairwise cosine — the vectorized twin of
+    ``cosine`` for UDF-heavy plans where one more small expression tree
+    is cheaper to avoid. double-precision numpy dot agrees with the
+    JVM left-fold to ~1e-15, far inside the 1e-6 output rounding.
+    Factory (not module-level UDF): pandas_udf parses its DDL type
+    eagerly and needs an active session."""
+
+    @F.pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype("float64")
+        B = np.stack(b.to_numpy()).astype("float64")
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
 def assign_cluster(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid (max cosine) index, 0-based, deterministic
     (array_position takes the FIRST max on ties). Expression form —
@@ -314,18 +355,10 @@ def knn_ann_ivf(
     assign = make_assign_udf(centroids)
     c = base.withColumn("cluster", assign(F.col("cv")))
 
-    sims = _centroid_sims(F.col("qv"), centroids)
-    ranked = F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            F.element_at(sims, i + 1).alias("sim"), i.alias("c")
-        ),
-    )
-    top_cells = F.slice(F.reverse(F.array_sort(ranked)), 1, n_probe)
+    probe = make_probe_udf(centroids, n_probe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn("probe", F.explode(top_cells))
-        .select("query_id", "qv", F.col("probe.c").alias("cluster"))
+        .withColumn("cluster", F.explode(probe(F.col("qv"))))
     )
 
     scored = (
@@ -334,7 +367,9 @@ def knn_ann_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+            F.round(
+                make_cosine_udf()(F.col("qv"), F.col("cv")), sim_decimals
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
