@@ -105,7 +105,10 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p = (vec . plane_p) >= 0."""
+    """Sign-bit bucket id: bit p = (vec . plane_p) >= 0. Expression
+    form — kept for reference/tiny plans; make_bucket_udf is the
+    production path (the n_planes*dim literal tree costs more in
+    Catalyst analysis than the data does in execution)."""
     bucket = F.lit(0).cast("long")
     for p, row in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in row])
@@ -113,6 +116,23 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
             F.lit(0).cast("long")
         )
         bucket = bucket + bit
+    return bucket
+
+
+def make_bucket_udf(planes: list[list[float]]):
+    """Arrow-batched sign-bit bucketing: one (batch x dim)@(dim x p)
+    matmul per batch, bits packed in numpy. Matches _bucket_expr
+    exactly (>= 0 sign convention, same bit order); the plane matrix
+    ships once per executor in the closure."""
+    P = np.asarray(planes, dtype="float64").T  # (dim, n_planes)
+    weights = (2 ** np.arange(P.shape[1], dtype="int64"))
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype("float64")
+        bits = (X @ P) >= 0
+        return pd.Series(bits @ weights)
+
     return bucket
 
 
@@ -138,12 +158,13 @@ def knn_ann_lsh(
     from pyspark.sql import Window
 
     planes = _hyperplanes(n_planes, dim)
+    bucket_of = make_bucket_udf(planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
+    ).withColumn("bucket", bucket_of(F.col("cv")))
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    q = q.withColumn("b0", _bucket_expr(F.col("qv"), planes))
+    q = q.withColumn("b0", bucket_of(F.col("qv")))
     probe_cols = [F.col("b0")]
     if multiprobe >= 1:
         probe_cols += [
@@ -165,7 +186,9 @@ def knn_ann_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+            F.round(
+                make_cosine_udf()(F.col("qv"), F.col("cv")), sim_decimals
+            ).alias("sim"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
