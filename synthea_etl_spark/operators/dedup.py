@@ -314,6 +314,49 @@ def jaccard_pairs(
     return out
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of
+    its DISTINCT word n-grams also appear anywhere in the benchmark
+    set (the eval-leakage screen every training pipeline needs).
+
+    The benchmark's distinct shingles are the small side — broadcast
+    into the corpus shingle stream, so the corpus side never shuffles
+    for the probe; per-doc overlap counts then reuse the
+    exploded_shingles partitioning. Returns (id, n_shingles,
+    n_overlap, overlap_ratio) for every corpus doc with >=
+    ``shingle_n`` tokens."""
+    c_sh = exploded_shingles(
+        corpus.select(id_col, text_col), text_col, id_col, shingle_n
+    ).drop("pos").dropDuplicates([id_col, "s"])
+    b_sh = (
+        exploded_shingles(
+            benchmark.select(id_col, text_col), text_col, id_col, shingle_n
+        )
+        .select("s")
+        .distinct()
+    )
+    per_doc = c_sh.join(
+        F.broadcast(b_sh.withColumn("_hit", F.lit(1))), "s", "left"
+    ).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_overlap"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        (
+            F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("overlap_ratio"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

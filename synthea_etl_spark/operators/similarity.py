@@ -425,3 +425,38 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-dimension int8 quantization — the storage/ANN
+    compression step of an embedding pipeline: scale_d = max|x_d| over
+    the corpus, q = round(x * 127 / scale_d), so each dimension maps to
+    [-127, 127] and dequantization is q * scale_d / 127.
+
+    One posexplode + one 64-group aggregate for the scales (broadcast
+    back — dim rows, never the corpus), then a per-row quantize. All
+    arithmetic is exact-input double (float32 widens losslessly);
+    all-zero dimensions quantize to 0. Returns exploded
+    (id, pos, q, scale) rows — writers re-assemble arrays or store
+    columnar as-is."""
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    scales = ex.groupBy("pos").agg(F.max(F.abs(F.col("x"))).alias("scale"))
+    return (
+        ex.join(F.broadcast(scales), "pos")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("int").alias("pos"),
+            F.when(F.col("scale") == 0, F.lit(0))
+            .otherwise(F.round(F.col("x") * 127.0 / F.col("scale")))
+            .cast("int")
+            .alias("q"),
+            "scale",
+        )
+    )

@@ -103,3 +103,72 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
     return l.join(r, on=[*key_cols, "_salt"], how=how).drop("_salt")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Global running total of ``value_col`` in ``order_col`` order,
+    WITHOUT a single-partition window.
+
+    The naive ``Window.orderBy(order_col)`` funnels every row through
+    one task — the classic global-window scale trap. Here:
+
+    1. shard by a DETERMINISTIC range expression on the numeric
+       ``order_col`` (one min/max stats job — often answered straight
+       from parquet footers). Not ``repartitionByRange``: its sampled
+       boundaries carry per-job RNG seeds, and this operator computes
+       shard totals and per-shard running sums in SEPARATE jobs that
+       must agree on every row's shard;
+    2. per-shard running total via a window (one hash exchange on the
+       shard id);
+    3. per-shard totals (one row per shard) collect to the driver,
+       their exclusive prefix sums broadcast back as a tiny map lookup.
+
+    Only num_shards values ever reach the driver, so the operator
+    scales to any row count. Values must be summable longs/decimals
+    (exact associative addition; doubles would make the result depend
+    on shard boundaries). Uniform-width shards assume a roughly dense
+    ``order_col`` (ids, offsets, epochs); for wildly skewed keys,
+    derive boundaries from approx quantiles instead.
+
+    ``exclusive=True`` yields the sum of STRICTLY-preceding rows (the
+    row's own start offset — what sequence packing needs)."""
+    from pyspark.sql import Window
+
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).first()
+    n_shards = shuffle_parallelism(df)
+    width = max((hi - lo) / n_shards, 1e-12) if hi is not None else 1.0
+    shard = F.least(
+        F.lit(n_shards - 1),
+        F.floor((F.col(order_col).cast("double") - F.lit(lo)) / F.lit(width)),
+    ).cast("int")
+    sharded = df.withColumn("_shard", shard)
+    w = Window.partitionBy("_shard").orderBy(order_col)
+    frame = w.rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
+    local = sharded.withColumn("_local", F.sum(value_col).over(frame)).withColumn(
+        "_local", F.coalesce(F.col("_local"), F.lit(0))
+    )
+    totals = (
+        sharded.groupBy("_shard")
+        .agg(F.sum(value_col).alias("_tot"))
+        .orderBy("_shard")
+        .collect()
+    )
+    offsets, run = {}, 0
+    for r in totals:
+        offsets[r["_shard"]] = run
+        run += r["_tot"] or 0
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(out_col, F.col("_local") + off[F.col("_shard")])
+        .drop("_shard", "_local")
+    )

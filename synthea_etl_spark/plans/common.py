@@ -213,10 +213,20 @@ def all_queries() -> dict[str, QuerySpec]:
         extended,
         tpch,
         tpch2,
+        llm2,
     )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, etl, llm, streaming_batch, extended, tpch, tpch2):
+    for mod in (
+        relational,
+        etl,
+        llm,
+        streaming_batch,
+        extended,
+        tpch,
+        tpch2,
+        llm2,
+    ):
         for name, spec in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
