@@ -211,6 +211,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         streaming_batch,
         extended,
+        extended2,
         tpch,
         tpch2,
         llm2,
@@ -223,6 +224,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         streaming_batch,
         extended,
+        extended2,
         tpch,
         tpch2,
         llm2,

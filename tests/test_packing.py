@@ -87,3 +87,43 @@ def test_quantize_int8_range_and_zero_dim(spark):
         if r.scale > 0:
             x = {1: [1.0, 0.0, -2.0], 2: [-4.0, 0.0, 1.0]}[r.vec_id][r.pos]
             assert abs(r.q * r.scale / 127.0 - x) <= r.scale / 254.0 + 1e-12
+
+
+def test_approx_distinct_within_rsd(spark):
+    from synthea_etl_spark.plans.extended2 import q101_approx_distinct
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.o_orderpriority: r for r in q101_approx_distinct(spark, sf).collect()}
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    exact = {
+        r.o_orderpriority: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("c"),
+            F.countDistinct("o_orderdate").alias("d"),
+        )
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(got[k].approx_customers - e.c) / e.c < 0.05
+        assert abs(got[k].approx_dates - e.d) / e.d < 0.05
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    from synthea_etl_spark.plans.extended2 import q102_approx_percentiles
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.l_returnflag: r for r in q102_approx_percentiles(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.p
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("p"))
+        .collect()
+    }
+    for k, (e50, e95, e99) in exact.items():
+        # GK sketch: rank error <= n/accuracy; value tolerance via
+        # relative comparison on this distribution
+        assert abs(got[k].p50 - e50) / e50 < 0.02
+        assert abs(got[k].p95 - e95) / e95 < 0.02
+        assert abs(got[k].p99 - e99) / e99 < 0.02
