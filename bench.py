@@ -49,6 +49,12 @@ HEADLINE_OPT = [
     "q61_tpch_q3",
     "q62_tpch_q5",
     "q63_tpch_q6",
+    "q86_tpch_q10",
+    "q91_tpch_q18",
+    "q97_pack_sequences",
+    "q98_contamination",
+    "q99_embed_quantize",
+    "q103_zorder_key",
 ]
 
 

@@ -100,3 +100,52 @@ QUERIES: dict[str, QuerySpec] = {
         ("agg", "approx"),
     ),
 }
+
+
+def q103_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-curve clustering key over (custkey, order epoch-day): the sort
+    key operators/layout.zorder_write clusters files on. Projection
+    only — pure codegen bit arithmetic; the layout effect (tight
+    per-file min/max in BOTH dimensions) is asserted on real parquet
+    footers in tests/test_layout.py."""
+    from synthea_etl_spark.operators.layout import zvalue
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+    ).cast("long")
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("custkey"),
+        day.alias("day_num"),
+        zvalue([F.col("o_custkey").cast("long"), day], bits=16).alias("zval"),
+    )
+
+
+def _sql_zvalue(xs: list[str], bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        for j, x in enumerate(xs):
+            terms.append(f"((({x} >> {i}) & 1) << {i * len(xs) + j})")
+    return " + ".join(terms)
+
+
+ORACLE_Q103 = f"""
+WITH b AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+           AS day_num
+  FROM orders
+)
+SELECT o_orderkey, custkey, day_num,
+       {_sql_zvalue(['custkey', 'day_num'])} AS zval
+FROM b
+"""
+
+
+QUERIES["q103_zorder_key"] = QuerySpec(
+    q103_zorder_key,
+    ORACLE_Q103,
+    "Z-order clustering key (layout op, footer-stat tested)",
+    ("layout",),
+)

@@ -484,31 +484,31 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 def q93_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): customers with
     above-positive-average balance and no orders since 2000, grouped by
-    nation. NOT EXISTS is a left-anti join against the distinct recent
-    custkeys; the average is a broadcast scalar from the same exact-
-    decimal path."""
-    c = load(spark, sf_dir, "customer")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
-            / F.count("c_acctbal").cast("double")
-        ).alias("_avg")
-    )
-    recent = (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderdate") >= _ts("2000-01-01"))
-        .select("o_custkey")
-        .distinct()
-    )
-    return (
-        c.join(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg"))
-        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
-        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
-        .agg(
-            F.count(F.lit(1)).alias("numcust"),
-            dsum("c_acctbal", "totacctbal"),
-        )
+    nation. Expressed through spark.sql: the scalar average runs as a
+    genuine ScalarSubquery (its own tiny stage, result inlined as a
+    literal — no join of any kind), and NOT EXISTS decorrelates to a
+    left-anti join against the recent custkeys."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("v_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_ord")
+    return spark.sql(
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                 AS totacctbal
+        FROM v_cust c
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+                   / CAST(COUNT(c_acctbal) AS DOUBLE)
+            FROM v_cust WHERE c_acctbal > 0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM v_ord o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+          )
+        GROUP BY c_nationkey
+        """
     )
 
 
