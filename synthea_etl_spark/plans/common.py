@@ -214,6 +214,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended2,
         tpch,
         tpch2,
+        tpch3,
         llm2,
     )
 
@@ -227,6 +228,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended2,
         tpch,
         tpch2,
+        tpch3,
         llm2,
     ):
         for name, spec in mod.QUERIES.items():
