@@ -132,13 +132,22 @@ def exact_agg(
     def as_col(c):
         return F.col(c) if isinstance(c, str) else c
 
+    def to_micro(c):
+        # NOT F.round: Spark's round(double) drops out of codegen into a
+        # per-row BigDecimal (measured ~50% of q01's whole runtime at
+        # sf0.1). floor(x+0.5) with an explicit sign branch is the same
+        # half-away-from-zero rounding in pure long/double codegen.
+        x = as_col(c) * micro
+        return (
+            F.when(x >= 0, F.floor(x + F.lit(0.5)))
+            .otherwise(-F.floor(-x + F.lit(0.5)))
+            .cast("long")
+        )
+
     p = df.select(
         *keys,
         F.spark_partition_id().alias("_pid"),
-        *[
-            F.round(as_col(c) * micro).cast("long").alias(f"_m_{a}")
-            for a, c in all_exprs.items()
-        ],
+        *[to_micro(c).alias(f"_m_{a}") for a, c in all_exprs.items()],
     )
     partial = p.groupBy(*keys, "_pid").agg(
         *[F.sum(f"_m_{a}").alias(f"_m_{a}") for a in all_exprs],
