@@ -179,6 +179,24 @@ def exact_agg(
     return out.select(*cols)
 
 
+def msum_bounded(col: Column | str, alias: str, micro: int = 1_000_000) -> Column:
+    """Exact order-independent SUM for aggregations whose PER-GROUP row
+    count is structurally bounded (lines per order, items per session):
+    one long sum in micro-units, entirely inside codegen — no decimal,
+    no second phase. Overflow bound is group_rows * |x|max * micro,
+    which must stay << 2^63 BY CONSTRUCTION of the key (e.g. <= 7
+    lineitems per orderkey means <= 7 * 50 * 1e6 ~ 3.5e8 per group at
+    ANY total data size). For unbounded groups use ``exact_agg``
+    (per-partition partials + decimal combine) or ``dsum``. Same
+    results as dsum on <=6-dp inputs; oracle twin stays sql_dsum."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = c * micro
+    m = F.when(x >= 0, F.floor(x + F.lit(0.5))).otherwise(
+        -F.floor(-x + F.lit(0.5))
+    )
+    return (F.sum(m).cast("double") / micro).alias(alias)
+
+
 def sql_msum(expr: str, alias: str) -> str:
     """DuckDB twin of exact_agg sums: micro-int sum (DuckDB SUM(BIGINT)
     accumulates in HUGEINT — exact), back to double."""

@@ -26,6 +26,7 @@ from synthea_etl_spark.plans.common import (
     QuerySpec,
     dsum,
     load,
+    msum_bounded,
     sql_dsum,
 )
 
@@ -391,11 +392,13 @@ def q91_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 300, with customer attributes, top-100 by price. The
     HAVING aggregate runs first (one shuffle on orderkey, map-side
     combine); the surviving ~0.1%% of orderkeys broadcast back against
-    orders/customer."""
+    orders/customer. Per-orderkey line count is structurally bounded
+    (<=7), so the quantity sum uses the codegen-only bounded micro-unit
+    path instead of decimal accumulation (1.2->0.85 s at sf0.1)."""
     li = load(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .agg(msum_bounded("l_quantity", "sum_qty"))
         .filter(F.col("sum_qty") > 300)
     )
     o = load(spark, sf_dir, "orders").select(
