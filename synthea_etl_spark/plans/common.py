@@ -239,6 +239,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_batch,
         extended,
         extended2,
+        extended3,
         tpch,
         tpch2,
         tpch3,
@@ -253,6 +254,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_batch,
         extended,
         extended2,
+        extended3,
         tpch,
         tpch2,
         tpch3,

@@ -1,0 +1,275 @@
+"""Extended surface, third batch: declarative data-quality
+expectations, time-series resample + gap fill, incremental aggregate
+maintenance, ORC source round trip, and VARIANT semi-structured
+extraction — capabilities a lakehouse ETL engine needs that the
+reference only documents as manual practice (xlsx Problem/Handling
+columns, recompute-everything datamart) or lacks entirely.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.plans.common import (
+    QuerySpec,
+    dsum,
+    load,
+    sql_dsum,
+)
+
+
+# ---------------------------------------------------------------------------
+# q111 — data-quality expectations (one-pass constraint suite + FK)
+# ---------------------------------------------------------------------------
+
+
+def q111_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders: three row-level constraints
+    evaluated in ONE aggregate pass (conditional sums — never the
+    reference's count()-per-probe, Raw_To_Staging.py:118) plus a
+    referential-integrity check as a broadcast left-anti join. Output:
+    one row per expectation with its violation count."""
+    from synthea_etl_spark.operators.expectations import (
+        accepted_values,
+        check,
+        fk_check,
+        in_range,
+        not_null,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    row_checks = check(
+        o,
+        [
+            not_null("o_custkey"),
+            accepted_values("o_orderstatus", ["F", "P", "O"]),
+            in_range("o_totalprice", 0, 100000),
+        ],
+    )
+    fk = fk_check(o, "o_custkey", c, "c_custkey")
+    return row_checks.unionByName(fk).orderBy("expectation")
+
+
+ORACLE_Q111 = """
+SELECT * FROM (
+  SELECT 'not_null_o_custkey' AS expectation,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+         COUNT(*) AS n_checked
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values_o_orderstatus',
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                        OR o_orderstatus NOT IN ('F', 'P', 'O')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'in_range_o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice IS NULL
+                        OR o_totalprice NOT BETWEEN 0 AND 100000
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         COUNT(*)
+  FROM orders
+  UNION ALL
+  SELECT 'fk_o_custkey_references_c_custkey',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         COUNT(*)
+  FROM orders
+)
+ORDER BY expectation
+"""
+
+
+# ---------------------------------------------------------------------------
+# q112 — resample + gap fill (dense daily series with forward fill)
+# ---------------------------------------------------------------------------
+
+
+def q112_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events resampled to per-user daily value sums, densified over
+    each user's [first, last] day with forward fill. Bucket domains are
+    generated executor-side from per-key min/max (sequence + explode —
+    no driver calendar, no global-calendar cross join); the carry is
+    one last(IGNORE NULLS) window per key."""
+    from synthea_etl_spark.operators.timeseries import gap_fill, resample
+
+    e = load(spark, sf_dir, "events")
+    daily = resample(
+        e, "user_id", "ts", "1 day", [dsum("value", "daily_value")]
+    ).withColumnRenamed("bucket", "day")
+    return gap_fill(
+        daily, "user_id", "day", "INTERVAL 1 DAY", ["daily_value"]
+    ).select(
+        "user_id",
+        "day",
+        F.col("daily_value").alias("value_filled"),
+        "was_observed",
+    )
+
+
+ORACLE_Q112 = f"""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         {sql_dsum('value', 'daily_value')}
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+), dom AS (
+  SELECT user_id,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily GROUP BY user_id
+), j AS (
+  SELECT dom.user_id, dom.day, daily.daily_value,
+         daily.daily_value IS NOT NULL AS was_observed
+  FROM dom LEFT JOIN daily
+    ON dom.user_id = daily.user_id AND dom.day = daily.day
+)
+SELECT user_id, day,
+       last_value(daily_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled,
+       was_observed
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# q113 — incremental aggregate maintenance (state ⊎ delta == recompute)
+# ---------------------------------------------------------------------------
+
+
+def q113_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup upkeep: partial-aggregate state built from
+    pre-1999 orders, the 1999+ load folded in as a delta — merge cost
+    is O(|keys| + |delta|), independent of history size (vs the
+    reference datamart's full recompute each run). The oracle is the
+    from-scratch aggregate over ALL orders: exact-decimal state makes
+    maintained == recomputed an equality, not an approximation."""
+    from synthea_etl_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+    state = agg_state(
+        o.filter(F.col("o_orderdate") < cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    delta = agg_state(
+        o.filter(F.col("o_orderdate") >= cutoff), ["o_orderpriority"], "o_totalprice"
+    )
+    return finalize(merge_states(state, delta), prefix="price_")
+
+
+ORACLE_Q113 = """
+SELECT o_orderpriority,
+       COUNT(o_totalprice) AS price_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS price_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+         / CAST(COUNT(o_totalprice) AS DOUBLE) AS price_avg,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q114 — ORC source round trip
+# ---------------------------------------------------------------------------
+
+
+def q114_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip (the other columnar lake format Spark reads
+    natively): write orders as ORC, read back, aggregate. Predicate
+    pushdown and column pruning apply to ORC scans the same as parquet
+    (ORC carries its own stripe-level min/max indexes)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = tempfile.gettempdir() + "/sparkgraft_orc_roundtrip"
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+ORACLE_Q114 = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'total_price')}
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q115 — VARIANT semi-structured extraction
+# ---------------------------------------------------------------------------
+
+
+def q115_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props parsed into Spark 4's VARIANT type
+    (parse_json -> variant_get): open-schema JSON columns without a
+    fixed StructType, the lakehouse answer to evolving event payloads.
+    The shredded extraction stays columnar (no per-row Python); at
+    100 TB the parse cost is the scan's, paid once, and extraction
+    pushes into the same projection."""
+    e = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_Q115 = """
+SELECT event_type,
+       COUNT(k) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q111_expectations": QuerySpec(
+        q111_expectations, ORACLE_Q111,
+        "one-pass data-quality expectations + FK check", ("quality",),
+    ),
+    "q112_gap_fill": QuerySpec(
+        q112_gap_fill, ORACLE_Q112,
+        "daily resample + forward-fill gap densification", ("window", "stream"),
+    ),
+    "q113_incremental_agg": QuerySpec(
+        q113_incremental_agg, ORACLE_Q113,
+        "incremental rollup maintenance (state merge == recompute)", ("agg", "etl"),
+    ),
+    "q114_orc_source": QuerySpec(
+        q114_orc_source, ORACLE_Q114, "ORC source round trip", ("source",),
+    ),
+    "q115_variant_extract": QuerySpec(
+        q115_variant_extract, ORACLE_Q115,
+        "VARIANT semi-structured extraction (parse_json/variant_get)",
+        ("semi",),
+    ),
+}
