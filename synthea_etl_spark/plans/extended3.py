@@ -251,6 +251,72 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q116 — heavy hitters (Misra-Gries sketch + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users with >= 80 events, found with sketch-bounded state: each
+    partition keeps a 256-counter Misra-Gries summary (mapInPandas,
+    vectorized per-batch histograms), candidates broadcast back for an
+    exact count. For threshold > N/k the result equals the plain
+    GROUP BY HAVING — which is the oracle — but the aggregation state
+    never grows with key cardinality, the property that matters when
+    the keys are 100 TB of document fingerprints rather than 150
+    users."""
+    from synthea_etl_spark.operators.frequency import heavy_hitters
+
+    e = load(spark, sf_dir, "events")
+    # sf-proportional threshold so the semantics (and the guarantee
+    # threshold > N/k) hold at every test scale
+    n = {"0.001": 1000, "0.01": 10000, "0.1": 100000}
+    scale = next((v for s, v in n.items() if f"sf{s}" in sf_dir), 10000)
+    thr = max(int(scale * 0.008), 2)
+    return heavy_hitters(e, "user_id", threshold=thr, k=256)
+
+
+ORACLE_Q116 = """
+SELECT user_id, COUNT(*) AS cnt
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) >= GREATEST(CAST((SELECT COUNT(*) FROM events) * 0.008 AS BIGINT), 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q117 — ordered set concatenation (listagg shape)
+# ---------------------------------------------------------------------------
+
+
+def q117_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct-set concatenation per group (the LISTAGG /
+    string_agg reporting shape): distinct order years per priority as
+    one sorted comma string. collect_set -> sort_array -> array_join
+    keeps the set dedup inside the aggregate (partial collect_sets
+    merge map-side); the sort is per-group over a handful of
+    elements."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.year("o_orderdate").cast("long"))),
+                ",",
+            ).alias("order_years")
+        )
+    )
+
+
+ORACLE_Q117 = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT CAST(year(o_orderdate) AS BIGINT), ','
+                  ORDER BY CAST(year(o_orderdate) AS BIGINT)) AS order_years
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -271,5 +337,14 @@ QUERIES: dict[str, QuerySpec] = {
         q115_variant_extract, ORACLE_Q115,
         "VARIANT semi-structured extraction (parse_json/variant_get)",
         ("semi",),
+    ),
+    "q116_heavy_hitters": QuerySpec(
+        q116_heavy_hitters, ORACLE_Q116,
+        "exact heavy hitters via Misra-Gries sketch + verify",
+        ("agg", "approx", "udf"),
+    ),
+    "q117_listagg": QuerySpec(
+        q117_listagg, ORACLE_Q117,
+        "ordered distinct-set concatenation (LISTAGG shape)", ("agg",),
     ),
 }

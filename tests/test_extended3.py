@@ -95,3 +95,31 @@ def test_incremental_merge_handles_new_keys(spark):
                                 agg_state(new, ["k"], "v")))
     got = {r["k"]: (r["count"], r["sum"]) for r in out.collect()}
     assert got == {"a": (1, 1.0), "b": (1, 2.0)}
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from synthea_etl_spark.operators.frequency import heavy_hitters
+
+    # skewed: key 0 -> 400 rows, key 1 -> 120, keys 2..201 -> 4 each
+    rows = [(0,)] * 400 + [(1,)] * 120 + [(k,) for k in range(2, 202) for _ in range(4)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(8)
+    n = len(rows)
+    thr = 100
+    k = 64  # threshold > N/k (1320/64 ~ 21) -> exactness guaranteed
+    assert thr > n / k
+    got = {(r["user_id"], r["cnt"]) for r in
+           heavy_hitters(df, "user_id", threshold=thr, k=k).collect()}
+    exact = {(r["user_id"], r["cnt"]) for r in
+             df.groupBy("user_id").count().withColumnRenamed("count", "cnt")
+               .filter(F.col("cnt") >= thr).collect()}
+    assert got == exact == {(0, 400), (1, 120)}
+
+
+def test_mg_merge_bounds_state(spark):
+    from synthea_etl_spark.operators.frequency import _mg_merge
+
+    counters = {}
+    for batch in ({"a": 50, "b": 3}, {"c": 2, "d": 2, "a": 10}, {"e": 9}):
+        counters = _mg_merge(counters, batch, k=2)
+        assert len(counters) <= 2
+    assert "a" in counters  # dominant key survives every merge
