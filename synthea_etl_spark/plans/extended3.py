@@ -317,6 +317,92 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# q118 — PageRank over the nation trade graph (iterative)
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_N = 25  # nation count — fixed dim at every SF
+_PR_BASE = (1.0 - _PR_DAMP) / _PR_N
+_PR_ITERS = 5
+
+
+def q118_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the nation trade graph (edge = supplier
+    nation ships to customer nation, weight = lineitem count), 5
+    iterations. Exercises the iterative join+agg loop with lineage
+    truncation (operators/graph); exact-decimal contribution sums make
+    the ranks bit-reproducible, so the oracle can unroll the SAME
+    iterations as chained SQL CTEs."""
+    from synthea_etl_spark.operators.graph import pagerank
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("src"))
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("dst"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(o), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    return pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMP, n_nodes=_PR_N
+    )
+
+
+def _pr_oracle() -> str:
+    head = """
+WITH edges AS (
+  SELECT sn.n_name AS src, cn.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  GROUP BY sn.n_name, cn.n_name
+), outdeg AS (
+  SELECT src, SUM(w) AS wout FROM edges GROUP BY src
+), en AS (
+  SELECT src, dst, CAST(w AS DOUBLE) / CAST(wout AS DOUBLE) AS wnorm
+  FROM edges JOIN outdeg USING (src)
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), pr0 AS (
+  SELECT node, CAST(1 AS DOUBLE) / CAST(25 AS DOUBLE) AS rank FROM nodes
+)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(f""", pr{i} AS (
+  SELECT n.node,
+         CAST({_PR_BASE!r} AS DOUBLE)
+           + CAST({_PR_DAMP!r} AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE))
+           AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst,
+           CAST(SUM(CAST(p.rank * e.wnorm AS DECIMAL(25,6))) AS DOUBLE) AS s
+    FROM en e JOIN pr{i - 1} p ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON n.node = c.dst
+)""")
+    return head + "".join(steps) + f"\nSELECT node, rank FROM pr{_PR_ITERS}"
+
+
+ORACLE_Q118 = _pr_oracle()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -346,5 +432,10 @@ QUERIES: dict[str, QuerySpec] = {
     "q117_listagg": QuerySpec(
         q117_listagg, ORACLE_Q117,
         "ordered distinct-set concatenation (LISTAGG shape)", ("agg",),
+    ),
+    "q118_pagerank": QuerySpec(
+        q118_pagerank, ORACLE_Q118,
+        "iterative weighted PageRank with lineage truncation",
+        ("join", "agg", "graph"),
     ),
 }

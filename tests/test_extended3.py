@@ -123,3 +123,21 @@ def test_mg_merge_bounds_state(spark):
         counters = _mg_merge(counters, batch, k=2)
         assert len(counters) <= 2
     assert "a" in counters  # dominant key survives every merge
+
+
+def test_pagerank_toy_graph(spark):
+    from synthea_etl_spark.operators.graph import pagerank
+
+    # star: everyone links to hub 'a'; 'a' links back to 'b' only
+    edges = spark.createDataFrame(
+        [("b", "a", 1), ("c", "a", 1), ("d", "a", 1), ("a", "b", 1)],
+        "src string, dst string, weight long",
+    )
+    ranks = {r["node"]: r["rank"] for r in
+             pagerank(edges, iterations=10, checkpoint_every=3).collect()}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    # the a<->b cycle oscillates at finite iterations, so only the
+    # stable facts are asserted: both cycle nodes dominate the leaves
+    assert min(ranks["a"], ranks["b"]) > ranks["c"]
+    assert abs(ranks["c"] - ranks["d"]) < 1e-12  # symmetric leaves
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # no dangling nodes
