@@ -126,6 +126,8 @@ def test_no_accidental_cartesian_products(spark):
         "q39_knn_ann_lsh",         # broadcast probe set
         "q43_knn_ann_ivf",         # broadcast probe set
         "q72_tfidf_top_terms",     # crossJoin of a 1-row count frame
+        "q106_tpch_q11",           # 1-row broadcast scalar threshold
+        "q111_expectations",       # fk_check crossJoin of 1-row total
     }
     bad = []
     for name, fn in ent.queries().items():
