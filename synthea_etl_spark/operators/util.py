@@ -105,6 +105,30 @@ def salted_join(
     return l.join(r, on=[*key_cols, "_salt"], how=how).drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """One-row skew diagnostic for a prospective join/agg key: key
+    count, row count, max/median/p99 rows per key, and the skew factor
+    (max key's share vs a perfectly uniform distribution). This is the
+    measurement that justifies reaching for salted_agg/salted_join —
+    at 100 TB you profile BEFORE burning a shuffle on a key that one
+    tenant dominates. Cost: one count-per-key shuffle + a tiny
+    aggregate; at scale, run it on a sample or reuse NDV/stats from
+    the catalog."""
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.5)), 6).alias("p50_per_key"),
+        F.round(F.percentile(F.col("cnt"), F.lit(0.99)), 6).alias("p99_per_key"),
+        F.round(
+            (F.max("cnt") * F.count(F.lit(1))).cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    )
+
+
 def distributed_cumsum(
     df: DataFrame,
     order_col: str,

@@ -403,6 +403,38 @@ WITH edges AS (
 ORACLE_Q118 = _pr_oracle()
 
 
+# ---------------------------------------------------------------------------
+# q119 — key-skew diagnostic
+# ---------------------------------------------------------------------------
+
+
+def q119_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of lineitem's orderkey (a prospective join/agg
+    key): one count-per-key shuffle, one tiny aggregate. The
+    skew_factor (max key vs uniform share) is the number that decides
+    between a plain shuffle join and salted_join/salted_agg
+    (operators/util) before committing a 100 TB shuffle."""
+    from synthea_etl_spark.operators.util import key_skew_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, ["l_orderkey"])
+
+
+ORACLE_Q119 = """
+WITH pk AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       MAX(cnt) AS max_per_key,
+       round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+       round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+       round(CAST(MAX(cnt) * COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS skew_factor
+FROM pk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -437,5 +469,10 @@ QUERIES: dict[str, QuerySpec] = {
         q118_pagerank, ORACLE_Q118,
         "iterative weighted PageRank with lineage truncation",
         ("join", "agg", "graph"),
+    ),
+    "q119_skew_profile": QuerySpec(
+        q119_skew_profile, ORACLE_Q119,
+        "key-skew diagnostic (feeds the salting decision)",
+        ("agg", "skew", "quality"),
     ),
 }
