@@ -55,6 +55,10 @@ HEADLINE_OPT = [
     "q98_contamination",
     "q99_embed_quantize",
     "q103_zorder_key",
+    "q105_tpch_q9",
+    "q110_tpch_q21",
+    "q112_gap_fill",
+    "q116_heavy_hitters",
 ]
 
 
