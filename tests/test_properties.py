@@ -149,3 +149,89 @@ def test_asof_join_matches_python_reference(spark, left, right):
         preceding = [x for x in right if x <= t]
         expect = max(preceding) * 10 if preceding else None
         assert got[key] == expect
+
+
+# ---------------------------------------------------------------------------
+# New-operator properties: incremental merge, heavy hitters, gap fill
+# ---------------------------------------------------------------------------
+
+values_st = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=values_st, split=st.integers(min_value=0, max_value=20))
+@settings(**SETTINGS)
+def test_incremental_merge_equals_recompute_any_split(spark, rows, split):
+    """For ANY dataset and ANY split point, folding the delta into the
+    state equals the from-scratch aggregate (counts, exact sums,
+    min/max)."""
+    from synthea_etl_spark.operators.incremental import (
+        agg_state,
+        finalize,
+        merge_states,
+    )
+
+    split = min(split, len(rows))
+    full = spark.createDataFrame(rows, "k string, v double")
+    h1 = spark.createDataFrame(rows[:split] or [("_none", 0.0)], "k string, v double")
+    h2 = spark.createDataFrame(rows[split:] or [("_none", 0.0)], "k string, v double")
+    merged = finalize(
+        merge_states(agg_state(h1, ["k"], "v"), agg_state(h2, ["k"], "v"))
+    ).filter(F.col("k") != "_none")
+    direct = finalize(agg_state(full, ["k"], "v"))
+    pad = {r["k"] for r in full.select("k").distinct().collect()}
+    got = {r["k"]: (r["count"], round(r["sum"], 6)) for r in merged.collect()
+           if r["k"] in pad or split in (0, len(rows))}
+    want = {r["k"]: (r["count"], round(r["sum"], 6)) for r in direct.collect()}
+    # padding rows add phantom keys only when a half was empty
+    for k, v in want.items():
+        assert got[k] == v
+
+
+@given(
+    hot=st.integers(min_value=30, max_value=60),
+    cold_keys=st.integers(min_value=0, max_value=30),
+)
+@settings(**SETTINGS)
+def test_heavy_hitters_guarantee_any_distribution(spark, hot, cold_keys):
+    """For ANY mix of one hot key and many cold keys, heavy_hitters
+    with threshold > N/k returns exactly the exact answer."""
+    from synthea_etl_spark.operators.frequency import heavy_hitters
+
+    rows = [(0,)] * hot + [(k,) for k in range(1, cold_keys + 1) for _ in range(2)]
+    n = len(rows)
+    k = 32
+    thr = max(n // k + 1, 25)
+    df = spark.createDataFrame(rows, "key long").repartition(4)
+    got = {(r["key"], r["cnt"]) for r in
+           heavy_hitters(df, "key", threshold=thr, k=k).collect()}
+    want = {(0, hot)} if hot >= thr else set()
+    assert got == want
+
+
+@given(
+    days=st.lists(st.integers(min_value=1, max_value=15), min_size=1,
+                  max_size=6, unique=True),
+)
+@settings(**SETTINGS)
+def test_gap_fill_dense_and_carries(spark, days):
+    """For ANY observed day set: output covers [min,max] densely, every
+    carried value equals the latest observation at or before it."""
+    from synthea_etl_spark.operators.timeseries import gap_fill
+
+    rows = [(1, datetime(2024, 1, d), float(d)) for d in days]
+    df = spark.createDataFrame(rows, "k int, day timestamp_ntz, v double")
+    out = gap_fill(df, "k", "day", "INTERVAL 1 DAY", ["v"]).collect()
+    lo, hi = min(days), max(days)
+    assert sorted(r["day"].day for r in out) == list(range(lo, hi + 1))
+    obs = sorted(days)
+    for r in out:
+        latest = max(d for d in obs if d <= r["day"].day)
+        assert r["v"] == float(latest)
+        assert r["was_observed"] == (r["day"].day in obs)
