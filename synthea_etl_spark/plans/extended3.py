@@ -435,6 +435,70 @@ FROM pk
 """
 
 
+# ---------------------------------------------------------------------------
+# q120 — ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q120_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST view precedes their
+    first click precedes their first purchase, reported as cumulative
+    step counts. One conditional-min aggregation per user (single
+    shuffle on user_id, map-side partials), then a 3-row rollup of
+    boolean conjunctions — the product-analytics shape (windowed
+    sequence matching) done as pure aggregation, with no self-joins
+    per step (the naive funnel joins the event table once PER STEP)."""
+    e = load(spark, sf_dir, "events")
+    mins = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(_FUNNEL)
+        ]
+    )
+    reached = mins.select(
+        F.col("t0").isNotNull().alias("s0"),
+        (F.col("t0").isNotNull() & (F.col("t1") > F.col("t0"))).alias("s1"),
+        (
+            F.col("t0").isNotNull()
+            & (F.col("t1") > F.col("t0"))
+            & (F.col("t2") > F.col("t1"))
+        ).alias("s2"),
+    )
+    agg = reached.agg(
+        *[F.sum(F.col(f"s{i}").cast("long")).alias(f"n{i}") for i in range(3)]
+    )
+    pairs = ", ".join(f"'{s}', n{i}" for i, s in enumerate(_FUNNEL))
+    return agg.selectExpr(f"stack(3, {pairs}) as (step, n_users)")
+
+
+ORACLE_Q120 = """
+WITH mins AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+  FROM events GROUP BY user_id
+), reached AS (
+  SELECT t0 IS NOT NULL AS s0,
+         (t0 IS NOT NULL AND t1 > t0) AS s1,
+         (t0 IS NOT NULL AND t1 > t0 AND t2 > t1) AS s2
+  FROM mins
+)
+SELECT step, n_users FROM (
+  SELECT 'view' AS step, CAST(SUM(CASE WHEN s0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_users, 0 AS ord FROM reached
+  UNION ALL
+  SELECT 'click', CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT), 1
+  FROM reached
+  UNION ALL
+  SELECT 'purchase', CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT), 2
+  FROM reached
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -474,5 +538,10 @@ QUERIES: dict[str, QuerySpec] = {
         q119_skew_profile, ORACLE_Q119,
         "key-skew diagnostic (feeds the salting decision)",
         ("agg", "skew", "quality"),
+    ),
+    "q120_funnel": QuerySpec(
+        q120_funnel, ORACLE_Q120,
+        "ordered conversion funnel via conditional-min aggregation",
+        ("agg", "window"),
     ),
 }
