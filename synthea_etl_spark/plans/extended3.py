@@ -499,6 +499,49 @@ SELECT step, n_users FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q121 — retention cohorts (first-seen week x week offset)
+# ---------------------------------------------------------------------------
+
+
+def q121_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week,
+    counted per week offset they were active again. Two aggregations
+    (first-seen per user; distinct user-weeks) joined on user_id —
+    both shuffle on the user key, so a cluster co-partitions them; the
+    final (cohort, offset) rollup is cohort-sized."""
+    e = load(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    first_seen = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first_seen, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_Q121 = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM active JOIN first_seen USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -543,5 +586,9 @@ QUERIES: dict[str, QuerySpec] = {
         q120_funnel, ORACLE_Q120,
         "ordered conversion funnel via conditional-min aggregation",
         ("agg", "window"),
+    ),
+    "q121_retention": QuerySpec(
+        q121_retention, ORACLE_Q121,
+        "weekly retention cohort triangle", ("agg", "join"),
     ),
 }
