@@ -542,6 +542,63 @@ GROUP BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# q122 — IQR outlier screen per group
+# ---------------------------------------------------------------------------
+
+
+def q122_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier counts per event type: upper fence =
+    p75 + 1.5*IQR from EXACT interpolated percentiles (the q54-proven
+    cross-engine form, rounded to 6dp so the interpolation division
+    compares), broadcast back against the events for one conditional
+    count. Two passes over the fact — the unavoidable minimum for any
+    rank-based fence — with the per-group stats frame dim-sized."""
+    e = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.25), F.lit(0.75)))
+    fences = (
+        e.groupBy(F.col("event_type").alias("_et"))
+        .agg(
+            F.round(F.element_at(pct, 1), 6).alias("_p25"),
+            F.round(F.element_at(pct, 2), 6).alias("_p75"),
+        )
+        .select(
+            "_et",
+            F.round(
+                F.col("_p75") + F.lit(1.5) * (F.col("_p75") - F.col("_p25")), 6
+            ).alias("fence_hi"),
+        )
+    )
+    return (
+        e.join(F.broadcast(fences), e.event_type == F.col("_et"))
+        .groupBy("event_type", "fence_hi")
+        .agg(
+            F.sum(F.when(F.col("value") > F.col("fence_hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_Q122 = """
+WITH fences AS (
+  SELECT event_type,
+         round(round(quantile_cont(value, 0.75), 6)
+               + 1.5 * (round(quantile_cont(value, 0.75), 6)
+                        - round(quantile_cont(value, 0.25), 6)), 6)
+           AS fence_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, f.fence_hi,
+       CAST(SUM(CASE WHEN e.value > f.fence_hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       COUNT(*) AS n_events
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type, f.fence_hi
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q111_expectations": QuerySpec(
         q111_expectations, ORACLE_Q111,
@@ -590,5 +647,9 @@ QUERIES: dict[str, QuerySpec] = {
     "q121_retention": QuerySpec(
         q121_retention, ORACLE_Q121,
         "weekly retention cohort triangle", ("agg", "join"),
+    ),
+    "q122_outliers": QuerySpec(
+        q122_outliers, ORACLE_Q122,
+        "Tukey-fence outlier screen per group", ("agg", "quality"),
     ),
 }
