@@ -275,14 +275,24 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs (within a blocking
-    column if given — at scale ALWAYS block, via LSH buckets or a
-    domain key; unblocked all-pairs exists for oracle-scale data).
+    """Exact n-gram Jaccard similarity for all pairs within a blocking
+    column (LSH buckets or a domain key). At scale the block is what
+    bounds the shingle self-join; unblocked all-pairs is only for
+    oracle-scale data and must be requested explicitly with
+    ``allow_unblocked=True`` — a silent unblocked default is a
+    cartesian-shaped scale bug waiting to happen.
 
     Jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed via shingle explode +
     equi-join on shingle (never a cross join): intersection counts come
     from the join, set sizes from a per-doc aggregate."""
+    if block_col is None and not allow_unblocked:
+        raise ValueError(
+            "jaccard_pairs without block_col self-joins every shared shingle "
+            "corpus-wide; pass block_col (LSH bucket / domain key) or opt in "
+            "with allow_unblocked=True for oracle-scale data"
+        )
     keep = [block_col] if block_col else []
     sh = exploded_shingles(
         df.select(id_col, *keep, text_col), text_col, id_col, shingle_n, keep=keep

@@ -409,19 +409,110 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     sim_decimals: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact cosine near-duplicate pairs (id_a < id_b, sim >=
-    threshold). All-pairs form for oracle-scale data; the scale path
-    prefixes this with LSH bucketing (same bucketing as knn_ann_lsh)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    threshold) WITHOUT a cartesian node: ids hash into ``n_blocks``
+    blocks, the a-side replicates each row across its B partner cells,
+    and the B^2 (block_a, block_b) cells become a two-column equi-join
+    key. Every unordered pair lands in exactly one cell (a's block
+    picks the row, b's block picks the column; the id_a < id_b filter
+    keeps one orientation), so results are identical to the all-pairs
+    form for any data and threshold.
+
+    The O(n^2) comparisons are inherent to an EXACT pair listing; what
+    the blocking buys at 100 TB is that they arrive as a shuffled
+    equi-join — n*B rows shuffled, work spread evenly over B^2
+    reducers, AQE-splittable — instead of a single CartesianProduct.
+    Pick B ~ sqrt(target parallelism). For approximate-but-linear, see
+    embedding_near_dup_lsh."""
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_blocks)).cast(
+        "int"
+    )
+    partner = F.explode(F.array(*[F.lit(i) for i in range(n_blocks)]))
+    a = (
+        df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), blk.alias("ba")
+        )
+        # one copy of each a-row per partner column cell
+        .withColumn("cb", partner)
+    )
+    b = (
+        df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), blk.alias("bb")
+        )
+        # one copy of each b-row per partner row cell
+        .withColumn("ca", partner)
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, (F.col("ba") == F.col("ca")) & (F.col("cb") == F.col("bb")))
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("va"), F.col("vb")), sim_decimals).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    sim_decimals: int = 6,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate near-duplicate pairs, linear-time: bucket vectors by
+    hyperplane sign bits (same bucketing as knn_ann_lsh), generate
+    candidate pairs only within a bucket (plus single-bit-flip probes
+    when multiprobe >= 1), then exact-cosine verify >= threshold.
+
+    No false positives (every emitted pair is exactly verified); recall
+    < 1 by design — pairs whose sign patterns differ in more than
+    ``multiprobe`` bits are missed. For genuine near-dups (threshold
+    ~0.9+, small angle) per-plane disagreement is rare and many planes
+    with shallow probing prune hard; for looser thresholds use FEWER
+    planes and deeper probing (each plane disagrees with probability
+    angle/pi, so expected bit-diff grows with n_planes). This is the 100 TB path: candidate work is
+    sum-over-buckets |bucket|^2, not n^2. Recall vs the exact blocked
+    form is asserted in tests/test_llm.py."""
+    planes = _hyperplanes(n_planes, dim)
+    bucket_of = make_bucket_udf(planes)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    hashed = base.withColumn("b0", bucket_of(F.col("v")))
+
+    probe_cols = [F.col("b0")]
+    if multiprobe >= 1:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if multiprobe >= 2:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    a = hashed.withColumn("bucket", F.explode(F.array(*probe_cols))).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = hashed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("b0").alias("bucket")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # a pair can meet in several probed buckets; keep one copy
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                make_cosine_udf()(F.col("va"), F.col("vb")), sim_decimals
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

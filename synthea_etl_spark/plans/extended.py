@@ -192,7 +192,7 @@ def q56_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pivot_oracle() -> str:
     cols = ",\n       ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
         for t in EVENT_TYPES
     )
     return f"""

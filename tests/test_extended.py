@@ -122,7 +122,6 @@ def test_no_accidental_cartesian_products(spark):
 
     allowed = {
         "q37_knn_bruteforce",      # broadcast queries x corpus by design
-        "q38_embedding_near_dup",  # all-pairs exact scoring (oracle baseline)
         "q39_knn_ann_lsh",         # broadcast probe set
         "q43_knn_ann_ivf",         # broadcast probe set
         "q72_tfidf_top_terms",     # crossJoin of a 1-row count frame

@@ -50,6 +50,61 @@ def test_ann_sims_are_exact_for_found_pairs(spark, embeddings):
             assert abs(exact[key] - r.sim) < 1e-9
 
 
+def test_near_dup_blocked_equals_all_pairs(spark, embeddings):
+    """The blocked pair join must produce EXACTLY the all-pairs result
+    (every unordered pair lands in exactly one (block_a, block_b) cell)
+    — and plan an equi-join, not a CartesianProduct."""
+    sub = embeddings.filter(F.col("vec_id") < 120)
+    blocked = S.embedding_near_dup_pairs(sub, threshold=0.3, n_blocks=4)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b, r.sim) for r in blocked.collect()}
+    # reference: brute-force pairs via the old cross-join shape
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ref = {
+        (r.id_a, r.id_b, r.sim)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.3)
+        .collect()
+    }
+    assert got == ref and len(got) > 0
+
+
+def test_near_dup_lsh_recall_and_no_false_positives(spark, embeddings):
+    """LSH near-dup: every emitted pair must be exactly verified (no
+    false positives, sims identical to the exact form) and recall vs
+    the exact blocked listing must clear a regression floor."""
+    sub = embeddings.filter(F.col("vec_id") < 300)
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in S.embedding_near_dup_pairs(sub, threshold=0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.sim
+        for r in S.embedding_near_dup_lsh(
+            sub, threshold=0.35, n_planes=6, multiprobe=2
+        ).collect()
+    }
+    for k, sim in approx.items():
+        assert k in exact, f"false positive pair {k}"
+        assert abs(exact[k] - sim) < 1e-9
+    recall = len(approx) / max(len(exact), 1)
+    assert recall >= 0.3, f"near-dup LSH recall too low: {recall:.2f}"
+
+
+def test_jaccard_pairs_requires_block(spark, documents):
+    """Unblocked jaccard_pairs must be an explicit opt-in."""
+    with pytest.raises(ValueError, match="block_col"):
+        D.jaccard_pairs(documents, "text", "doc_id", 3, 0.3)
+
+
 def test_ivf_recall_vs_bruteforce(spark, embeddings):
     """IVF (16 cells, probe 4) must recover a solid fraction of the
     true top-5. Probing a quarter of the cells on clustered 64-dim

@@ -83,12 +83,19 @@ def main(names=None):
         try:
             rel = con.sql(oracles[name])
             dcols = [c for c in rel.columns]
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         problems = []
+        # HUGEINT (DuckDB's SUM(BIGINT) result) has no Spark twin and the
+        # driver's hasher renders it differently from bigint even when the
+        # values are identical — oracles must CAST sums back to BIGINT.
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle HUGEINT cols (add CAST .. AS BIGINT): {huge}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
