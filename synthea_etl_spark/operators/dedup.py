@@ -90,13 +90,22 @@ def exploded_shingles(
 
     The doc frame is hash-repartitioned by ``id_col`` BEFORE the
     explode (rebalance_by_key): the lead window's required clustering
-    is then already satisfied, so what shuffles is the compact
-    (id, text) rows — never the exploded token rows, which are ~1 row
-    per word with per-row overhead. That exchange doubles as the work
-    rebalance (a narrow 1-file scan no longer bounds parallelism) and
-    pre-partitions every downstream per-doc aggregate — consumers
-    groupBy(id) with NO additional shuffle. Docs with fewer than
-    ``shingle_n`` tokens yield no rows (no full window exists)."""
+    is then satisfied by that exchange, so what shuffles is the compact
+    (id, text) rows — not the exploded token rows. (The guarantee is
+    exactly as strong as the repartition: if a future caller bypasses
+    rebalance_by_key, the window will shuffle the exploded rows
+    instead.) That exchange doubles as the work rebalance (a narrow
+    1-file scan no longer bounds parallelism) and pre-partitions every
+    downstream per-doc aggregate — consumers groupBy(id) with NO
+    additional shuffle. Docs with fewer than ``shingle_n`` tokens yield
+    no rows (no full window exists).
+
+    PRECONDITION: ``id_col`` must be unique — one row per document.
+    With duplicate ids the lead window stitches tokens from DIFFERENT
+    rows into cross-row shingles, and pos repeats make the order
+    nondeterministic. All shingle-based operators (minhash, jaccard,
+    winnowing, contamination) inherit this requirement; callers with
+    multi-row docs must pre-aggregate to one text per id."""
     from pyspark.sql import Window
 
     keep = keep or []

@@ -51,6 +51,10 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     Returns one row per expectation: (expectation, violations,
     n_checked). Null predicate results count as violations (SQL
     three-valued logic would silently pass them)."""
+    if not expectations:
+        return df.sparkSession.createDataFrame(
+            [], "expectation string, violations bigint, n_checked bigint"
+        )
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
@@ -61,13 +65,17 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         ],
     )
     # unpivot the single wide row into (expectation, violations) — the
-    # stack() is over one row, so this is driver-trivial at any scale
-    pairs = ", ".join(
-        f"'{e.name}', _v{i}" for i, e in enumerate(expectations)
-    )
-    return agg.selectExpr(
-        f"stack({len(expectations)}, {pairs}) as (expectation, violations)",
-        "_n as n_checked",
+    # stack() is over one row, so this is driver-trivial at any scale.
+    # Names go in as typed literals, never string-interpolated SQL (a
+    # quote in a column-derived name must not break the plan).
+    label_value: list[Column] = []
+    for i, e in enumerate(expectations):
+        label_value += [F.lit(e.name), F.col(f"_v{i}")]
+    return agg.select(
+        F.stack(F.lit(len(expectations)), *label_value).alias(
+            "expectation", "violations"
+        ),
+        F.col("_n").alias("n_checked"),
     )
 
 

@@ -194,7 +194,12 @@ def q114_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    out = tempfile.gettempdir() + "/sparkgraft_orc_roundtrip"
+    # per-application path: concurrent sessions (bench + correctness,
+    # parallel test runs) must not overwrite each other's output
+    out = (
+        tempfile.gettempdir()
+        + f"/sparkgraft_orc_roundtrip_{spark.sparkContext.applicationId}"
+    )
     o.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
@@ -268,11 +273,10 @@ def q116_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from synthea_etl_spark.operators.frequency import heavy_hitters
 
     e = load(spark, sf_dir, "events")
-    # sf-proportional threshold so the semantics (and the guarantee
-    # threshold > N/k) hold at every test scale
-    n = {"0.001": 1000, "0.01": 10000, "0.1": 100000}
-    scale = next((v for s, v in n.items() if f"sf{s}" in sf_dir), 10000)
-    thr = max(int(scale * 0.008), 2)
+    # data-proportional threshold, computed from the actual row count
+    # (a parquet-footer count, no full scan) so query and oracle agree
+    # at every scale factor and on regenerated data
+    thr = max(int(e.count() * 0.008), 2)
     return heavy_hitters(e, "user_id", threshold=thr, k=256)
 
 

@@ -304,14 +304,15 @@ def q89_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue equals the global max. The max is a 1-row aggregate of the
     per-supplier frame, broadcast back as a scalar — both sides derive
     from the SAME exact-decimal sums, so the double equality is safe.
-    Spark caches the per-supplier frame to avoid recomputing it for
-    the max branch."""
+    The per-supplier frame is persisted: it feeds both the max branch
+    and the final join, and it is one row per supplier — tiny to cache,
+    expensive to recompute (a full lineitem scan + shuffle)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "total_revenue"))
+    per_supp = li.groupBy("l_suppkey").agg(dsum(rev, "total_revenue")).persist()
     mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

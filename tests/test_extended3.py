@@ -39,6 +39,22 @@ def test_expectations_single_pass_counts(spark):
     assert all(r["n_checked"] == 4 for r in rows.values())
 
 
+def test_expectations_quoted_names_and_empty_list(spark):
+    """Expectation names flow through as typed literals — a quote in a
+    column-derived name must not break the plan — and an empty list
+    yields an empty typed frame, not invalid stack(0,) SQL."""
+    df = spark.createDataFrame([("x'y",), (None,)], "`it's` string")
+    rows = {r["expectation"]: r for r in check(df, [not_null("it's")]).collect()}
+    assert rows["not_null_it's"]["violations"] == 1
+    empty = check(df, [])
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "expectation",
+        "violations",
+        "n_checked",
+    ]
+
+
 def test_fk_check_counts_orphans_ignores_null_keys(spark):
     child = spark.createDataFrame([(1,), (2,), (99,), (None,)], "fk int")
     parent = spark.createDataFrame([(1,), (2,)], "pk int")
