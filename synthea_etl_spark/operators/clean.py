@@ -92,20 +92,35 @@ def find_multivalue_columns(df: DataFrame, columns: list[str] | None = None) -> 
     return [c for c in cands if row[c] == 1]
 
 
-def split_multivalue(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """X3/P3: split ' or '-separated cells into <col>_part1/_part2 and
-    drop the original (reference: Raw_To_Staging.py:119-125). Columns
-    autodetected with the one-pass probe when not given."""
+def split_multivalue(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    schema_columns: set[str] | None = None,
+) -> DataFrame:
+    """X3/P3: split ' or '-separated cells into <col>_part1/_part2
+    (reference: Raw_To_Staging.py:119-125). Columns autodetected with
+    the one-pass probe when not given.
+
+    The reference's disposition of the ORIGINAL column depends on the
+    declared schema (Raw_To_Staging.py:123-125): a schema-declared
+    column is KEPT, its value replaced with part1; a schema-absent
+    column is dropped. Pass ``schema_columns`` (the declared field
+    names) to reproduce that branch; with the default ``None`` every
+    original is dropped — the right call when no schema registry is in
+    play and downstream reads *_part1/_part2."""
     targets = columns if columns is not None else find_multivalue_columns(df)
+    declared = schema_columns or set()
     out = df
     for c in targets:
         parts = F.split(F.trim(F.col(c)), MULTIVALUE_PATTERN)
         # F.get (not getItem): missing part -> NULL under ANSI mode
-        out = (
-            out.withColumn(f"{c}_part1", F.trim(F.get(parts, 0)))
-            .withColumn(f"{c}_part2", F.trim(F.get(parts, 1)))
-            .drop(c)
+        out = out.withColumn(f"{c}_part1", F.trim(F.get(parts, 0))).withColumn(
+            f"{c}_part2", F.trim(F.get(parts, 1))
         )
+        if c in declared:
+            out = out.withColumn(c, F.col(f"{c}_part1"))
+        else:
+            out = out.drop(c)
     return out
 
 
@@ -196,7 +211,11 @@ def clean_pipeline(
     out = drop_unnamed_columns(out)
     out = trim_strings(out)
     out = fix_phone_columns(out)
-    out = split_multivalue(out, multivalue_columns)
+    out = split_multivalue(
+        out,
+        multivalue_columns,
+        schema_columns={f.name for f in schema.fields} if schema is not None else None,
+    )
     out = empty_to_null(out)
     out = null_sentinel(out, sentinel)
     if schema is not None:

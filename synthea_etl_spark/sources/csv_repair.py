@@ -44,6 +44,23 @@ def _read_header(spark: SparkSession, path: str) -> list[str]:
     return [h if h and h.strip() else f"unnamed_{i}" for i, h in enumerate(header)]
 
 
+def _drop_one_header(lines: DataFrame, header_line: str) -> DataFrame:
+    """Remove exactly ONE occurrence of the header line.
+
+    A plain ``value != header`` filter silently deletes every DATA row
+    that textually equals the header, not just the physical first line.
+    Rows equal to the header are byte-identical, so removing "the
+    first" and removing "any one" are the same multiset — filter them
+    all out, then union back all-but-one via offset(1). The offset
+    branch only ever sees the handful of header-equal rows (the filter
+    pushes to the scan), so its single-task coalesce is free at any
+    scale."""
+    matches = lines.filter(F.col("value") == F.lit(header_line))
+    return lines.filter(F.col("value") != F.lit(header_line)).unionByName(
+        matches.offset(1)
+    )
+
+
 def repair_csv(spark: SparkSession, path: str, drop_unnamed: bool = True) -> DataFrame:
     """Read a possibly-ragged CSV, aligned to header width, all-string.
 
@@ -55,7 +72,7 @@ def repair_csv(spark: SparkSession, path: str, drop_unnamed: bool = True) -> Dat
     lines = spark.read.text(path)
     header_line = lines.limit(1).collect()[0].value
     parsed = (
-        lines.filter(F.col("value") != F.lit(header_line))  # drop header row(s)
+        _drop_one_header(lines, header_line)
         .filter(F.length(F.trim(F.col("value"))) > 0)  # and blank lines
         .select(
             F.from_csv(
@@ -83,10 +100,10 @@ def repair_csv_python(spark: SparkSession, path: str) -> DataFrame:
     def fix_partition(rows):
         for row in rows:
             line = row.value
-            if not line.strip() or line == header_line:
+            if not line.strip():
                 continue
             fields = next(csv.reader(io.StringIO(line), skipinitialspace=True), [])
             yield fields[:n] + [""] * (n - len(fields))
 
-    rdd = lines.rdd.mapPartitions(fix_partition)
+    rdd = _drop_one_header(lines, header_line).rdd.mapPartitions(fix_partition)
     return spark.createDataFrame(rdd, header)

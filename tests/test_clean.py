@@ -50,6 +50,28 @@ def test_multivalue_probe_and_split(spark):
     assert clean.find_multivalue_columns(df2) == ["v"]
 
 
+def test_multivalue_schema_declared_column_kept(spark):
+    """Reference fidelity (Raw_To_Staging.py:123-125): a multi-value
+    column that IS in the declared schema keeps its original column,
+    value replaced with part1, alongside _part1/_part2; a schema-absent
+    column is dropped."""
+    df = spark.createDataFrame(
+        [("apple or banana", "red or blue")], ["fruit", "extra"]
+    )
+    out = clean.split_multivalue(df, schema_columns={"fruit"})
+    assert set(out.columns) == {
+        "fruit",
+        "fruit_part1",
+        "fruit_part2",
+        "extra_part1",
+        "extra_part2",
+    }
+    row = out.collect()[0]
+    assert row.fruit == "apple" and row.fruit_part1 == "apple"
+    assert row.fruit_part2 == "banana"
+    assert row.extra_part1 == "red" and row.extra_part2 == "blue"
+
+
 def test_null_sentinel_then_cast_reference_quirk(spark):
     """Reference semantics (Raw_To_Staging.py:128-137): fillna('None')
     touches only string cols; casting 'None' to a numeric/date type

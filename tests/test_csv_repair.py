@@ -55,6 +55,18 @@ def test_python_fallback_matches(spark, dirty_csv):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_data_row_equal_to_header_survives(spark, tmp_path):
+    """Only ONE header occurrence is dropped: a legitimate data row
+    that textually equals the header line must survive repair (both
+    readers)."""
+    p = tmp_path / "selfref.csv"
+    p.write_text("id,name\n1,Alice\nid,name\n2,Bob\nid,name\n")
+    for reader in (repair_csv, repair_csv_python):
+        out = reader(spark, str(p))
+        rows = sorted(map(tuple, out.collect()))
+        assert rows == [("1", "Alice"), ("2", "Bob"), ("id", "name"), ("id", "name")]
+
+
 def test_empty_file_raises(spark, tmp_path):
     p = tmp_path / "empty.csv"
     p.write_text("")
