@@ -168,11 +168,21 @@ def lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
 ) -> DataFrame:
-    """Band the signature (bands x rows_per_band), bucket-join within
+    """Band the signature (bands x rows_per_band), bucket within
     (band_idx, band_hash): returns candidate pairs (id_a < id_b).
 
-    The unpivot-to-(doc, band, hash) form keeps one shuffle for the
-    self-join; per-bucket joins bound the pair blowup to bucket sizes."""
+    Buckets form by a single groupBy on (band, band_hash) and pairs
+    expand IN-BUCKET via posexplode + slice — never a self-join. The
+    self-join form plans the whole upstream signature pipeline (scan →
+    shingle window → minhash aggregate) TWICE, because the broadcast
+    build side wraps the subtree and defeats ReusedExchange; the
+    groupBy form computes signatures once and shuffles only the tiny
+    (doc, band, hash) unpivot. Same quadratic pair output per bucket
+    as the join — that blowup is inherent to LSH candidates — but a
+    degenerate mega-bucket (e.g. all-identical boilerplate docs) now
+    also materializes a per-bucket id array; if the corpus can
+    produce one, cap it upstream by salting the boilerplate signature
+    or pre-deduping exact duplicates first (q30)."""
     r = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -183,20 +193,22 @@ def lsh_candidates(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band", "b.bh")
-    a, bb = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates()
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    pairs = buckets.select(
+        F.posexplode("ids").alias("i", "x"), F.col("ids")
+    ).select(
+        "x",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("y"),
+    )
+    return pairs.select(
+        F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
+    ).dropDuplicates()
 
 
 def winnow_fingerprints(
