@@ -9,12 +9,18 @@ width...) prune row groups WITHOUT touching payload bytes, and decode
 runs distributed via mapInPandas (Arrow batches, bounded memory per
 task via maxRecordsPerBatch).
 
-The actual codec step is STUBBED: this container ships no image/audio
-libraries, so ``decode_features`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-level feature
-extractor. The Spark-side plumbing — schema, batch shape, partition
-behavior — is real and tested (tests/test_llm.py); swapping in PIL/
-librosa later changes only the inner function body.
+The pixel/sample-level codec step is STUBBED: this container ships no
+image/audio libraries, so ``decode_features`` raises
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic byte-level feature extractor. The Spark-side plumbing —
+schema, batch shape, partition behavior — is real and tested
+(tests/test_llm.py); swapping in PIL/librosa later changes only the
+inner function body.
+
+Container-header metadata, by contrast, is REAL: ``parse_image_dims``
+reads PNG/JPEG/GIF/BMP dimensions straight from the binary headers in
+pure Python (no codec dependency), and ``image_metadata`` runs it
+distributed over payload batches.
 """
 
 from __future__ import annotations
@@ -73,6 +79,99 @@ def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+# JPEG start-of-frame markers that carry dimensions. C4/C8/CC are
+# huffman/arithmetic/extension tables, not frames.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+# JPEG standalone markers with no length field (RSTn, SOI, EOI, TEM).
+_JPEG_STANDALONE = frozenset(range(0xD0, 0xDA)) | {0x01}
+
+
+def parse_image_dims(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) parsed from container headers in pure
+    Python — PNG IHDR, JPEG SOF marker walk, GIF logical screen
+    descriptor, BMP DIB header. No image codec involved: only the
+    fixed-layout header bytes are read, so this is safe to run over
+    arbitrary payloads at scale (returns (None, None, None) for
+    anything unrecognized or truncated)."""
+    b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; walk marker segments to a SOF
+        pos = 2
+        while pos + 1 < len(b):
+            if b[pos] != 0xFF:
+                return ("jpeg", None, None)  # corrupt stream
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in _JPEG_STANDALONE:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                break
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if marker in _JPEG_SOF:
+                # segment: len(2) precision(1) height(2) width(2)
+                if pos + 9 > len(b):
+                    break
+                return (
+                    "jpeg",
+                    int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(b[pos + 5 : pos + 7], "big"),
+                )
+            if seg_len < 2:
+                return ("jpeg", None, None)
+            pos += 2 + seg_len
+        return ("jpeg", None, None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"BM" and len(b) >= 26:
+        return (
+            "bmp",
+            int.from_bytes(b[18:22], "little", signed=True),
+            # negative height = top-down row order; magnitude is the size
+            abs(int.from_bytes(b[22:26], "little", signed=True)),
+        )
+    return (None, None, None)
+
+
+IMAGE_META_SCHEMA = (
+    "id long, format string, width int, height int, n_bytes long"
+)
+
+
+def image_metadata(df: DataFrame) -> DataFrame:
+    """REAL distributed image-metadata extraction: parse container
+    dimensions from payload headers via ``parse_image_dims`` in
+    Arrow-batched mapInPandas. Unlike ``decode_features`` this needs
+    no codec — it reads fixed-layout header bytes only — so there is
+    no ``fake`` flag; unrecognized payloads yield null format/dims."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=IMAGE_META_SCHEMA)
 
 
 RESIZED_SCHEMA = (

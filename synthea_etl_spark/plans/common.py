@@ -67,15 +67,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. Read nanos as long (legacy conf,
-    runtime-settable) and convert to timestamp_ntz at microsecond
-    precision — same truncation DuckDB applies when it reads NANOS."""
+    """The driver's events.parquet stores ts as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. Read
+    nanos as long (legacy conf, runtime-settable) and convert to
+    timestamp_ntz at microsecond precision — same truncation DuckDB
+    applies when it reads NANOS. Regenerated events tables (e.g. the
+    sf1 bench replica) carry ordinary micro timestamps; those read
+    natively and only get the ntz cast."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer div: ns values exceed 2^53, double division would round
-    micros = F.expr("ts div 1000")
-    ts = F.timestamp_micros(micros).cast("timestamp_ntz")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        # integer div: ns values exceed 2^53, double division would round
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
     return df.select(
         "event_id", ts.alias("ts"), "user_id", "event_type", "value", "props"
     )

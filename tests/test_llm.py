@@ -247,6 +247,91 @@ def test_multimodal_frame_sampling_one_to_many(spark, documents):
         assert idxs == list(range(0, n, 4))
 
 
+def _real_png(width: int, height: int) -> bytes:
+    """A complete, spec-valid PNG built with stdlib only: signature,
+    IHDR (8-bit grayscale), IDAT of zlib-compressed zero scanlines,
+    IEND — all chunks CRC'd. Any real decoder accepts this file."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg(width: int, height: int) -> bytes:
+    """JPEG header stream: SOI, APP0/JFIF, DQT, SOF0, EOI — the
+    dimension parser must walk variable-length segments to find SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def test_parse_image_dims_real_containers():
+    """Pure-function checks over real container layouts (no Spark)."""
+    assert M.parse_image_dims(_real_png(320, 200)) == ("png", 320, 200)
+    assert M.parse_image_dims(_real_jpeg(641, 479)) == ("jpeg", 641, 479)
+    gif = b"GIF89a" + (123).to_bytes(2, "little") + (45).to_bytes(2, "little") + b"\xf7\x00\x00\x3b"
+    assert M.parse_image_dims(gif) == ("gif", 123, 45)
+    import struct
+
+    bmp = b"BM" + bytes(16) + struct.pack("<ii", 77, -88) + bytes(14)
+    assert M.parse_image_dims(bmp) == ("bmp", 77, 88)  # top-down height
+    assert M.parse_image_dims(b"not an image at all") == (None, None, None)
+    assert M.parse_image_dims(b"") == (None, None, None)
+    # truncated PNG (signature only) and JPEG with no SOF
+    assert M.parse_image_dims(b"\x89PNG\r\n\x1a\n") == (None, None, None)
+    assert M.parse_image_dims(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_image_metadata_distributed_over_real_files(spark, tmp_path):
+    """binaryFile source -> image_metadata: real PNG/JPEG files on
+    disk come back with their true dimensions; a non-image file comes
+    back null-dimensioned, all in one distributed pass."""
+    (tmp_path / "a.png").write_bytes(_real_png(64, 32))
+    (tmp_path / "b.jpg").write_bytes(_real_jpeg(100, 50))
+    (tmp_path / "c.txt").write_bytes(b"plain text payload")
+    raw = spark.read.format("binaryFile").load(str(tmp_path))
+    shaped = raw.select(
+        F.xxhash64("path").alias("id"),
+        F.col("content").alias("payload"),
+        F.element_at(F.split("path", "/"), -1).alias("name"),
+    )
+    metas = M.image_metadata(shaped.select("id", "payload"))
+    named = {
+        r.name: m
+        for r in shaped.collect()
+        for m in metas.collect()
+        if m.id == r.id
+    }
+    assert (named["a.png"].format, named["a.png"].width, named["a.png"].height) == ("png", 64, 32)
+    assert (named["b.jpg"].format, named["b.jpg"].width, named["b.jpg"].height) == ("jpeg", 100, 50)
+    assert named["c.txt"].format is None and named["c.txt"].width is None
+    assert named["a.png"].n_bytes == len(_real_png(64, 32))
+
+
 def test_multimodal_decode_without_codec_raises(spark, documents):
     payloads = M.attach_payload(documents.limit(5), "text", "doc_id")
     with pytest.raises(Exception) as ei:

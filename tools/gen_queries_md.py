@@ -52,7 +52,7 @@ SURVEY_MAP = """
 | X1-X4 trim/regex/split/date_format | string fns | q05, q06, q08, q09, q24 |
 | X5-X8 concat_ws/sha2/timestamps/lit | hash + metadata | q25, q27 (sha2 sks) |
 | X9-X11 rlike/cast/name-normalize | misc | q03, q04, q08 |
-| §2.8 caching | cache before branching reuse | operators/scd2.py |
+| §2.8 caching | cache made unnecessary by write_swap; localCheckpoint for iteration | operators/graph.py, operators/dedup.py |
 | §2.9 dashboard queries | groupBy-count/top-k/SQL | q18, q19, q20, q57 |
 """
 
