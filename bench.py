@@ -63,12 +63,22 @@ HEADLINE_OPT = [
 
 
 def run_one(spark, fn, runs: int = 3) -> float:
+    """Best-of-N wall time. Sub-second queries are floor-dominated and
+    box-noisy (r2 vs r3 showed +/-2.6x per-query swings on IDENTICAL
+    code), so once the best of the first `runs` lands under a second we
+    take two extra runs — best-of-5 tightens the lower envelope enough
+    that round-over-round deltas mean something."""
     best = float("inf")
-    for _ in range(runs):
+    done = 0
+    target = runs
+    while done < target:
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
+        done += 1
+        if done == runs and best < 1.0:
+            target = runs + 2
     return best
 
 

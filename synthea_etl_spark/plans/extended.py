@@ -52,7 +52,17 @@ def q45_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_date = <latest>. The literal predicate prunes at the
     catalog/file-index level — the scan never touches other dates'
     files (PartitionFilters in the plan), exactly how a 100 TB
-    date-partitioned lake serves 'today's load'."""
+    date-partitioned lake serves 'today's load'.
+
+    Why the 1-row collect stays (measured, round 4): the scalar-
+    subquery-join alternative (broadcast the max(event_date) aggregate,
+    join on the partition column) does NOT trigger dynamic partition
+    pruning — Spark's DPP heuristic requires a selective filter on the
+    build side, and an aggregate-only build side leaves the probe scan
+    with ``PartitionFilters: [isnotnull(event_date)]``, i.e. a FULL
+    scan of every date partition. The driver-side scalar costs one
+    bounded 1-row job and buys file-index pruning on the big scan —
+    strictly the better trade at 100 TB."""
     e = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     out = tempfile.gettempdir() + "/sparkgraft_part_events"
     e.write.mode("overwrite").partitionBy("event_date").parquet(out)
