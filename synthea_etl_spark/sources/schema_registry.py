@@ -53,6 +53,40 @@ def load_schema(registry_dir: str, table: str) -> StructType:
         return schema_from_fields(json.load(fh))
 
 
+#: The reference's complete load unit: 18 CSV tables per load date
+#: (Automation/Lambda:102 counts to 18 before triggering the workflow).
+SYNTHEA_TABLES = (
+    "patients",
+    "encounters",
+    "conditions",
+    "allergies",
+    "medications",
+    "observations",
+    "payers",
+    "payer_transitions",
+    "careplans",
+    "claims",
+    "claims_transactions",
+    "devices",
+    "imaging_studies",
+    "immunizations",
+    "organizations",
+    "procedures",
+    "providers",
+    "supplies",
+)
+
+
+def bundled_registry_dir() -> str:
+    """Directory of the bundled 18-table Synthea schema registry
+    (resources/schemas/<table>.json, one file per SYNTHEA_TABLES entry;
+    types per FIXTURES.md / the reference's Tables_Description.xlsx
+    sheet1)."""
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "resources", "schemas"
+    )
+
+
 def save_schema(registry_dir: str, table: str, schema: StructType) -> None:
     os.makedirs(registry_dir, exist_ok=True)
     fields = [{"name": f.name, "type": f.dataType.simpleString()} for f in schema.fields]
