@@ -65,17 +65,31 @@ def knn_bruteforce(
     sim, rank)."""
     from pyspark.sql import Window
 
+    # Norms are precomputed ONCE per row on each side (n + q evaluations)
+    # instead of inside the pair loop (n*q evaluations of 3 array
+    # aggregates each): array lambdas run interpreted, so hoisting them
+    # is a ~3x cut of the dominant cost. The dot product itself keeps
+    # the same sequential double summation as the SQL oracle.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), sim_decimals).alias("sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                sim_decimals,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

@@ -168,13 +168,45 @@ FROM events GROUP BY event_type
 
 def q55_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: order counts + exact spend by
-    (year, priority), (year), and grand total — one pass, Expand-based
-    partial aggregation (no re-scan per grouping set)."""
+    (year, priority), (year), and grand total — one scan, all levels.
+
+    Shaped for scale (round 4): a naive ``rollup()`` over the raw scan
+    Expands every input row 3x AND accumulates Decimal per row (both
+    measured costs). Instead phase 1 groups by (year, priority,
+    partition) summing exact integer micro-units in whole-stage
+    codegen — no Expand, no Decimal on the wide path; the rollup runs
+    over the tiny partial set only (COUNT/SUM are decomposable, so
+    rollup(partials) == rollup(raw); micro-long sums equal dsum exactly
+    on <=6-dp money, see common.exact_agg/msum_bounded)."""
     o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") * 1_000_000
+    micro = (
+        F.when(x >= 0, F.floor(x + F.lit(0.5)))
+        .otherwise(-F.floor(-x + F.lit(0.5)))
+        .cast("long")
+    )
+    partial = (
+        o.select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderpriority",
+            F.spark_partition_id().alias("_pid"),
+            micro.alias("_m"),
+        )
+        .groupBy("order_year", "o_orderpriority", "_pid")
+        .agg(F.sum("_m").alias("_m"), F.count(F.lit(1)).alias("_n"))
+    )
     return (
-        o.withColumn("order_year", F.year("o_orderdate").cast("int"))
-        .rollup("order_year", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        partial.rollup("order_year", "o_orderpriority")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum(F.col("_m").cast("decimal(38,0)")).alias("_ms"),
+        )
+        .select(
+            "order_year",
+            "o_orderpriority",
+            "n_orders",
+            (F.col("_ms").cast("double") / 1_000_000).alias("spend"),
+        )
     )
 
 
