@@ -9,24 +9,32 @@ width...) prune row groups WITHOUT touching payload bytes, and decode
 runs distributed via mapInPandas (Arrow batches, bounded memory per
 task via maxRecordsPerBatch).
 
-The pixel/sample-level codec step is STUBBED: this container ships no
-image/audio libraries, so ``decode_features`` raises
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic byte-level feature extractor. The Spark-side plumbing —
-schema, batch shape, partition behavior — is real and tested
-(tests/test_llm.py); swapping in PIL/librosa later changes only the
-inner function body.
+The COMPRESSED-codec step is STUBBED: this container ships no
+image/audio libraries, so ``decode_features``/``resize_payloads``/
+``sample_frames`` raise NotImplementedError unless ``fake=True``,
+which substitutes a deterministic byte-level stand-in. The Spark-side
+plumbing — schema, batch shape, partition behavior — is real and
+tested (tests/test_llm.py); swapping in PIL/librosa later changes only
+the inner function body.
 
-Container-header metadata, by contrast, is REAL: ``parse_image_dims``
-reads PNG/JPEG/GIF/BMP dimensions straight from the binary headers in
-pure Python (no codec dependency), and ``image_metadata`` runs it
-distributed over payload batches.
+Two decode paths are REAL, no codec dependency:
+
+- container-header metadata: ``parse_image_dims`` reads PNG/JPEG/GIF/
+  BMP dimensions straight from the fixed-layout header bytes, run
+  distributed by ``image_metadata``;
+- pixel decode for UNCOMPRESSED formats: ``decode_pixels`` walks
+  24-bit BI_RGB BMP (stride padding, bottom-up/top-down row order)
+  and binary PPM (P6, comment-aware header) payloads to per-channel
+  pixel statistics, run distributed by ``pixel_stats``. The
+  NotImplementedError scope is therefore compressed pixel data
+  (JPEG/PNG/video) only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -172,6 +180,112 @@ def image_metadata(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=IMAGE_META_SCHEMA)
+
+
+def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a binary-PPM (P6) header: returns (width, height, maxval,
+    pixel_data_offset) or None. Handles arbitrary whitespace runs and
+    '#' comments between tokens per the netpbm spec."""
+    if b[:2] != b"P6":
+        return None
+    pos, vals = 2, []
+    n = len(b)
+    while len(vals) < 3:
+        while pos < n and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and b[pos] == 0x23:  # '#' comment to end of line
+            while pos < n and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < n and b[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        vals.append(int(b[start:pos]))
+    if pos >= n or not b[pos : pos + 1].isspace():
+        return None
+    return vals[0], vals[1], vals[2], pos + 1  # single ws then raster
+
+
+def decode_pixels(
+    b: bytes,
+) -> tuple[str, int, int, float, float, float] | None:
+    """REAL pixel decode, pure Python + numpy — no image codec.
+
+    Supports the uncompressed formats whose rasters are raw bytes:
+    24-bit BI_RGB BMP (4-byte row stride padding honored; positive
+    height = bottom-up rows, negative = top-down) and binary PPM
+    (P6, maxval < 256). Returns (format, width, height, mean_r,
+    mean_g, mean_b) with channel means computed as exact int64 sums
+    over the pixel array divided by the pixel count — deterministic
+    at any parallelism. None for anything else (compressed pixel
+    data needs a codec: see decode_features' fake path)."""
+    b = bytes(b)
+    if b[:2] == b"BM" and len(b) >= 54:
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_raw = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        h = abs(h_raw)
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        stride = (w * 3 + 3) // 4 * 4
+        if off < 54 or len(b) < off + stride * h:
+            return None
+        rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(-1, 3)  # stored BGR
+        sums = px.sum(axis=0, dtype=np.int64)
+        cnt = float(w * h)
+        return ("bmp", w, h, sums[2] / cnt, sums[1] / cnt, sums[0] / cnt)
+    hdr = _ppm_header(b)
+    if hdr is not None:
+        w, h, maxval, off = hdr
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        if len(b) < off + w * h * 3:
+            return None
+        px = np.frombuffer(b, np.uint8, w * h * 3, off).reshape(-1, 3)  # RGB
+        sums = px.sum(axis=0, dtype=np.int64)
+        cnt = float(w * h)
+        return ("ppm", w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
+    return None
+
+
+PIXEL_STATS_SCHEMA = (
+    "id long, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL distributed pixel decode for uncompressed rasters:
+    ``decode_pixels`` over Arrow-batched payloads via mapInPandas —
+    same no-shuffle, no-collect shape as ``image_metadata``. Payloads
+    that are not uncompressed BMP/PPM yield null format/stats rows
+    (mixed corpora keep flowing; filter on ``format`` downstream)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [decode_pixels(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": [p[0] if p else None for p in parsed],
+                    "width": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "mean_r": [p[3] if p else None for p in parsed],
+                    "mean_g": [p[4] if p else None for p in parsed],
+                    "mean_b": [p[5] if p else None for p in parsed],
+                }
+            )
+
+    return df.mapInPandas(extract, schema=PIXEL_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = (

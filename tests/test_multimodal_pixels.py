@@ -1,0 +1,98 @@
+"""Unit tests for the REAL uncompressed-raster pixel decoder
+(operators/multimodal.decode_pixels / pixel_stats): stride padding,
+bottom-up vs top-down BMP row order, PPM comment handling, and
+truncation safety — the branches q125's fixed-width fixtures don't
+exercise."""
+
+from __future__ import annotations
+
+import struct
+
+from synthea_etl_spark.operators.multimodal import decode_pixels
+
+
+def make_bmp(width: int, height: int, pixels_bgr: list[tuple[int, int, int]], top_down: bool = False) -> bytes:
+    """Build a real 24-bit BI_RGB BMP. ``pixels_bgr`` is row-major
+    top-to-bottom; storage flips to bottom-up unless top_down."""
+    stride = (width * 3 + 3) // 4 * 4
+    rows = [
+        b"".join(bytes(p) for p in pixels_bgr[r * width : (r + 1) * width]).ljust(
+            stride, b"\xAA"  # padding bytes must be ignored by the decoder
+        )
+        for r in range(height)
+    ]
+    if not top_down:
+        rows = rows[::-1]
+    raster = b"".join(rows)
+    h_field = height if not top_down else -height
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(raster), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, h_field, 1, 24, 0, len(raster), 0, 0, 0, 0
+    )
+    return header + raster
+
+
+def test_bmp_stride_padding_ignored():
+    # width 3 -> row 9 bytes, stride 12: 3 pad bytes (0xAA) per row
+    # must not leak into the means
+    px = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]  # BGR
+    fmt, w, h, mr, mg, mb = decode_pixels(make_bmp(3, 1, px))
+    assert (fmt, w, h) == ("bmp", 3, 1)
+    assert (mb, mg, mr) == (40.0, 50.0, 60.0)
+
+
+def test_bmp_top_down_and_bottom_up_agree_on_means():
+    px = [(i, 2 * i, 3 * i) for i in range(6)]  # 3x2
+    up = decode_pixels(make_bmp(3, 2, px))
+    down = decode_pixels(make_bmp(3, 2, px, top_down=True))
+    assert up == down
+    assert up[1:3] == (3, 2)
+
+
+def test_bmp_truncated_and_wrong_bpp_rejected():
+    good = make_bmp(3, 2, [(1, 2, 3)] * 6)
+    assert decode_pixels(good[:40]) is None          # truncated header
+    assert decode_pixels(good[:-4]) is None          # truncated raster
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 32                                 # 32bpp unsupported
+    assert decode_pixels(bytes(bad_bpp)) is None
+    rle = bytearray(good)
+    rle[30] = 1                                      # BI_RLE8 compressed
+    assert decode_pixels(bytes(rle)) is None
+
+
+def test_ppm_with_comments_and_multi_whitespace():
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # RGB 2x2
+    ppm = b"P6\n# a comment\n 2  2 \n# another\n255\n" + raster
+    fmt, w, h, mr, mg, mb = decode_pixels(ppm)
+    assert (fmt, w, h) == ("ppm", 2, 2)
+    assert (mr, mg, mb) == (66.0, 66.0, 66.0)
+
+
+def test_ppm_truncated_and_bad_maxval_rejected():
+    raster = bytes(range(12))
+    assert decode_pixels(b"P6\n2 2\n255\n" + raster[:-1]) is None
+    assert decode_pixels(b"P6\n2 2\n65535\n" + raster) is None  # 16-bit
+    assert decode_pixels(b"P6\n2 2\n255" + raster) is None  # no ws after maxval
+
+
+def test_unrecognized_payloads_yield_none():
+    assert decode_pixels(b"") is None
+    assert decode_pixels(b"\x89PNG\r\n\x1a\nrest") is None  # compressed: codec
+    assert decode_pixels(b"garbage" * 20) is None
+
+
+def test_pixel_stats_distributed(spark):
+    rows = [
+        (1, make_bmp(3, 1, [(10, 20, 30), (40, 50, 60), (70, 80, 90)])),
+        (2, b"P6\n2 2\n255\n" + bytes([255, 0, 0] * 4)),
+        (3, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    from synthea_etl_spark.operators.multimodal import pixel_stats
+
+    got = {r.id: r for r in pixel_stats(df).collect()}
+    assert got[1].format == "bmp" and got[1].mean_b == 40.0
+    assert got[2].format == "ppm" and (got[2].mean_r, got[2].mean_g) == (255.0, 0.0)
+    assert got[3].format is None and got[3].mean_r is None
