@@ -59,6 +59,8 @@ HEADLINE_OPT = [
     "q110_tpch_q21",
     "q112_gap_fill",
     "q116_heavy_hitters",
+    "q124_image_header_dims",
+    "q125_pixel_stats",
 ]
 
 

@@ -314,8 +314,21 @@ def ivf_train_centroids(
     groupBy). Only k*dim floats ever reach the driver; assignment and
     averaging stay distributed — at 100 TB each iteration is one narrow
     scan plus one (n_centroids*dim)-group aggregate."""
+    narrow = corpus.select(id_col, vec_col)
+    persisted = False
+    if lloyd_iters > 0:
+        from synthea_etl_spark.operators.util import rebalance_by_key
+
+        # the Lloyd pass explodes dim values per vector; spread a
+        # narrow scan before that blow-up (no-op on wide cluster scans).
+        # The narrow projection is read once per iteration PLUS once
+        # for seeding — persist it so the parquet scan happens exactly
+        # once regardless of iteration count (the round-3 carry-over:
+        # at 100 TB, iters>1 must not rescan the corpus).
+        narrow = rebalance_by_key(narrow, id_col).persist()
+        persisted = True
     seeds = (
-        corpus.select(
+        narrow.select(
             F.col(vec_col).alias("v"),
             F.md5(F.col(id_col).cast("string")).alias("r"),
         )
@@ -324,17 +337,9 @@ def ivf_train_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r.v] for r in seeds]
-    if lloyd_iters > 0:
-        from synthea_etl_spark.operators.util import rebalance_by_key
-
-        # the Lloyd pass explodes dim values per vector; spread a
-        # narrow scan before that blow-up (no-op on wide cluster scans)
-        corpus = rebalance_by_key(
-            corpus.select(id_col, vec_col), id_col
-        )
     for _ in range(lloyd_iters):
         assign = make_assign_udf(centroids)
-        assigned = corpus.select(
+        assigned = narrow.select(
             assign(F.col(vec_col)).alias("cluster"),
             F.posexplode(F.col(vec_col)).alias("pos", "x"),
         )
@@ -352,6 +357,8 @@ def ivf_train_centroids(
             else centroids[ci]  # empty cluster keeps its seed
             for ci in range(len(centroids))
         ]
+    if persisted:
+        narrow.unpersist()
     return centroids
 
 

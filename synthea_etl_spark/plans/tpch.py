@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from synthea_etl_spark.plans.common import QuerySpec, dsum, load, sql_dsum
+from synthea_etl_spark.plans.common import QuerySpec, dsum, load, msum_bounded, sql_dsum
 
 CUT = "1996-03-15"
 
@@ -32,7 +32,10 @@ def q61_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(rev, "revenue"))
+        # per-order groups are structurally bounded (<=7 lineitems), so
+        # the single-phase micro-long sum stays in codegen — no Decimal
+        # accumulation on the wide stream; equals dsum on 4-dp revenue
+        .agg(msum_bounded(rev, "revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )

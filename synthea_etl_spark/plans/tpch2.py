@@ -191,7 +191,9 @@ def q86_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(dsum(rev, "revenue"))
+        # groups bounded by orders-per-customer x 7 lines (TPC-H holds
+        # this constant across SF): micro-long sum in codegen == dsum
+        .agg(msum_bounded(rev, "revenue"))
     )
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")

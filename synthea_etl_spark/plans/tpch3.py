@@ -31,8 +31,10 @@ from synthea_etl_spark.plans.common import (
     DEC,
     QuerySpec,
     dsum,
+    exact_agg,
     load,
     sql_dsum,
+    sql_msum,
 )
 
 
@@ -160,17 +162,28 @@ def q105_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
     )
-    return (
+    joined = (
         li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(o), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
-        .agg(dsum(amount, "sum_profit"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("_amount"),
+        )
     )
+    # nation x year groups are unbounded, so the exact sum runs as
+    # two-phase micro-longs (codegen) with a decimal combine over the
+    # tiny partial set — not per-row Decimal on the joined stream.
+    # amount is 4-dp money (2dp*2dp), so this equals dsum exactly;
+    # the sign branch in exact_agg handles negative profits.
+    from synthea_etl_spark.plans.common import exact_agg
+
+    return exact_agg(joined, keys=["nation", "o_year"], sums={"sum_profit": "_amount"})
 
 
 ORACLE_Q105 = f"""
-SELECT nation, o_year, {sql_dsum('amount', 'sum_profit')}
+SELECT nation, o_year, {sql_msum('amount', 'sum_profit')}
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
          l_extendedprice * (1 - l_discount)
