@@ -96,3 +96,85 @@ def test_pixel_stats_distributed(spark):
     assert got[1].format == "bmp" and got[1].mean_b == 40.0
     assert got[2].format == "ppm" and (got[2].mean_r, got[2].mean_g) == (255.0, 0.0)
     assert got[3].format is None and got[3].mean_r is None
+
+
+# ---------------------------------------------------------------------------
+# property-based: decoder total correctness + crash-freedom (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+pixel_st = st.tuples(
+    st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+)
+
+
+@given(
+    w=st.integers(1, 7),
+    h=st.integers(1, 5),
+    data=st.data(),
+    top_down=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_geometry(w, h, data, top_down):
+    """For ANY width/height/pixels: decode returns the exact geometry
+    and the exact rational channel means (int sums / count)."""
+    px = data.draw(
+        st.lists(pixel_st, min_size=w * h, max_size=w * h)
+    )
+    fmt, gw, gh, mr, mg, mb = decode_pixels(make_bmp(w, h, px, top_down))
+    n = w * h
+    assert (fmt, gw, gh) == ("bmp", w, h)
+    assert mb == sum(p[0] for p in px) / n
+    assert mg == sum(p[1] for p in px) / n
+    assert mr == sum(p[2] for p in px) / n
+
+
+@given(
+    w=st.integers(1, 7),
+    h=st.integers(1, 5),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_roundtrip_any_geometry(w, h, data):
+    px = data.draw(st.lists(pixel_st, min_size=w * h, max_size=w * h))
+    raster = b"".join(bytes(p) for p in px)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + raster
+    fmt, gw, gh, mr, mg, mb = decode_pixels(ppm)
+    n = w * h
+    assert (fmt, gw, gh) == ("ppm", w, h)
+    assert mr == sum(p[0] for p in px) / n
+    assert mg == sum(p[1] for p in px) / n
+    assert mb == sum(p[2] for p in px) / n
+
+
+@given(b=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decoder_never_raises_on_arbitrary_bytes(b):
+    """The decoder runs over arbitrary payloads at scale: it must
+    return a tuple or None, NEVER raise — including on adversarial
+    prefixes that look like headers."""
+    out = decode_pixels(b)
+    assert out is None or (len(out) == 6 and out[0] in ("bmp", "ppm"))
+
+
+@given(data=st.data())
+@settings(max_examples=100, deadline=None)
+def test_decoder_never_raises_on_truncated_valid_files(data):
+    """Any prefix of a VALID file: tuple (if enough bytes) or None,
+    never an exception, never garbage geometry."""
+    w = data.draw(st.integers(1, 5))
+    h = data.draw(st.integers(1, 4))
+    px = data.draw(st.lists(pixel_st, min_size=w * h, max_size=w * h))
+    full = data.draw(
+        st.sampled_from(
+            [
+                make_bmp(w, h, px),
+                f"P6\n{w} {h}\n255\n".encode() + b"".join(bytes(p) for p in px),
+            ]
+        )
+    )
+    cut = data.draw(st.integers(0, len(full)))
+    out = decode_pixels(full[:cut])
+    if out is not None:
+        assert (out[1], out[2]) == (w, h)
