@@ -178,3 +178,26 @@ def test_decoder_never_raises_on_truncated_valid_files(data):
     out = decode_pixels(full[:cut])
     if out is not None:
         assert (out[1], out[2]) == (w, h)
+
+
+@given(b=st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_header_parser_never_raises_on_arbitrary_bytes(b):
+    """parse_image_dims walks JPEG marker chains with attacker-shaped
+    lengths at scale; it must be total: (fmt|None, w|None, h|None)."""
+    from synthea_etl_spark.operators.multimodal import parse_image_dims
+
+    fmt, w, h = parse_image_dims(b)
+    assert fmt in (None, "png", "jpeg", "gif", "bmp")
+    assert w is None or isinstance(w, int)
+    assert h is None or isinstance(h, int)
+
+
+@given(b=st.binary(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_header_parser_never_raises_on_jpeg_prefixed_bytes(b):
+    """Force the deepest code path (SOI + random marker soup)."""
+    from synthea_etl_spark.operators.multimodal import parse_image_dims
+
+    fmt, w, h = parse_image_dims(b"\xff\xd8" + b)
+    assert fmt == "jpeg"
