@@ -22,12 +22,13 @@ Two decode paths are REAL, no codec dependency:
 - container-header metadata: ``parse_image_dims`` reads PNG/JPEG/GIF/
   BMP dimensions straight from the fixed-layout header bytes, run
   distributed by ``image_metadata``;
-- pixel decode for UNCOMPRESSED formats: ``decode_pixels`` walks
-  24-bit BI_RGB BMP (stride padding, bottom-up/top-down row order)
-  and binary PPM (P6, comment-aware header) payloads to per-channel
-  pixel statistics, run distributed by ``pixel_stats``. The
-  NotImplementedError scope is therefore compressed pixel data
-  (JPEG/PNG/video) only.
+- pixel decode: ``decode_pixels`` walks 24-bit BI_RGB BMP (stride
+  padding, bottom-up/top-down row order), binary PPM (P6,
+  comment-aware header), AND 8-bit RGB/RGBA non-interlaced PNG
+  (stdlib zlib inflate + spec filter reversal — Sub/Up/Average/
+  Paeth) payloads to per-channel pixel statistics, run distributed
+  by ``pixel_stats``. The NotImplementedError scope is therefore
+  JPEG/video pixel data only.
 """
 
 from __future__ import annotations
@@ -208,20 +209,186 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
     return vals[0], vals[1], vals[2], pos + 1  # single ws then raster
 
 
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray | None:
+    """Reverse PNG per-row filtering (spec §9: None/Sub/Up/Average/
+    Paeth). Returns the reconstructed raster or None on a malformed
+    stream. Per-byte Python on the sequential filters — correctness
+    path; at scale compressed decode belongs behind a codec."""
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[r * stride : (r + 1) * stride] = row
+        prev = row
+    return out
+
+
+def _decode_png_pixels(b: bytes):
+    """Pure-Python PNG pixel decode for the common web shape: 8-bit
+    RGB/RGBA, non-interlaced (zlib is stdlib — no codec needed).
+    Returns (w, h, mean_r, mean_g, mean_b) or None."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or len(b) < 33 or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    bitdepth, colortype, comp, filt, interlace = b[24:29]
+    if bitdepth != 8 or colortype not in (2, 6) or comp or filt or interlace:
+        return None
+    if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+        return None
+    bpp = 3 if colortype == 2 else 4
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    pos = 8
+    n = len(b)
+    while pos + 8 <= n:
+        clen = int.from_bytes(b[pos : pos + 4], "big")
+        ctype = b[pos + 4 : pos + 8]
+        if clen > n - pos - 8:
+            return None
+        if ctype == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    recon = _png_unfilter(raw, w, h, bpp)
+    if recon is None:
+        return None
+    px = np.frombuffer(bytes(recon), np.uint8).reshape(-1, bpp)
+    sums = px.sum(axis=0, dtype=np.int64)
+    cnt = float(w * h)
+    return (w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels_rgb: list[tuple[int, int, int]],
+    colortype: int = 2,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Minimal REAL PNG encoder (8-bit RGB/RGBA, non-interlaced):
+    applies the spec's forward row filters (None/Sub/Up/Average/Paeth)
+    then stdlib zlib. Twin of the decode path — used to synthesize
+    valid compressed payloads for tests/oracles and to write image
+    outputs without a codec dependency."""
+    import zlib
+
+    bpp = 3 if colortype == 2 else 4
+    pixels = (
+        [p + (255,) for p in pixels_rgb] if colortype == 6 else pixels_rgb
+    )
+    stride = width * bpp
+    rows = [
+        b"".join(bytes(p) for p in pixels[r * width : (r + 1) * width])
+        for r in range(height)
+    ]
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(rows):
+        f = filters[r]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - up) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((a + up) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            else:
+                raise ValueError(f"bad filter type {f}")
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_pixels(
     b: bytes,
 ) -> tuple[str, int, int, float, float, float] | None:
     """REAL pixel decode, pure Python + numpy — no image codec.
 
-    Supports the uncompressed formats whose rasters are raw bytes:
+    Supports the formats a codec-free environment can fully read:
     24-bit BI_RGB BMP (4-byte row stride padding honored; positive
-    height = bottom-up rows, negative = top-down) and binary PPM
-    (P6, maxval < 256). Returns (format, width, height, mean_r,
-    mean_g, mean_b) with channel means computed as exact int64 sums
-    over the pixel array divided by the pixel count — deterministic
-    at any parallelism. None for anything else (compressed pixel
-    data needs a codec: see decode_features' fake path)."""
+    height = bottom-up rows, negative = top-down), binary PPM (P6,
+    maxval < 256), and 8-bit RGB/RGBA non-interlaced PNG (stdlib
+    zlib inflate + spec filter reversal). Returns (format, width,
+    height, mean_r, mean_g, mean_b) with channel means computed as
+    exact int64 sums over the pixel array divided by the pixel
+    count — deterministic at any parallelism. None for anything else
+    (JPEG/video pixel data needs a codec: see decode_features' fake
+    path)."""
     b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        png = _decode_png_pixels(b)
+        if png is None:
+            return None
+        w, h, mr, mg, mb = png
+        return ("png", w, h, mr, mg, mb)
     if b[:2] == b"BM" and len(b) >= 54:
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)

@@ -155,7 +155,7 @@ def test_decoder_never_raises_on_arbitrary_bytes(b):
     return a tuple or None, NEVER raise — including on adversarial
     prefixes that look like headers."""
     out = decode_pixels(b)
-    assert out is None or (len(out) == 6 and out[0] in ("bmp", "ppm"))
+    assert out is None or (len(out) == 6 and out[0] in ("bmp", "ppm", "png"))
 
 
 @given(data=st.data())
@@ -201,3 +201,122 @@ def test_header_parser_never_raises_on_jpeg_prefixed_bytes(b):
 
     fmt, w, h = parse_image_dims(b"\xff\xd8" + b)
     assert fmt == "jpeg"
+
+
+# ---------------------------------------------------------------------------
+# real PNG pixel decode (stdlib zlib + spec filter reversal)
+# ---------------------------------------------------------------------------
+
+import zlib  # noqa: E402
+
+
+def make_png(width, height, pixels_rgb, colortype=2, filters=None):
+    """Build a real 8-bit PNG with chosen per-row filter types,
+    applying the spec's FORWARD filters (the decoder must invert)."""
+    bpp = 3 if colortype == 2 else 4
+    if colortype == 6:
+        pixels = [p + (255,) for p in pixels_rgb]
+    else:
+        pixels = pixels_rgb
+    stride = width * bpp
+    rows = [
+        b"".join(bytes(p) for p in pixels[r * width : (r + 1) * width])
+        for r in range(height)
+    ]
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(rows):
+        f = filters[r]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b_ = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - b_) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((a + b_) >> 1)) & 0xFF
+            else:
+                p_ = a + b_ - c
+                pa, pb, pc = abs(p_ - a), abs(p_ - b_), abs(p_ - c)
+                pred = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    body = zlib.compress(bytes(raw))
+    # split IDAT to prove multi-chunk concatenation
+    mid = len(body) // 2
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body[:mid]) + chunk(b"IDAT", body[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_rgb_and_rgba():
+    px = [(i * 7 % 256, i * 11 % 256, i * 13 % 256) for i in range(20)]  # 4x5
+    for ct in (2, 6):
+        for f in range(5):
+            got = decode_pixels(make_png(4, 5, px, ct, filters=[f] * 5))
+            assert got is not None, (ct, f)
+            fmt, w, h, mr, mg, mb = got
+            assert (fmt, w, h) == ("png", 4, 5)
+            assert mr == sum(p[0] for p in px) / 20, (ct, f)
+            assert mg == sum(p[1] for p in px) / 20, (ct, f)
+            assert mb == sum(p[2] for p in px) / 20, (ct, f)
+
+
+def test_png_rejects_unsupported_shapes():
+    px = [(1, 2, 3)] * 4
+    good = make_png(2, 2, px)
+    assert decode_pixels(good)[0] == "png"
+    assert decode_pixels(good[:40]) is None            # truncated
+    grey = bytearray(good); grey[25] = 0               # colortype 0
+    assert decode_pixels(bytes(grey)) is None
+    interlaced = bytearray(good); interlaced[28] = 1   # Adam7
+    assert decode_pixels(bytes(interlaced)) is None
+    corrupt = bytearray(good); corrupt[45] ^= 0xFF     # break IDAT stream
+    assert decode_pixels(bytes(corrupt)) is None
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    data=st.data(),
+    colortype=st.sampled_from([2, 6]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_geometry_any_filters(w, h, data, colortype):
+    px = data.draw(st.lists(pixel_st, min_size=w * h, max_size=w * h))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = decode_pixels(make_png(w, h, px, colortype, filters))
+    n = w * h
+    assert got is not None
+    fmt, gw, gh, mr, mg, mb = got
+    assert (fmt, gw, gh) == ("png", w, h)
+    assert mr == sum(p[0] for p in px) / n
+    assert mg == sum(p[1] for p in px) / n
+    assert mb == sum(p[2] for p in px) / n
+
+
+@given(b=st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_png_decoder_never_raises(b):
+    out = decode_pixels(b"\x89PNG\r\n\x1a\n" + b)
+    assert out is None or out[0] == "png"
