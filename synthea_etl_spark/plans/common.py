@@ -234,10 +234,10 @@ def sql_davg(expr: str, alias: str) -> str:
 # ---------------------------------------------------------------------------
 
 # Queries the driver's 50-row correctness gate has already certified
-# fully green (union of CORRECTNESS_r01..r03 keys). The gate checks the
+# fully green (union of CORRECTNESS_r01..r04 keys). The gate checks the
 # FIRST 50 entries of ``queries()`` only, so ``all_queries()`` orders
 # never-certified queries first and rotates this set to the back; the
-# local oracle differential (tests/test_oracle.py, all 119 queries)
+# local oracle differential (tests/test_oracle.py, all 121 queries)
 # keeps rotated-out queries guarded every round. Append each new
 # round's newly-certified names so the rotation keeps advancing.
 DRIVER_CERTIFIED = frozenset({
@@ -259,6 +259,26 @@ DRIVER_CERTIFIED = frozenset({
     "q77_sentence_udtf", "q79_repetition_signals", "q80_pii_redaction",
     "q81_cdc_apply", "q82_scd2_asof", "q123_embedding_near_dup_lsh",
     "q124_image_header_dims",
+    # r4 (50; q101/q102 gated rows-only by design -- approximate
+    # sketches, tolerance-tested in tests/test_extended3.py, exact
+    # twins q53/q54)
+    "q44_jsonl_source", "q45_partition_pruned_read", "q46_salted_agg",
+    "q50_events_hourly", "q51_sessionize", "q52_session_window",
+    "q53_distinct_agg", "q54_percentiles", "q55_rollup", "q56_pivot",
+    "q57_sql_dashboard", "q58_regr_stats", "q59_asof_join",
+    "q60_range_join", "q61_tpch_q3", "q62_tpch_q5", "q63_tpch_q6",
+    "q64_exists_semi", "q65_salted_join", "q66_schema_evolution",
+    "q66b_grouping_sets", "q67_full_outer", "q68_window_suite",
+    "q70_fuzzy_pairs", "q73_group_median_pandas", "q74_profile_table",
+    "q75_stratified_sample", "q78_corrupt_records",
+    "q83_time_range_window", "q84_tpch_q7", "q85_tpch_q8",
+    "q86_tpch_q10", "q87_tpch_q13", "q101_approx_distinct",
+    "q102_approx_percentiles", "q103_zorder_key", "q111_expectations",
+    "q112_gap_fill", "q113_incremental_agg", "q114_orc_source",
+    "q115_variant_extract", "q116_heavy_hitters", "q117_listagg",
+    "q118_pagerank", "q119_skew_profile", "q120_funnel",
+    "q121_retention", "q122_outliers", "q125_pixel_stats",
+    "q126_png_pixel_stats",
 })
 
 
@@ -299,6 +319,13 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
+
+    stale = DRIVER_CERTIFIED - merged.keys()
+    if stale:
+        raise ValueError(
+            "DRIVER_CERTIFIED names absent from the registry (typo or "
+            f"renamed query would silently mis-rotate the gate): {sorted(stale)}"
+        )
 
     out: dict[str, QuerySpec] = {}
     for name, spec in merged.items():
