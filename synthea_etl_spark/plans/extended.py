@@ -49,27 +49,32 @@ def q45_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-partition semantics done right (reference S9 lists S3
     folders driver-side and picks max(): Raw_To_Staging.py:143-152):
     write events into a date-partitioned layout, then read WHERE
-    event_date = <latest>. The literal predicate prunes at the
+    event_date = <latest>. The predicate prunes at the
     catalog/file-index level — the scan never touches other dates'
     files (PartitionFilters in the plan), exactly how a 100 TB
     date-partitioned lake serves 'today's load'.
 
-    Why the 1-row collect stays (measured, round 4): the scalar-
-    subquery-join alternative (broadcast the max(event_date) aggregate,
-    join on the partition column) does NOT trigger dynamic partition
-    pruning — Spark's DPP heuristic requires a selective filter on the
-    build side, and an aggregate-only build side leaves the probe scan
-    with ``PartitionFilters: [isnotnull(event_date)]``, i.e. a FULL
-    scan of every date partition. The driver-side scalar costs one
-    bounded 1-row job and buys file-index pruning on the big scan —
-    strictly the better trade at 100 TB."""
+    Fully declarative (round 5): the JOIN form of the latest-date
+    lookup defeats dynamic partition pruning (aggregate-only build
+    side -> ``PartitionFilters: [isnotnull(event_date)]``, full scan;
+    measured round 4), but a non-correlated SCALAR SUBQUERY lands
+    directly in the scan's PartitionFilters and Spark evaluates it
+    before file listing: measured 8/80 files = 1/10 date partitions
+    read on a 10-date layout, identical to a literal predicate
+    (test_extended.py::test_partition_pruning_reaches_scan asserts the
+    runtime numFiles metric). One SQL statement, no driver round-trip;
+    the max() subquery itself reads only the partition column
+    (``ReadSchema: struct<>`` — values come from the file index, not
+    the data files)."""
     e = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
     out = tempfile.gettempdir() + "/sparkgraft_part_events"
     e.write.mode("overwrite").partitionBy("event_date").parquet(out)
-    part = spark.read.parquet(out)
-    latest = part.agg(F.max("event_date")).collect()[0][0]  # tiny scalar
-    return part.filter(F.col("event_date") == F.lit(latest)).select(
-        "event_id", "user_id", "event_type", "value", "event_date"
+    return spark.sql(
+        f"""
+        SELECT event_id, user_id, event_type, value, event_date
+        FROM parquet.`{out}`
+        WHERE event_date = (SELECT MAX(event_date) FROM parquet.`{out}`)
+        """
     )
 
 

@@ -55,14 +55,43 @@ def test_percentile_approx_within_tolerance(spark):
 
 
 def test_partition_pruning_reaches_scan(spark):
-    """q45's latest-date predicate must prune at the file-index level:
-    the scan's PartitionFilters carry the date equality, and no
-    post-scan Filter node re-checks it."""
-    df = q45_partition_pruned_read(spark, SF_DIR)
-    plan = _plan(df)
-    assert "PartitionFilters" in plan
-    start = plan.index("PartitionFilters")
-    assert "event_date" in plan[start : start + 200]
+    """q45's latest-date scalar subquery must prune at the file-index
+    level: the scan's PartitionFilters carry the date equality, AND the
+    executed scan's numFiles metric shows only the latest date's files
+    were read (runtime proof, not just plan shape). AQE is disabled for
+    the measurement so the scan node holding the metric is reachable."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = q45_partition_pruned_read(spark, SF_DIR)
+        plan = _plan(df)
+        assert "PartitionFilters" in plan
+        start = plan.index("PartitionFilters")
+        assert "event_date" in plan[start : start + 200]
+
+        df.collect()
+        scans = []
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName().strip().startswith("Scan"):
+                metrics = node.metrics()
+                it = metrics.iterator()
+                vals = {}
+                while it.hasNext():
+                    kv = it.next()
+                    vals[kv._1()] = kv._2().value()
+                scans.append(vals)
+            children = node.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+        # main scan = the one that read data columns (numFiles > 0 and
+        # rows > 0); it must have read exactly one date partition
+        main = [s for s in scans if s.get("numOutputRows", 0) > 0]
+        assert main, scans
+        assert main[0].get("numPartitions") == 1, main
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def test_bucketed_join_needs_no_exchange(spark, tmp_path):
