@@ -24,11 +24,12 @@ Two decode paths are REAL, no codec dependency:
   distributed by ``image_metadata``;
 - pixel decode: ``decode_pixels`` walks 24-bit BI_RGB BMP (stride
   padding, bottom-up/top-down row order), binary PPM (P6,
-  comment-aware header), AND 8-bit RGB/RGBA non-interlaced PNG
-  (stdlib zlib inflate + spec filter reversal — Sub/Up/Average/
-  Paeth) payloads to per-channel pixel statistics, run distributed
-  by ``pixel_stats``. The NotImplementedError scope is therefore
-  JPEG/video pixel data only.
+  comment-aware header), AND 8-bit non-interlaced PNG in all five
+  color types — gray/RGB/palette/gray+alpha/RGBA (stdlib zlib
+  inflate + spec filter reversal — Sub/Up/Average/Paeth) — to
+  per-channel pixel statistics, run distributed by ``pixel_stats``.
+  The NotImplementedError scope is therefore JPEG, interlaced/16-bit
+  PNG, and video pixel data only.
 """
 
 from __future__ import annotations
@@ -250,10 +251,27 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray | None:
     return out
 
 
+# channels per pixel by PNG color type at bit depth 8:
+# 0 gray, 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# adversarial-input guard: bound the decoded raster (<= 16.7M pixels,
+# <= ~67 MB RGBA) so a few-KB crafted IDAT can't expand to gigabytes
+_PNG_MAX_PIXELS = 1 << 24
+
+
 def _decode_png_pixels(b: bytes):
-    """Pure-Python PNG pixel decode for the common web shape: 8-bit
-    RGB/RGBA, non-interlaced (zlib is stdlib — no codec needed).
-    Returns (w, h, mean_r, mean_g, mean_b) or None."""
+    """Pure-Python PNG pixel decode, 8-bit non-interlaced, all five
+    color types — gray(0) / RGB(2) / palette(3) / gray+alpha(4) /
+    RGBA(6) (zlib is stdlib — no codec needed). Gray pixels report the
+    gray mean on all three channels; palette indices are resolved
+    through PLTE before the channel sums. Returns
+    (w, h, mean_r, mean_g, mean_b) or None.
+
+    Decode is bomb-safe for arbitrary corpora: total pixels are capped
+    (``_PNG_MAX_PIXELS``) and inflate is bounded to the exact raster
+    size via ``decompressobj(...).decompress(data, max_length)`` — a
+    stream that would expand past h*(stride+1) bytes is rejected
+    without ever allocating the excess."""
     import zlib
 
     if b[:8] != b"\x89PNG\r\n\x1a\n" or len(b) < 33 or b[12:16] != b"IHDR":
@@ -261,13 +279,16 @@ def _decode_png_pixels(b: bytes):
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     bitdepth, colortype, comp, filt, interlace = b[24:29]
-    if bitdepth != 8 or colortype not in (2, 6) or comp or filt or interlace:
+    if bitdepth != 8 or colortype not in _PNG_BPP or comp or filt or interlace:
         return None
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
         return None
-    bpp = 3 if colortype == 2 else 4
-    # walk chunks, concatenating IDAT payloads
+    if w * h > _PNG_MAX_PIXELS:
+        return None
+    bpp = _PNG_BPP[colortype]
+    # walk chunks, concatenating IDAT payloads; keep PLTE for type 3
     idat = bytearray()
+    plte = None
     pos = 8
     n = len(b)
     while pos + 8 <= n:
@@ -277,21 +298,50 @@ def _decode_png_pixels(b: bytes):
             return None
         if ctype == b"IDAT":
             idat += b[pos + 8 : pos + 8 + clen]
+        elif ctype == b"PLTE":
+            plte = b[pos + 8 : pos + 8 + clen]
         elif ctype == b"IEND":
             break
         pos += 12 + clen  # len + type + data + crc
     if not idat:
         return None
+    expected = h * (w * bpp + 1)
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = d.decompress(bytes(idat), expected)
+        # spec: the stream inflates to EXACTLY the filtered raster;
+        # reject short streams, oversized streams (the bounded call
+        # parked the rest in unconsumed_tail — probe one byte, never
+        # inflate the excess), and trailing garbage after stream end
+        if (
+            len(raw) != expected
+            or d.decompress(d.unconsumed_tail, 1)
+            or d.unused_data
+        ):
+            return None
     except zlib.error:
         return None
     recon = _png_unfilter(raw, w, h, bpp)
     if recon is None:
         return None
-    px = np.frombuffer(bytes(recon), np.uint8).reshape(-1, bpp)
+    arr = np.frombuffer(bytes(recon), np.uint8).reshape(-1, bpp)
+    if colortype == 3:
+        if plte is None or len(plte) < 3 or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = arr[:, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            return None  # index past palette end is a spec violation
+        px = pal[idx]
+    elif colortype in (0, 4):
+        px = arr[:, :1]
+    else:
+        px = arr[:, :3]
     sums = px.sum(axis=0, dtype=np.int64)
     cnt = float(w * h)
+    if px.shape[1] == 1:
+        m = sums[0] / cnt
+        return (w, h, m, m, m)
     return (w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
 
 
@@ -302,17 +352,37 @@ def encode_png(
     colortype: int = 2,
     filters: list[int] | None = None,
 ) -> bytes:
-    """Minimal REAL PNG encoder (8-bit RGB/RGBA, non-interlaced):
-    applies the spec's forward row filters (None/Sub/Up/Average/Paeth)
-    then stdlib zlib. Twin of the decode path — used to synthesize
-    valid compressed payloads for tests/oracles and to write image
-    outputs without a codec dependency."""
+    """Minimal REAL PNG encoder (8-bit, non-interlaced, all five color
+    types): applies the spec's forward row filters (None/Sub/Up/
+    Average/Paeth) then stdlib zlib. Twin of the decode path — used to
+    synthesize valid compressed payloads for tests/oracles and to
+    write image outputs without a codec dependency.
+
+    Input is always a list of (r, g, b) tuples; the color type decides
+    the on-wire representation: 2 RGB, 6 RGBA (alpha 255), 0 gray
+    (the r component), 4 gray+alpha, 3 palette (PLTE built from the
+    sorted unique colors — at most 256)."""
     import zlib
 
-    bpp = 3 if colortype == 2 else 4
-    pixels = (
-        [p + (255,) for p in pixels_rgb] if colortype == 6 else pixels_rgb
-    )
+    bpp = _PNG_BPP[colortype]
+    plte = b""
+    if colortype == 2:
+        pixels = pixels_rgb
+    elif colortype == 6:
+        pixels = [p + (255,) for p in pixels_rgb]
+    elif colortype == 0:
+        pixels = [(p[0],) for p in pixels_rgb]
+    elif colortype == 4:
+        pixels = [(p[0], 255) for p in pixels_rgb]
+    elif colortype == 3:
+        uniq = sorted(set(pixels_rgb))
+        if len(uniq) > 256:
+            raise ValueError("palette PNG needs <= 256 unique colors")
+        lut = {c: i for i, c in enumerate(uniq)}
+        pixels = [(lut[p],) for p in pixels_rgb]
+        plte = b"".join(bytes(c) for c in uniq)
+    else:
+        raise ValueError(f"bad color type {colortype}")
     stride = width * bpp
     rows = [
         b"".join(bytes(p) for p in pixels[r * width : (r + 1) * width])
@@ -362,6 +432,7 @@ def encode_png(
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if plte else b"")
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -375,8 +446,10 @@ def decode_pixels(
     Supports the formats a codec-free environment can fully read:
     24-bit BI_RGB BMP (4-byte row stride padding honored; positive
     height = bottom-up rows, negative = top-down), binary PPM (P6,
-    maxval < 256), and 8-bit RGB/RGBA non-interlaced PNG (stdlib
-    zlib inflate + spec filter reversal). Returns (format, width,
+    maxval < 256), and 8-bit non-interlaced PNG in all five color
+    types (stdlib zlib inflate + spec filter reversal; palette
+    resolved through PLTE; gray reported on all three channels).
+    Returns (format, width,
     height, mean_r, mean_g, mean_b) with channel means computed as
     exact int64 sums over the pixel array divided by the pixel
     count — deterministic at any parallelism. None for anything else
@@ -427,11 +500,13 @@ PIXEL_STATS_SCHEMA = (
 
 
 def pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL distributed pixel decode for uncompressed rasters:
-    ``decode_pixels`` over Arrow-batched payloads via mapInPandas —
-    same no-shuffle, no-collect shape as ``image_metadata``. Payloads
-    that are not uncompressed BMP/PPM yield null format/stats rows
-    (mixed corpora keep flowing; filter on ``format`` downstream)."""
+    """REAL distributed pixel decode: ``decode_pixels`` over
+    Arrow-batched payloads via mapInPandas — same no-shuffle,
+    no-collect shape as ``image_metadata``. Decodes uncompressed
+    BMP/PPM rasters and 8-bit non-interlaced PNG (all five color
+    types); anything else (JPEG, interlaced/16-bit PNG, video) yields
+    null format/stats rows (mixed corpora keep flowing; filter on
+    ``format`` downstream)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

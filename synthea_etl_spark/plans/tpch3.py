@@ -177,8 +177,6 @@ def q105_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tiny partial set — not per-row Decimal on the joined stream.
     # amount is 4-dp money (2dp*2dp), so this equals dsum exactly;
     # the sign branch in exact_agg handles negative profits.
-    from synthea_etl_spark.plans.common import exact_agg
-
     return exact_agg(joined, keys=["nation", "o_year"], sums={"sum_profit": "_amount"})
 
 

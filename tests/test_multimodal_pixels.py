@@ -287,7 +287,11 @@ def test_png_rejects_unsupported_shapes():
     good = make_png(2, 2, px)
     assert decode_pixels(good)[0] == "png"
     assert decode_pixels(good[:40]) is None            # truncated
-    grey = bytearray(good); grey[25] = 0               # colortype 0
+    badct = bytearray(good); badct[25] = 7             # invalid color type
+    assert decode_pixels(bytes(badct)) is None
+    # colortype byte flipped to gray without re-encoding the raster:
+    # the stream now inflates past the declared gray raster size
+    grey = bytearray(good); grey[25] = 0
     assert decode_pixels(bytes(grey)) is None
     interlaced = bytearray(good); interlaced[28] = 1   # Adam7
     assert decode_pixels(bytes(interlaced)) is None
@@ -320,3 +324,99 @@ def test_png_roundtrip_any_geometry_any_filters(w, h, data, colortype):
 def test_png_decoder_never_raises(b):
     out = decode_pixels(b"\x89PNG\r\n\x1a\n" + b)
     assert out is None or out[0] == "png"
+
+
+# ---------------------------------------------------------------------------
+# gray / palette / gray+alpha color types + decompression-bomb guards
+# ---------------------------------------------------------------------------
+
+from synthea_etl_spark.operators.multimodal import encode_png  # noqa: E402
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    data=st.data(),
+    colortype=st.sampled_from([0, 3, 4]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_gray_palette_roundtrip_any_geometry_any_filters(
+    w, h, data, colortype
+):
+    """Gray (0), palette (3), gray+alpha (4) at any geometry under any
+    per-row filter mix: palette decodes to the exact RGB channel means;
+    gray reports the gray-byte mean on all three channels."""
+    px = data.draw(st.lists(pixel_st, min_size=w * h, max_size=w * h))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = decode_pixels(encode_png(w, h, px, colortype, filters))
+    n = w * h
+    assert got is not None
+    fmt, gw, gh, mr, mg, mb = got
+    assert (fmt, gw, gh) == ("png", w, h)
+    if colortype == 3:
+        assert mr == sum(p[0] for p in px) / n
+        assert mg == sum(p[1] for p in px) / n
+        assert mb == sum(p[2] for p in px) / n
+    else:
+        gray = sum(p[0] for p in px) / n
+        assert (mr, mg, mb) == (gray, gray, gray)
+
+
+def test_png_palette_index_past_plte_rejected():
+    png = bytearray(encode_png(2, 1, [(0, 0, 0), (9, 9, 9)], colortype=3))
+    # shrink PLTE to one entry (keep chunk framing valid): rebuild the
+    # file with a 3-byte PLTE so index 1 points past the palette end
+    full = encode_png(2, 1, [(0, 0, 0), (9, 9, 9)], colortype=3)
+    plte_at = full.index(b"PLTE") - 4
+    plte_len = int.from_bytes(full[plte_at : plte_at + 4], "big")
+    before, after = full[:plte_at], full[plte_at + 12 + plte_len :]
+    short = zlib.crc32(b"PLTE" + b"\x00\x00\x00")
+    rebuilt = (
+        before
+        + (3).to_bytes(4, "big")
+        + b"PLTE\x00\x00\x00"
+        + short.to_bytes(4, "big")
+        + after
+    )
+    assert decode_pixels(rebuilt) is None
+    assert decode_pixels(bytes(png)) is not None  # original still fine
+
+
+def _raw_png(w, h, idat_payload, colortype=0):
+    """Hand-build a PNG with arbitrary IHDR dims and raw IDAT bytes."""
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat_payload) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_count_cap_rejects_huge_dims():
+    """Declared dims past the 2^24-pixel cap are rejected before any
+    inflate: a few-KB payload must not provoke a multi-GiB allocation."""
+    big = _raw_png(1 << 13, 1 << 13, zlib.compress(b"\x00" * 64))
+    assert decode_pixels(big) is None
+
+
+def test_png_bounded_inflate_rejects_oversized_stream():
+    """An IDAT inflating far past the declared raster (the classic
+    zlib bomb) is rejected: the bounded decompress never materializes
+    the excess. 2x2 gray declares 10 raw bytes; the stream holds 8 MB
+    of zeros compressed to ~8 KB."""
+    bomb = _raw_png(2, 2, zlib.compress(b"\x00" * (8 << 20)))
+    assert decode_pixels(bomb) is None
+
+
+def test_png_short_stream_rejected():
+    """A stream inflating to LESS than the raster is rejected too."""
+    short = _raw_png(2, 2, zlib.compress(b"\x00" * 5))
+    assert decode_pixels(short) is None
