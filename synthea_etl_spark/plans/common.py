@@ -58,12 +58,34 @@ class QuerySpec:
     tags: tuple[str, ...] = field(default_factory=tuple)
 
 
+# Schema cache for the immutable TESTDATA tables: every bare
+# ``spark.read.parquet(path)`` runs a serial 1-task footer-read job
+# for schema inference BEFORE any real work (stage-profile evidence:
+# bench_artifacts/stage_profile_sf1_r05.json shows 3-5 such stages
+# burning 0.3-0.4 s of driver wall per multi-table query). The tables
+# behind ``load`` never change within a process, so infer once per
+# (path) and pass the schema explicitly afterwards — the same move a
+# production serving layer makes with a schema registry instead of
+# per-query inference.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_cached(spark: SparkSession, path: str) -> DataFrame:
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one TESTDATA parquet table (column-pruned/pushed-down by
-    Catalyst based on downstream use)."""
+    Catalyst based on downstream use; schema served from the per-path
+    cache after first touch)."""
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_cached(spark, f"{sf_dir}/{name}.parquet")
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +97,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 bench replica) carry ordinary micro timestamps; those read
     natively and only get the ntz cast."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_cached(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         # integer div: ns values exceed 2^53, double division would round
         ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
