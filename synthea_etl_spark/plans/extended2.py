@@ -90,13 +90,13 @@ QUERIES: dict[str, QuerySpec] = {
     "q101_approx_distinct": QuerySpec(
         q101_approx_distinct,
         None,
-        "HLL++ approx distinct by priority (tolerance-tested)",
+        "HLL++ approx distinct by priority (exact twin: q53; tolerance-tested)",
         ("agg", "approx"),
     ),
     "q102_approx_percentiles": QuerySpec(
         q102_approx_percentiles,
         None,
-        "GK-sketch approx percentiles (tolerance-tested)",
+        "GK-sketch approx percentiles (exact twin: q54; tolerance-tested)",
         ("agg", "approx"),
     ),
 }

@@ -64,6 +64,13 @@ here; `oracle` marks entries hash-checked against DuckDB at sf0.01 by
 the driver gate (rows-only entries are approximate/stateful by design
 and carry recall/tolerance tests in `tests/` instead).
 
+Approximate-sketch queries are deliberately PAIRED with an exact twin
+whose oracle IS hash-checked, so their permanent rows-only status is
+intentional coverage, not a gap: q101 (HLL++ distinct) pairs with q53
+(exact distinct agg), q102 (GK percentile sketch) pairs with q54
+(exact interpolated percentiles); the tolerance tests in
+tests/test_extended.py assert each sketch against its exact twin.
+
 Regenerate with `python tools/gen_queries_md.py`.
 
 | query | oracle | tags | description |
