@@ -247,6 +247,71 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     assert got == ["a", "b", "c"]
 
 
+def test_windowed_agg_state_evicted_after_watermark(spark, tmp_path):
+    """State-store boundedness — the property that keeps an infinite
+    stream's state finite at 100 TB/day: a watermarked tumbling-window
+    aggregation must EVICT window state once the watermark passes the
+    window end, not accumulate it. Asserted from the query progress
+    state-operator metrics (numRowsTotal/numRowsRemoved) across three
+    checkpointed AvailableNow restarts spanning 11 hours of event time:
+    after every run the store holds exactly ONE row (the sole open
+    window) no matter how many windows have closed, closed windows emit
+    exactly once, and the still-open window never emits early."""
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "k string, ts timestamp"
+    progresses = []
+
+    def run(rows, sub):
+        spark.createDataFrame(rows, ["k", "ts_s"]).select(
+            "k", F.col("ts_s").cast("timestamp").alias("ts")
+        ).write.parquet(f"{src}/{sub}")
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", True)
+            .parquet(src)
+            .withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "10 minutes").alias("w"), "k")
+            .count()
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses.append(q.lastProgress)
+
+    # three windows in run 1; watermark lands at 10:25, closing two
+    run(
+        [
+            ("a", "2024-01-01 10:00:00"),
+            ("a", "2024-01-01 10:15:00"),
+            ("b", "2024-01-01 10:25:00"),
+        ],
+        "b1",
+    )
+    run([("a", "2024-01-01 20:00:00")], "b2")  # closes the 10:20 window
+    run([("a", "2024-01-01 21:00:00")], "b3")  # closes the 20:00 window
+
+    state = [p["stateOperators"][0] for p in progresses]
+    # bounded: exactly the one open window survives each run
+    assert [s["numRowsTotal"] for s in state] == [1, 1, 1], state
+    # and the bound is from EVICTION, not absence of closed windows
+    assert [s["numRowsRemoved"] for s in state] == [2, 1, 1], state
+
+    emitted = sorted(
+        (r.k, str(r.w.start), r["count"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert emitted == [
+        ("a", "2024-01-01 10:00:00", 1),
+        ("a", "2024-01-01 10:10:00", 1),
+        ("a", "2024-01-01 20:00:00", 1),
+        ("b", "2024-01-01 10:20:00", 1),
+    ]  # the open 21:00 window has not emitted
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Watermarked stream-stream inner join: purchases join the same
     user's views within the preceding hour. Both sides carry
