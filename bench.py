@@ -62,6 +62,7 @@ HEADLINE_OPT = [
     "q116_heavy_hitters",
     "q124_image_header_dims",
     "q125_pixel_stats",
+    "q126_png_pixel_stats",
 ]
 
 

@@ -24,12 +24,13 @@ Two decode paths are REAL, no codec dependency:
   distributed by ``image_metadata``;
 - pixel decode: ``decode_pixels`` walks 24-bit BI_RGB BMP (stride
   padding, bottom-up/top-down row order), binary PPM (P6,
-  comment-aware header), AND 8-bit non-interlaced PNG in all five
-  color types — gray/RGB/palette/gray+alpha/RGBA (stdlib zlib
-  inflate + spec filter reversal — Sub/Up/Average/Paeth) — to
-  per-channel pixel statistics, run distributed by ``pixel_stats``.
-  The NotImplementedError scope is therefore JPEG, interlaced/16-bit
-  PNG, and video pixel data only.
+  comment-aware header), AND PNG in all five color types —
+  gray/RGB/palette/gray+alpha/RGBA — at bit depth 8 or 16,
+  interlaced (Adam7) or not (stdlib zlib inflate + spec filter
+  reversal — Sub/Up/Average/Paeth) — to per-channel pixel
+  statistics, run distributed by ``pixel_stats``. The
+  NotImplementedError scope is therefore JPEG and video pixel data
+  only.
 """
 
 from __future__ import annotations
@@ -251,26 +252,57 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray | None:
     return out
 
 
-# channels per pixel by PNG color type at bit depth 8:
+# channels per pixel by PNG color type:
 # 0 gray, 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
-_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# kept under the old name for compatibility (bytes/pixel at depth 8)
+_PNG_BPP = _PNG_CHANNELS
 # adversarial-input guard: bound the decoded raster (<= 16.7M pixels,
 # <= ~67 MB RGBA) so a few-KB crafted IDAT can't expand to gigabytes
 _PNG_MAX_PIXELS = 1 << 24
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step). Every
+# pixel belongs to exactly one pass, so for channel SUMS the passes
+# never need spatial reassembly — unfilter each and accumulate.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(width, height) of each NON-EMPTY Adam7 pass sub-image. Empty
+    passes (tiny images) contribute zero bytes — not even filter
+    bytes (spec §8.2)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((wp, hp))
+    return out
 
 
 def _decode_png_pixels(b: bytes):
-    """Pure-Python PNG pixel decode, 8-bit non-interlaced, all five
-    color types — gray(0) / RGB(2) / palette(3) / gray+alpha(4) /
-    RGBA(6) (zlib is stdlib — no codec needed). Gray pixels report the
-    gray mean on all three channels; palette indices are resolved
-    through PLTE before the channel sums. Returns
-    (w, h, mean_r, mean_g, mean_b) or None.
+    """Pure-Python PNG pixel decode (zlib is stdlib — no codec
+    needed): all five color types — gray(0) / RGB(2) / palette(3) /
+    gray+alpha(4) / RGBA(6) — at bit depth 8 or 16 (palette is 8-bit
+    only, per this decoder's scope), interlaced (Adam7) or not. Gray
+    pixels report the gray mean on all three channels; palette
+    indices resolve through PLTE before the channel sums; means are
+    over RAW sample values (0..255 at depth 8, 0..65535 at depth 16).
+    Interlaced images need no deinterlacing for statistics: each pass
+    is unfiltered independently and its samples join the sums.
+    Returns (w, h, mean_r, mean_g, mean_b) or None.
 
     Decode is bomb-safe for arbitrary corpora: total pixels are capped
-    (``_PNG_MAX_PIXELS``) and inflate is bounded to the exact raster
-    size via ``decompressobj(...).decompress(data, max_length)`` — a
-    stream that would expand past h*(stride+1) bytes is rejected
+    (``_PNG_MAX_PIXELS``) and inflate is bounded to the exact filtered
+    raster size via ``decompressobj(...).decompress(data,
+    max_length)`` — a stream that would expand past it is rejected
     without ever allocating the excess."""
     import zlib
 
@@ -279,13 +311,16 @@ def _decode_png_pixels(b: bytes):
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     bitdepth, colortype, comp, filt, interlace = b[24:29]
-    if bitdepth != 8 or colortype not in _PNG_BPP or comp or filt or interlace:
+    if bitdepth not in (8, 16) or colortype not in _PNG_CHANNELS:
+        return None
+    if (colortype == 3 and bitdepth != 8) or comp or filt or interlace > 1:
         return None
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
         return None
     if w * h > _PNG_MAX_PIXELS:
         return None
-    bpp = _PNG_BPP[colortype]
+    channels = _PNG_CHANNELS[colortype]
+    bpp = channels * (bitdepth // 8)  # filter unit = bytes per pixel
     # walk chunks, concatenating IDAT payloads; keep PLTE for type 3
     idat = bytearray()
     plte = None
@@ -305,7 +340,8 @@ def _decode_png_pixels(b: bytes):
         pos += 12 + clen  # len + type + data + crc
     if not idat:
         return None
-    expected = h * (w * bpp + 1)
+    segs = _png_pass_dims(w, h) if interlace else [(w, h)]
+    expected = sum(hp * (wp * bpp + 1) for wp, hp in segs)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected)
@@ -321,10 +357,17 @@ def _decode_png_pixels(b: bytes):
             return None
     except zlib.error:
         return None
-    recon = _png_unfilter(raw, w, h, bpp)
-    if recon is None:
-        return None
-    arr = np.frombuffer(bytes(recon), np.uint8).reshape(-1, bpp)
+    parts = []
+    off = 0
+    for wp, hp in segs:
+        size = hp * (wp * bpp + 1)
+        rec = _png_unfilter(raw[off : off + size], wp, hp, bpp)
+        if rec is None:
+            return None
+        parts.append(bytes(rec))
+        off += size
+    dtype = np.uint8 if bitdepth == 8 else np.dtype(">u2")
+    arr = np.frombuffer(b"".join(parts), dtype).reshape(-1, channels)
     if colortype == 3:
         if plte is None or len(plte) < 3 or len(plte) % 3:
             return None
@@ -345,35 +388,72 @@ def _decode_png_pixels(b: bytes):
     return (w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
 
 
+def _forward_filter_row(row: bytes, prev: bytes, bpp: int, f: int) -> bytearray:
+    """Apply PNG forward filter ``f`` to one packed row (the inverse of
+    what _png_unfilter reverses)."""
+    out = bytearray()
+    for x in range(len(row)):
+        a = row[x - bpp] if x >= bpp else 0
+        up = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if f == 0:
+            v = row[x]
+        elif f == 1:
+            v = (row[x] - a) & 0xFF
+        elif f == 2:
+            v = (row[x] - up) & 0xFF
+        elif f == 3:
+            v = (row[x] - ((a + up) >> 1)) & 0xFF
+        elif f == 4:
+            p = a + up - c
+            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            v = (row[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out.append(v)
+    return out
+
+
 def encode_png(
     width: int,
     height: int,
     pixels_rgb: list[tuple[int, int, int]],
     colortype: int = 2,
     filters: list[int] | None = None,
+    bitdepth: int = 8,
+    interlace: int = 0,
 ) -> bytes:
-    """Minimal REAL PNG encoder (8-bit, non-interlaced, all five color
-    types): applies the spec's forward row filters (None/Sub/Up/
-    Average/Paeth) then stdlib zlib. Twin of the decode path — used to
+    """Minimal REAL PNG encoder, twin of the decode path — used to
     synthesize valid compressed payloads for tests/oracles and to
-    write image outputs without a codec dependency.
+    write image outputs without a codec dependency. Applies the spec's
+    forward row filters (None/Sub/Up/Average/Paeth) then stdlib zlib;
+    supports all five color types, bit depth 8 or 16 (palette 8 only),
+    and Adam7 interlacing (each pass extracted, packed, and filtered
+    independently, per spec §8.2).
 
-    Input is always a list of (r, g, b) tuples; the color type decides
-    the on-wire representation: 2 RGB, 6 RGBA (alpha 255), 0 gray
-    (the r component), 4 gray+alpha, 3 palette (PLTE built from the
-    sorted unique colors — at most 256)."""
+    Input is always a list of (r, g, b) tuples (components 0..255 at
+    depth 8, 0..65535 at depth 16); the color type decides the on-wire
+    representation: 2 RGB, 6 RGBA (opaque alpha), 0 gray (the r
+    component), 4 gray+alpha, 3 palette (PLTE built from the sorted
+    unique colors — at most 256). ``filters`` cycles over rows in
+    storage order (all passes concatenated when interlaced)."""
     import zlib
 
-    bpp = _PNG_BPP[colortype]
+    if bitdepth not in (8, 16):
+        raise ValueError(f"bad bit depth {bitdepth}")
+    if colortype == 3 and bitdepth != 8:
+        raise ValueError("palette PNG is 8-bit only here")
+    opaque = (1 << bitdepth) - 1
     plte = b""
     if colortype == 2:
         pixels = pixels_rgb
     elif colortype == 6:
-        pixels = [p + (255,) for p in pixels_rgb]
+        pixels = [p + (opaque,) for p in pixels_rgb]
     elif colortype == 0:
         pixels = [(p[0],) for p in pixels_rgb]
     elif colortype == 4:
-        pixels = [(p[0], 255) for p in pixels_rgb]
+        pixels = [(p[0], opaque) for p in pixels_rgb]
     elif colortype == 3:
         uniq = sorted(set(pixels_rgb))
         if len(uniq) > 256:
@@ -383,38 +463,49 @@ def encode_png(
         plte = b"".join(bytes(c) for c in uniq)
     else:
         raise ValueError(f"bad color type {colortype}")
-    stride = width * bpp
-    rows = [
-        b"".join(bytes(p) for p in pixels[r * width : (r + 1) * width])
-        for r in range(height)
-    ]
-    filters = filters or [0] * height
+    nbytes = bitdepth // 8
+    bpp = _PNG_CHANNELS[colortype] * nbytes
+
+    def pack(pix_row) -> bytes:
+        return b"".join(
+            int(s).to_bytes(nbytes, "big") for p in pix_row for s in p
+        )
+
+    if interlace == 0:
+        groups = [
+            [pixels[r * width : (r + 1) * width] for r in range(height)]
+        ]
+    elif interlace == 1:
+        groups = []
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            groups.append(
+                [
+                    [
+                        pixels[(y0 + j * dy) * width + x0 + i * dx]
+                        for i in range(wp)
+                    ]
+                    for j in range(hp)
+                ]
+            )
+    else:
+        raise ValueError(f"bad interlace method {interlace}")
+
+    filters = list(filters) if filters else [0]
     raw = bytearray()
-    prev = bytes(stride)
-    for r, row in enumerate(rows):
-        f = filters[r]
-        raw.append(f)
-        for x in range(stride):
-            a = row[x - bpp] if x >= bpp else 0
-            up = prev[x]
-            c = prev[x - bpp] if x >= bpp else 0
-            if f == 0:
-                v = row[x]
-            elif f == 1:
-                v = (row[x] - a) & 0xFF
-            elif f == 2:
-                v = (row[x] - up) & 0xFF
-            elif f == 3:
-                v = (row[x] - ((a + up) >> 1)) & 0xFF
-            elif f == 4:
-                p = a + up - c
-                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                v = (row[x] - pred) & 0xFF
-            else:
-                raise ValueError(f"bad filter type {f}")
-            raw.append(v)
-        prev = row
+    row_i = 0
+    for rows in groups:
+        prev = bytes(len(rows[0]) * bpp)
+        for pix_row in rows:
+            row = pack(pix_row)
+            f = filters[row_i % len(filters)]
+            row_i += 1
+            raw.append(f)
+            raw += _forward_filter_row(row, prev, bpp, f)
+            prev = row
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -427,7 +518,7 @@ def encode_png(
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, colortype, 0, 0, 0])
+        + bytes([bitdepth, colortype, 0, 0, interlace])
     )
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -446,9 +537,10 @@ def decode_pixels(
     Supports the formats a codec-free environment can fully read:
     24-bit BI_RGB BMP (4-byte row stride padding honored; positive
     height = bottom-up rows, negative = top-down), binary PPM (P6,
-    maxval < 256), and 8-bit non-interlaced PNG in all five color
-    types (stdlib zlib inflate + spec filter reversal; palette
-    resolved through PLTE; gray reported on all three channels).
+    maxval < 256), and PNG in all five color types at bit depth 8 or
+    16, interlaced (Adam7) or not (stdlib zlib inflate + spec filter
+    reversal; palette resolved through PLTE; gray reported on all
+    three channels; 16-bit means are over raw 0..65535 samples).
     Returns (format, width,
     height, mean_r, mean_g, mean_b) with channel means computed as
     exact int64 sums over the pixel array divided by the pixel
@@ -503,8 +595,8 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     """REAL distributed pixel decode: ``decode_pixels`` over
     Arrow-batched payloads via mapInPandas — same no-shuffle,
     no-collect shape as ``image_metadata``. Decodes uncompressed
-    BMP/PPM rasters and 8-bit non-interlaced PNG (all five color
-    types); anything else (JPEG, interlaced/16-bit PNG, video) yields
+    BMP/PPM rasters and PNG (all five color types, depth 8/16,
+    interlaced or not); anything else (JPEG, video) yields
     null format/stats rows (mixed corpora keep flowing; filter on
     ``format`` downstream)."""
 

@@ -293,8 +293,14 @@ def test_png_rejects_unsupported_shapes():
     # the stream now inflates past the declared gray raster size
     grey = bytearray(good); grey[25] = 0
     assert decode_pixels(bytes(grey)) is None
-    interlaced = bytearray(good); interlaced[28] = 1   # Adam7
+    # interlace byte flipped without re-encoding: Adam7's expected
+    # raster size differs, so the stream length no longer matches
+    interlaced = bytearray(good); interlaced[28] = 1
     assert decode_pixels(bytes(interlaced)) is None
+    badmethod = bytearray(good); badmethod[28] = 2     # no such method
+    assert decode_pixels(bytes(badmethod)) is None
+    baddepth = bytearray(good); baddepth[24] = 4       # sub-byte depth
+    assert decode_pixels(bytes(baddepth)) is None
     corrupt = bytearray(good); corrupt[45] ^= 0xFF     # break IDAT stream
     assert decode_pixels(bytes(corrupt)) is None
 
@@ -398,6 +404,81 @@ def _raw_png(w, h, idat_payload, colortype=0):
         b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", idat_payload) + chunk(b"IEND", b"")
     )
+
+
+pixel16_st = st.tuples(
+    st.integers(0, 65535), st.integers(0, 65535), st.integers(0, 65535)
+)
+
+
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 5),
+    data=st.data(),
+    colortype=st.sampled_from([0, 2, 4, 6]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_16bit_roundtrip_any_geometry_any_filters(w, h, data, colortype):
+    """Bit depth 16 (big-endian samples, filters over 2-byte pixels):
+    exact means over raw 0..65535 samples for every color type the
+    depth supports, under any per-row filter mix."""
+    px = data.draw(st.lists(pixel16_st, min_size=w * h, max_size=w * h))
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    got = decode_pixels(encode_png(w, h, px, colortype, filters, bitdepth=16))
+    n = w * h
+    assert got is not None
+    fmt, gw, gh, mr, mg, mb = got
+    assert (fmt, gw, gh) == ("png", w, h)
+    if colortype in (0, 4):
+        gray = sum(p[0] for p in px) / n
+        assert (mr, mg, mb) == (gray, gray, gray)
+    else:
+        assert mr == sum(p[0] for p in px) / n
+        assert mg == sum(p[1] for p in px) / n
+        assert mb == sum(p[2] for p in px) / n
+
+
+@given(
+    w=st.integers(1, 18),
+    h=st.integers(1, 14),
+    data=st.data(),
+    colortype=st.sampled_from([0, 2, 3, 4, 6]),
+    bitdepth=st.sampled_from([8, 16]),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_roundtrip_any_geometry(w, h, data, colortype, bitdepth):
+    """Adam7 interlacing at geometries spanning empty and non-empty
+    passes (w,h up to 18x14 crosses every pass-emptiness boundary):
+    per-pass unfiltering must recover the exact channel means. Filters
+    cycle 0..4 across the concatenated pass rows."""
+    if colortype == 3 and bitdepth == 16:
+        bitdepth = 8
+    top = (1 << bitdepth) - 1
+    px = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, top), st.integers(0, top), st.integers(0, top)
+            ),
+            min_size=w * h,
+            max_size=w * h,
+        )
+    )
+    got = decode_pixels(
+        encode_png(
+            w, h, px, colortype, [0, 1, 2, 3, 4], bitdepth=bitdepth, interlace=1
+        )
+    )
+    n = w * h
+    assert got is not None
+    fmt, gw, gh, mr, mg, mb = got
+    assert (fmt, gw, gh) == ("png", w, h)
+    if colortype in (0, 4):
+        gray = sum(p[0] for p in px) / n
+        assert (mr, mg, mb) == (gray, gray, gray)
+    else:
+        assert mr == sum(p[0] for p in px) / n
+        assert mg == sum(p[1] for p in px) / n
+        assert mb == sum(p[2] for p in px) / n
 
 
 def test_png_pixel_count_cap_rejects_huge_dims():
