@@ -113,6 +113,10 @@ def previous_bench_timings() -> dict[str, float]:
     try:
         with open(path) as fh:
             data = json.load(fh)
+        # the driver wraps bench stdout: {"n", "rc", ..., "parsed":
+        # {our JSON line}}; accept the raw shape too
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         return {
             k: float(v)
             for k, v in data.get("queries", {}).items()
