@@ -303,6 +303,13 @@ DRIVER_CERTIFIED = frozenset({
     "q126_png_pixel_stats",
 })
 
+# Round counter, bumped alongside DRIVER_CERTIFIED each round: the
+# gate slots left over after the never-certified block are filled by
+# rotating the certified list with a per-round stride, so every
+# certified query keeps getting re-verified by the driver on a
+# rolling schedule instead of the same module-order prefix each round.
+GATE_ROUND = 5
+
 
 def all_queries() -> dict[str, QuerySpec]:
     """Aggregate every plans module's QUERIES dict, ordered so that
@@ -353,7 +360,11 @@ def all_queries() -> dict[str, QuerySpec]:
     for name, spec in merged.items():
         if name not in DRIVER_CERTIFIED:
             out[name] = spec
-    for name, spec in merged.items():
-        if name in DRIVER_CERTIFIED:
-            out[name] = spec
+    certified = [n for n in merged if n in DRIVER_CERTIFIED]
+    # stride 37 is coprime with any realistic inventory size, so
+    # successive rounds start the certified block at well-spread
+    # offsets and the driver's 50-row window sweeps the whole set
+    k = (GATE_ROUND * 37) % len(certified) if certified else 0
+    for name in certified[k:] + certified[:k]:
+        out[name] = merged[name]
     return out
