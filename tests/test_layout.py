@@ -59,6 +59,58 @@ def test_zorder_tightens_footer_spans_in_both_dims(zordered):
         assert avg_z < 0.6 * width, f"{col}: avg z span {avg_z} vs {width}"
 
 
+def _scan_output_rows(spark, df) -> int:
+    """Rows the parquet scan emitted (post row-group skipping, before
+    any later Filter) from the executed plan's scan metric."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df.collect()
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName().strip().startswith("Scan"):
+                m = node.metrics()
+                it = m.iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        return kv._2().value()
+            children = node.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    raise AssertionError("no scan found")
+
+
+def test_zorder_enables_runtime_rowgroup_skipping(spark, zordered):
+    """The RUNTIME payoff of the tighter footers: a 2-dim rectangle
+    predicate (the query shape z-ordering exists for) pushed to the
+    parquet reader skips whole row groups on the z-ordered layout, so
+    the scan emits far fewer rows than the same query over the
+    hash-shuffled layout (which reads ~everything because every file
+    spans the whole domain in both dims). Both layouts must of course
+    agree on the query result."""
+    naive, zord = zordered
+
+    def q(path):
+        return spark.read.parquet(path).filter(
+            (F.col("custkey") >= 100)
+            & (F.col("custkey") <= 160)     # ~4% of the custkey domain
+            & (F.col("day_num") >= 400)
+            & (F.col("day_num") <= 800)     # ~16% of the date domain
+        )
+
+    n_match = q(naive).count()
+    assert n_match == q(zord).count() and n_match > 0
+    naive_scanned = _scan_output_rows(spark, q(naive))
+    z_scanned = _scan_output_rows(spark, q(zord))
+    # pushdown reached the reader on both; the layout decides skipping
+    assert "PushedFilters" in q(zord)._jdf.queryExecution().executedPlan().toString()
+    assert z_scanned < naive_scanned / 2, (z_scanned, naive_scanned)
+
+
 def test_zorder_preserves_rows(spark, zordered):
     naive, zord = zordered
     a = spark.read.parquet(naive).orderBy("o_orderkey").collect()
