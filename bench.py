@@ -113,13 +113,21 @@ def previous_bench_timings() -> dict[str, float]:
     try:
         with open(path) as fh:
             data = json.load(fh)
+        if not isinstance(data, dict):
+            return {}
         # the driver wraps bench stdout: {"n", "rc", ..., "parsed":
         # {our JSON line}}; accept the raw shape too
         if "queries" not in data and isinstance(data.get("parsed"), dict):
             data = data["parsed"]
+        # prior bests only mean something at the same scale factor
+        if data.get("sf") not in (0.1, None):
+            return {}
+        queries = data.get("queries")
+        if not isinstance(queries, dict):
+            return {}
         return {
             k: float(v)
-            for k, v in data.get("queries", {}).items()
+            for k, v in queries.items()
             if isinstance(v, (int, float))
         }
     except (OSError, ValueError):

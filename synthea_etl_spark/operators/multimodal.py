@@ -255,10 +255,9 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray | None:
 # channels per pixel by PNG color type:
 # 0 gray, 2 RGB, 3 palette index, 4 gray+alpha, 6 RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-# kept under the old name for compatibility (bytes/pixel at depth 8)
-_PNG_BPP = _PNG_CHANNELS
 # adversarial-input guard: bound the decoded raster (<= 16.7M pixels,
-# <= ~67 MB RGBA) so a few-KB crafted IDAT can't expand to gigabytes
+# worst case ~134 MB for 16-bit RGBA plus the filtered copy) so a
+# few-KB crafted IDAT can't expand to gigabytes
 _PNG_MAX_PIXELS = 1 << 24
 # Adam7 interlace passes: (x_start, y_start, x_step, y_step). Every
 # pixel belongs to exactly one pass, so for channel SUMS the passes

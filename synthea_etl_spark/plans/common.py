@@ -66,8 +66,18 @@ class QuerySpec:
 # behind ``load`` never change within a process, so infer once per
 # (path) and pass the schema explicitly afterwards — the same move a
 # production serving layer makes with a schema registry instead of
-# per-query inference.
+# per-query inference. CONTRACT: a cached path's files are immutable
+# for the life of the process — true for the read-only TESTDATA dirs
+# this loader serves. A process that rewrites a table in place must
+# call clear_schema_cache() (or use a fresh path) or reads will carry
+# the stale schema.
 _SCHEMA_CACHE: dict[str, object] = {}
+
+
+def clear_schema_cache() -> None:
+    """Drop all cached table schemas (for processes that regenerate a
+    table at a previously-read path)."""
+    _SCHEMA_CACHE.clear()
 
 
 def _read_cached(spark: SparkSession, path: str) -> DataFrame:
@@ -282,7 +292,7 @@ DRIVER_CERTIFIED = frozenset({
     "q81_cdc_apply", "q82_scd2_asof", "q123_embedding_near_dup_lsh",
     "q124_image_header_dims",
     # r4 (50; q101/q102 gated rows-only by design -- approximate
-    # sketches, tolerance-tested in tests/test_extended3.py, exact
+    # sketches, tolerance-tested in tests/test_packing.py, exact
     # twins q53/q54)
     "q44_jsonl_source", "q45_partition_pruned_read", "q46_salted_agg",
     "q50_events_hourly", "q51_sessionize", "q52_session_window",

@@ -369,7 +369,6 @@ def test_png_gray_palette_roundtrip_any_geometry_any_filters(
 
 
 def test_png_palette_index_past_plte_rejected():
-    png = bytearray(encode_png(2, 1, [(0, 0, 0), (9, 9, 9)], colortype=3))
     # shrink PLTE to one entry (keep chunk framing valid): rebuild the
     # file with a 3-byte PLTE so index 1 points past the palette end
     full = encode_png(2, 1, [(0, 0, 0), (9, 9, 9)], colortype=3)
@@ -385,7 +384,7 @@ def test_png_palette_index_past_plte_rejected():
         + after
     )
     assert decode_pixels(rebuilt) is None
-    assert decode_pixels(bytes(png)) is not None  # original still fine
+    assert decode_pixels(full) is not None  # original still fine
 
 
 def _raw_png(w, h, idat_payload, colortype=0):

@@ -68,8 +68,10 @@ Approximate-sketch queries are deliberately PAIRED with an exact twin
 whose oracle IS hash-checked, so their permanent rows-only status is
 intentional coverage, not a gap: q101 (HLL++ distinct) pairs with q53
 (exact distinct agg), q102 (GK percentile sketch) pairs with q54
-(exact interpolated percentiles); the tolerance tests in
-tests/test_extended.py assert each sketch against its exact twin.
+(exact interpolated percentiles). Tolerance tests in
+tests/test_packing.py assert each sketch's output against an exact
+recomputation of the same aggregate (and tests/test_extended.py
+covers the sketch-vs-exact relationship on the q53/q54 event shapes).
 
 Regenerate with `python tools/gen_queries_md.py`.
 
