@@ -235,3 +235,56 @@ def test_gap_fill_dense_and_carries(spark, days):
         latest = max(d for d in obs if d <= r["day"].day)
         assert r["v"] == float(latest)
         assert r["was_observed"] == (r["day"].day in obs)
+
+
+# ---------------------------------------------------------------------------
+# exact-sum ladder: dsum == exact_agg == msum_bounded, any partitioning
+# ---------------------------------------------------------------------------
+
+from synthea_etl_spark.plans.common import davg, dsum, exact_agg, msum_bounded  # noqa: E402
+
+
+@given(data=st.data())
+@settings(**{**SETTINGS, "max_examples": 10})
+def test_exact_sum_ladder_agrees_any_partitioning(spark, data):
+    """The load-bearing claim behind q01/q16/q105 (SCALE.md's exact-sum
+    ladder): on <=6-dp inputs the three order-independent SUM/AVG
+    implementations — decimal-per-row (dsum/davg), two-phase micro-long
+    (exact_agg), and single-phase bounded micro-long (msum_bounded) —
+    produce BIT-IDENTICAL doubles, for any values (positive and
+    negative), any grouping, and ANY physical partitioning; and the
+    result is invariant under input reordering + repartitioning."""
+    n = data.draw(st.integers(1, 40))
+    rows = [
+        (
+            data.draw(st.integers(0, 3)),
+            data.draw(st.integers(-(10**8), 10**8)) / 1e6,
+        )
+        for _ in range(n)
+    ]
+
+    def frame(rs, parts):
+        return spark.createDataFrame(rs, "k int, x double").repartition(parts)
+
+    df = frame(rows, data.draw(st.integers(1, 8)))
+    a = {
+        (r.k): (r.s, r.m)
+        for r in df.groupBy("k").agg(dsum("x", "s"), davg("x", "m")).collect()
+    }
+    b = {
+        (r.k): (r.s, r.m)
+        for r in exact_agg(df, ["k"], sums={"s": "x"}, avgs={"m": "x"}).collect()
+    }
+    c = {
+        (r.k): r.s
+        for r in df.groupBy("k").agg(msum_bounded("x", "s")).collect()
+    }
+    assert a == b
+    assert {k: v[0] for k, v in a.items()} == c
+    # order/partitioning independence: reversed rows, different split
+    df2 = frame(rows[::-1], data.draw(st.integers(1, 8)))
+    b2 = {
+        (r.k): (r.s, r.m)
+        for r in exact_agg(df2, ["k"], sums={"s": "x"}, avgs={"m": "x"}).collect()
+    }
+    assert b2 == b
