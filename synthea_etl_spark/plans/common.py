@@ -106,7 +106,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies when it reads NANOS. Regenerated events tables (e.g. the
     sf1 bench replica) carry ordinary micro timestamps; those read
     natively and only get the ntz cast."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine sessions get this from session._DEFAULTS; the guarded
+    # fallback is for FOREIGN sessions (the round driver's vanilla
+    # SparkSession runs queries() without our factory) and is the one
+    # conf mutation allowed outside session.py for that reason.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _read_cached(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] in ("bigint", "long"):
         # integer div: ns values exceed 2^53, double division would round
@@ -311,6 +316,14 @@ DRIVER_CERTIFIED = frozenset({
     "q118_pagerank", "q119_skew_profile", "q120_funnel",
     "q121_retention", "q122_outliers", "q125_pixel_stats",
     "q126_png_pixel_stats",
+    # r5 (19; CORRECTNESS_r05.json all green -- closes certification
+    # at 121/121 declared queries)
+    "q88_tpch_q14", "q89_tpch_q15", "q90_tpch_q17", "q91_tpch_q18",
+    "q92_tpch_q19", "q93_tpch_q22", "q94_intersect", "q95_except",
+    "q96_cube", "q97_pack_sequences", "q98_contamination",
+    "q99_embed_quantize", "q104_tpch_q2", "q105_tpch_q9",
+    "q106_tpch_q11", "q107_tpch_q12", "q108_tpch_q16",
+    "q109_tpch_q20", "q110_tpch_q21",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -318,7 +331,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 5
+GATE_ROUND = 6
 
 
 def all_queries() -> dict[str, QuerySpec]:
