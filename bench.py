@@ -119,8 +119,9 @@ def previous_bench_timings() -> dict[str, float]:
         # {our JSON line}}; accept the raw shape too
         if "queries" not in data and isinstance(data.get("parsed"), dict):
             data = data["parsed"]
-        # prior bests only mean something at the same scale factor
-        if data.get("sf") not in (0.1, None):
+        # prior bests only mean something at the same scale factor;
+        # an artifact without an sf field is not trusted either
+        if data.get("sf") != 0.1:
             return {}
         queries = data.get("queries")
         if not isinstance(queries, dict):

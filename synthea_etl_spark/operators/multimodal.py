@@ -368,8 +368,8 @@ def _decode_png_pixels(b: bytes):
     dtype = np.uint8 if bitdepth == 8 else np.dtype(">u2")
     arr = np.frombuffer(b"".join(parts), dtype).reshape(-1, channels)
     if colortype == 3:
-        if plte is None or len(plte) < 3 or len(plte) % 3:
-            return None
+        if plte is None or len(plte) < 3 or len(plte) % 3 or len(plte) > 768:
+            return None  # PLTE caps at 256 entries (768 bytes) per spec
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
         idx = arr[:, 0]
         if int(idx.max()) >= pal.shape[0]:

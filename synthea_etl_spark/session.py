@@ -36,6 +36,11 @@ _DEFAULTS: dict[str, str] = {
     # task count on huge files.
     "spark.sql.files.maxPartitionBytes": "128MB",
     "spark.sql.parquet.compression.codec": "snappy",
+    # The driver's events.parquet carries TIMESTAMP(NANOS), which the
+    # vectorized reader rejects; read nanos as long session-wide
+    # (plans.common.load_events converts to timestamp_ntz). Kept here
+    # so loaders never have to mutate engine sessions at call time.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local-mode niceties; harmless on a cluster.
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -5,6 +5,9 @@ assertions for partition pruning and salting."""
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import functions as F
 
 from synthea_etl_spark.plans.common import load
@@ -86,10 +89,32 @@ def test_partition_pruning_reaches_scan(spark):
             for i in range(children.length()):
                 stack.append(children.apply(i))
         # main scan = the one that read data columns (numFiles > 0 and
-        # rows > 0); it must have read exactly one date partition
+        # rows > 0); it must have read exactly one date partition, and
+        # numFiles must equal the latest date dir's file count on disk
+        # (not the whole layout's) -- the runtime files-read proof
         main = [s for s in scans if s.get("numOutputRows", 0) > 0]
         assert main, scans
         assert main[0].get("numPartitions") == 1, main
+        layout = os.path.join(tempfile.gettempdir(), "sparkgraft_part_events")
+        date_dirs = sorted(
+            d for d in os.listdir(layout) if d.startswith("event_date=")
+        )
+        latest_files = [
+            f
+            for f in os.listdir(os.path.join(layout, date_dirs[-1]))
+            if f.endswith(".parquet")
+        ]
+        total_files = sum(
+            1
+            for d in date_dirs
+            for f in os.listdir(os.path.join(layout, d))
+            if f.endswith(".parquet")
+        )
+        assert main[0].get("numFiles") == len(latest_files), (
+            main[0].get("numFiles"),
+            len(latest_files),
+        )
+        assert len(latest_files) < total_files
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 

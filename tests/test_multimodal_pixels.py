@@ -490,8 +490,8 @@ def test_png_pixel_count_cap_rejects_huge_dims():
 def test_png_bounded_inflate_rejects_oversized_stream():
     """An IDAT inflating far past the declared raster (the classic
     zlib bomb) is rejected: the bounded decompress never materializes
-    the excess. 2x2 gray declares 10 raw bytes; the stream holds 8 MB
-    of zeros compressed to ~8 KB."""
+    the excess. 2x2 gray declares 6 raw filtered bytes (h*(w*bpp+1));
+    the stream holds 8 MB of zeros compressed to ~8 KB."""
     bomb = _raw_png(2, 2, zlib.compress(b"\x00" * (8 << 20)))
     assert decode_pixels(bomb) is None
 
