@@ -73,6 +73,14 @@ tests/test_packing.py assert each sketch's output against an exact
 recomputation of the same aggregate (and tests/test_extended.py
 covers the sketch-vs-exact relationship on the q53/q54 event shapes).
 
+The LSH ANN pair q39/q123 is approximate-recall but fully
+deterministic (md5-derived hyperplanes, explicit tie-breaks), so since
+round 6 both carry exact DuckDB twins — the multiprobe mask set is
+hamming distance <= 2 between bucket ids, i.e.
+``bit_count(xor(b_a, b_b)) <= 2``. The only remaining rows-only ANN
+entry is q43 (IVF): its Lloyd-iteration centroid training is not
+reasonably SQL-expressible; recall is asserted in tests/test_llm.py.
+
 Regenerate with `python tools/gen_queries_md.py`.
 
 | query | oracle | tags | description |
