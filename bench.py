@@ -63,6 +63,7 @@ HEADLINE_OPT = [
     "q124_image_header_dims",
     "q125_pixel_stats",
     "q126_png_pixel_stats",
+    "q127_jpeg_pixel_stats",
 ]
 
 

@@ -24,13 +24,14 @@ Two decode paths are REAL, no codec dependency:
   distributed by ``image_metadata``;
 - pixel decode: ``decode_pixels`` walks 24-bit BI_RGB BMP (stride
   padding, bottom-up/top-down row order), binary PPM (P6,
-  comment-aware header), AND PNG in all five color types —
+  comment-aware header), PNG in all five color types —
   gray/RGB/palette/gray+alpha/RGBA — at bit depth 8 or 16,
   interlaced (Adam7) or not (stdlib zlib inflate + spec filter
-  reversal — Sub/Up/Average/Paeth) — to per-channel pixel
-  statistics, run distributed by ``pixel_stats``. The
-  NotImplementedError scope is therefore JPEG and video pixel data
-  only.
+  reversal — Sub/Up/Average/Paeth), AND baseline JPEG (SOF0:
+  Huffman entropy decode, dequant, float64 IDCT, JFIF YCbCr;
+  operators/jpeg.py) — to per-channel pixel statistics, run
+  distributed by ``pixel_stats``. The NotImplementedError scope is
+  therefore progressive/arithmetic JPEG and video pixel data only.
 """
 
 from __future__ import annotations
@@ -539,13 +540,14 @@ def decode_pixels(
     maxval < 256), and PNG in all five color types at bit depth 8 or
     16, interlaced (Adam7) or not (stdlib zlib inflate + spec filter
     reversal; palette resolved through PLTE; gray reported on all
-    three channels; 16-bit means are over raw 0..65535 samples).
+    three channels; 16-bit means are over raw 0..65535 samples), and
+    baseline JPEG (SOF0, 1x1 sampling; operators/jpeg.py).
     Returns (format, width,
     height, mean_r, mean_g, mean_b) with channel means computed as
     exact int64 sums over the pixel array divided by the pixel
     count — deterministic at any parallelism. None for anything else
-    (JPEG/video pixel data needs a codec: see decode_features' fake
-    path)."""
+    (progressive/arithmetic JPEG and video pixel data need a codec:
+    see decode_features' fake path)."""
     b = bytes(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         png = _decode_png_pixels(b)
@@ -553,6 +555,14 @@ def decode_pixels(
             return None
         w, h, mr, mg, mb = png
         return ("png", w, h, mr, mg, mb)
+    if b[:2] == b"\xff\xd8":
+        from synthea_etl_spark.operators.jpeg import decode_jpeg_pixels
+
+        jpg = decode_jpeg_pixels(b)
+        if jpg is None:
+            return None
+        w, h, mr, mg, mb = jpg
+        return ("jpeg", w, h, mr, mg, mb)
     if b[:2] == b"BM" and len(b) >= 54:
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -594,8 +604,9 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     """REAL distributed pixel decode: ``decode_pixels`` over
     Arrow-batched payloads via mapInPandas — same no-shuffle,
     no-collect shape as ``image_metadata``. Decodes uncompressed
-    BMP/PPM rasters and PNG (all five color types, depth 8/16,
-    interlaced or not); anything else (JPEG, video) yields
+    BMP/PPM rasters, PNG (all five color types, depth 8/16,
+    interlaced or not), and baseline JPEG (SOF0); anything else
+    (progressive JPEG, video) yields
     null format/stats rows (mixed corpora keep flowing; filter on
     ``format`` downstream)."""
 

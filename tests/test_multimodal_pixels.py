@@ -155,7 +155,9 @@ def test_decoder_never_raises_on_arbitrary_bytes(b):
     return a tuple or None, NEVER raise — including on adversarial
     prefixes that look like headers."""
     out = decode_pixels(b)
-    assert out is None or (len(out) == 6 and out[0] in ("bmp", "ppm", "png"))
+    assert out is None or (
+        len(out) == 6 and out[0] in ("bmp", "ppm", "png", "jpeg")
+    )
 
 
 @given(data=st.data())
@@ -500,3 +502,225 @@ def test_png_short_stream_rejected():
     """A stream inflating to LESS than the raster is rejected too."""
     short = _raw_png(2, 2, zlib.compress(b"\x00" * 5))
     assert decode_pixels(short) is None
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (operators/jpeg.py): encoder/decoder round trips, the
+# AC/zigzag/ZRL entropy paths against an independent loop-written
+# IDCT, adversarial-input guards
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+from synthea_etl_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg_pixels,
+    decode_jpeg_samples,
+    encode_jpeg,
+    rgb_to_ycc,
+    ycc_to_rgb,
+)
+
+
+def _loop_reference_block(block, quant):
+    """Independent 8x8 encode-model: explicit O(64^2) loops and
+    math.cos — shares NO code with the codec's matrix DCT, so a
+    transposed basis or mis-scaled coefficient cannot cancel out."""
+
+    def a(u):
+        return math.sqrt(0.125) if u == 0 else math.sqrt(0.25)
+
+    S = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        (block[y][x] - 128)
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            S[v][u] = a(u) * a(v) * s
+    Sq = [
+        [math.floor(S[i][j] / quant + 0.5) * quant for j in range(8)]
+        for i in range(8)
+    ]
+    rec = [[0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        a(u)
+                        * a(v)
+                        * Sq[v][u]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            rec[y][x] = min(255, max(0, math.floor(s + 128 + 0.5)))
+    return rec
+
+
+def test_jpeg_solid_blocks_exact_means():
+    """Solid 8x8 blocks round-trip exactly (DC = 8(v-128) quantizes
+    by 8 losslessly) — the arithmetic q127's oracle relies on,
+    including a negative DPCM diff (second block darker)."""
+    v0, v1 = 201, 57
+    pix = [((v0 if x < 8 else v1),) * 3 for _ in range(8) for x in range(16)]
+    w, h, mr, mg, mb = decode_jpeg_pixels(encode_jpeg(16, 8, pix, gray=True))
+    assert (w, h) == (16, 8)
+    assert mr == mg == mb == (v0 + v1) / 2
+
+
+def test_jpeg_solid_color_matches_ycc_closed_form():
+    """3-component 4:4:4 color: the decoded solid equals the
+    rgb->ycc->rgb closed form the DuckDB oracle computes."""
+    rgb = (123, 45, 210)
+    w, h, mr, mg, mb = decode_jpeg_pixels(encode_jpeg(8, 8, [rgb] * 64))
+    y, cb, cr = rgb_to_ycc(*[np.array([c]) for c in rgb])
+    er, eg, eb = ycc_to_rgb(y, cb, cr)
+    assert (mr, mg, mb) == (float(er[0]), float(eg[0]), float(eb[0]))
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    """DRI/RSTn: restart interval 2 across 4 MCUs — byte alignment,
+    marker consumption, and DC predictor reset must all be right for
+    the means to survive."""
+    vals = [10, 70, 130, 190]
+    pix = [(vals[x // 8],) * 3 for _ in range(8) for x in range(32)]
+    out = decode_jpeg_pixels(
+        encode_jpeg(32, 8, pix, gray=True, restart_interval=2)
+    )
+    assert out is not None and out[2] == sum(vals) / 4
+
+
+def test_jpeg_ac_entropy_roundtrip_vs_loop_reference():
+    """Dense-AC blocks (deterministic pseudo-random pixels) decode to
+    EXACTLY the loop-reference reconstruction, per pixel — proves
+    zigzag order, run-length coding, magnitude categories, and the
+    Huffman tables end-to-end, not just the DC path."""
+    for seed, quant in ((3, 1), (11, 2), (29, 8)):
+        block = [
+            [(seed * 37 + y * 19 + x * 53 + (x * y * seed) % 97) % 256 for x in range(8)]
+            for y in range(8)
+        ]
+        pix = [(block[y][x],) * 3 for y in range(8) for x in range(8)]
+        dec = decode_jpeg_samples(
+            encode_jpeg(8, 8, pix, gray=True, quant=quant)
+        )
+        assert dec is not None
+        w, h, planes = dec
+        ref = _loop_reference_block(block, quant)
+        assert planes[0].tolist() == ref, (seed, quant)
+
+
+def test_jpeg_zrl_long_zero_runs():
+    """A raster built from one high-frequency cosine forces >16-length
+    zero runs in zigzag order (ZRL symbols); per-pixel equality with
+    the loop reference proves the run bookkeeping lands coefficients
+    in the right slots."""
+    block = [
+        [128 + round(40 * math.cos((2 * x + 1) * 7 * math.pi / 16)
+                     * math.cos((2 * y + 1) * 7 * math.pi / 16))
+         for x in range(8)]
+        for y in range(8)
+    ]
+    pix = [(block[y][x],) * 3 for y in range(8) for x in range(8)]
+    payload = encode_jpeg(8, 8, pix, gray=True, quant=4)
+    dec = decode_jpeg_samples(payload)
+    assert dec is not None
+    assert dec[2][0].tolist() == _loop_reference_block(block, 4)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """At quant=1 the dense entropy stream contains stuffed 0xFF00
+    sequences; decode must un-stuff and still match the reference."""
+    stuffed = None
+    for seed in range(60):
+        block = [
+            [(seed * 41 + y * 23 + x * 59) % 256 for x in range(8)]
+            for y in range(8)
+        ]
+        pix = [(block[y][x],) * 3 for y in range(8) for x in range(8)]
+        payload = encode_jpeg(8, 8, pix, gray=True, quant=1)
+        if b"\xff\x00" in payload:
+            stuffed = (payload, block)
+            break
+    assert stuffed is not None, "no stuffed byte in 60 candidates"
+    payload, block = stuffed
+    dec = decode_jpeg_samples(payload)
+    assert dec is not None
+    assert dec[2][0].tolist() == _loop_reference_block(block, 1)
+
+
+def test_jpeg_subsampled_and_progressive_rejected():
+    """4:2:0 sampling factors and progressive (SOF2) frames return
+    None — the documented out-of-scope set, refused rather than
+    silently mis-decoded."""
+    good = bytearray(encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
+    i = good.find(b"\xff\xc0")
+    assert i >= 0
+    subsampled = bytearray(good)
+    subsampled[i + 11] = 0x22  # component 1 sampling 2x2
+    assert decode_jpeg_pixels(bytes(subsampled)) is None
+    progressive = bytearray(good)
+    progressive[i + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(progressive)) is None
+
+
+def test_jpeg_bomb_dims_and_zero_quant_rejected():
+    """Declared raster past the 2^24-pixel cap and zero DQT entries
+    (divide-by-zero vector) are both refused during the marker walk."""
+    good = bytearray(encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
+    i = good.find(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[i + 5 : i + 9] = (1 << 13).to_bytes(2, "big") * 2  # 8192x8192
+    assert decode_jpeg_pixels(bytes(bomb)) is None
+    j = good.find(b"\xff\xdb")
+    zeroq = bytearray(good)
+    zeroq[j + 6] = 0  # first quant entry 0
+    assert decode_jpeg_pixels(bytes(zeroq)) is None
+
+
+def test_jpeg_truncation_and_garbage_never_raise():
+    """Every prefix of a valid file, and arbitrary bytes after an SOI
+    signature, decode to None-or-result without an exception."""
+    payload = encode_jpeg(
+        16, 8, [((x * 17) % 256,) * 3 for _ in range(8) for x in range(16)],
+        gray=True, quant=1,
+    )
+    for k in range(len(payload)):
+        decode_jpeg_pixels(payload[:k])
+    for seed in range(50):
+        junk = bytes([(seed * 31 + i * 7) % 256 for i in range(200)])
+        decode_jpeg_pixels(b"\xff\xd8" + junk)
+
+
+def test_decode_pixels_routes_jpeg():
+    """The multimodal dispatcher recognizes the SOI signature and
+    reports format 'jpeg' with gray replicated on all channels."""
+    out = decode_pixels(encode_jpeg(8, 8, [(77, 0, 0)] * 64, gray=True))
+    assert out == ("jpeg", 8, 8, 77.0, 77.0, 77.0)
+
+
+def test_jpeg_extreme_block_clamps_not_crashes():
+    """A max-contrast checkerboard at quant=1 drives DCT coefficients
+    past category 10; the encoder must clamp (as real encoders do),
+    and the file must still decode."""
+    block = [[255 if (x + y) % 2 == 0 else 0 for x in range(8)] for y in range(8)]
+    pix = [(block[y][x],) * 3 for y in range(8) for x in range(8)]
+    payload = encode_jpeg(8, 8, pix, gray=True, quant=1)
+    assert decode_jpeg_pixels(payload) is not None
+
+
+def test_jpeg_tiny_file_huge_dims_no_allocation():
+    """A ~100-byte file declaring 4096x4096 must be refused by the
+    entropy-length bound BEFORE the 400 MB coefficient buffer would
+    be allocated."""
+    good = bytearray(encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
+    i = good.find(b"\xff\xc0")
+    good[i + 5 : i + 9] = (4096).to_bytes(2, "big") * 2
+    assert decode_jpeg_pixels(bytes(good)) is None

@@ -143,3 +143,91 @@ def test_streaming_scd2_refresh_two_snapshots(spark, tmp_path):
     assert a == [("v1", False), ("v2", True)]
     b = [(r.name, r.is_active) for r in rows if r.k == "b"]
     assert b == [("v1", True)]
+
+
+def test_streaming_scd2_crash_recovery_exactly_once(spark, tmp_path, monkeypatch):
+    """Failure injection for the foreachBatch SCD2 stream: kill the
+    query in the WORST window — after the sink write succeeded but
+    before the checkpoint commit — then restart from the checkpoint.
+    Spark re-runs the uncommitted batch against the already-merged
+    dimension; the merge's hash-equality idempotence plus the
+    deterministic per-batch version timestamp must make the re-run a
+    no-op, so the observable dim state is exactly-once. A second
+    injection crashes BEFORE the write (batch fully lost) and the
+    restart must replay it from the offset log. This is the recovery
+    property scd2_refresh_stream's docstring promises; the other
+    streaming tests only ever observe clean runs."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from synthea_etl_spark import pipeline as pipeline_mod
+
+    snaps, dim, ckpt = (str(tmp_path / d) for d in ("snaps", "dim", "ckpt"))
+    schema = StructType(
+        [StructField("k", StringType()), StructField("name", StringType())]
+    )
+
+    def start():
+        return scd2_refresh_stream(
+            spark, snaps, dim, ckpt, schema, keys=["k"], attrs=["name"]
+        )
+
+    def dim_state():
+        return sorted(
+            (r.k, r.name, r.is_active)
+            for r in spark.read.parquet(dim).collect()
+        )
+
+    real_write_swap = pipeline_mod.write_swap
+
+    # batch 0: clean run
+    spark.createDataFrame([("a", "v1"), ("b", "v1")], "k string, name string") \
+        .write.parquet(f"{snaps}/s1")
+    start().awaitTermination()
+    assert dim_state() == [("a", "v1", True), ("b", "v1", True)]
+
+    # batch 1: crash AFTER the sink write, BEFORE checkpoint commit
+    def write_then_crash(df, path, fmt="parquet"):
+        real_write_swap(df, path, fmt)
+        raise RuntimeError("injected crash after sink write")
+
+    monkeypatch.setattr(pipeline_mod, "write_swap", write_then_crash)
+    spark.createDataFrame([("a", "v2"), ("c", "v1")], "k string, name string") \
+        .write.parquet(f"{snaps}/s2")
+    with pytest.raises(StreamingQueryException):
+        start().awaitTermination()
+    # the write DID land before the crash: dim already holds batch 1
+    assert ("a", "v2", True) in dim_state()
+
+    # restart clean: the uncommitted batch re-runs against the merged
+    # dim; idempotence => no duplicate versions, no flipped flags
+    monkeypatch.setattr(pipeline_mod, "write_swap", real_write_swap)
+    start().awaitTermination()
+    expected_after_b1 = [
+        ("a", "v1", False),
+        ("a", "v2", True),
+        ("b", "v1", True),
+        ("c", "v1", True),
+    ]
+    assert dim_state() == expected_after_b1
+
+    # batch 2: crash BEFORE any write — the batch is fully lost and
+    # must be replayed from the checkpoint's offset log on restart
+    def crash_before_write(df, path, fmt="parquet"):
+        raise RuntimeError("injected crash before sink write")
+
+    monkeypatch.setattr(pipeline_mod, "write_swap", crash_before_write)
+    spark.createDataFrame([("b", "v2")], "k string, name string") \
+        .write.parquet(f"{snaps}/s3")
+    with pytest.raises(StreamingQueryException):
+        start().awaitTermination()
+    assert dim_state() == expected_after_b1  # nothing leaked
+
+    monkeypatch.setattr(pipeline_mod, "write_swap", real_write_swap)
+    start().awaitTermination()
+    assert dim_state() == [
+        ("a", "v1", False),
+        ("a", "v2", True),
+        ("b", "v1", False),
+        ("b", "v2", True),
+        ("c", "v1", True),
+    ]
