@@ -64,6 +64,7 @@ HEADLINE_OPT = [
     "q125_pixel_stats",
     "q126_png_pixel_stats",
     "q127_jpeg_pixel_stats",
+    "q128_y4m_frame_stats",
 ]
 
 

@@ -17,7 +17,7 @@ plumbing — schema, batch shape, partition behavior — is real and
 tested (tests/test_llm.py); swapping in PIL/librosa later changes only
 the inner function body.
 
-Two decode paths are REAL, no codec dependency:
+Three decode paths are REAL, no codec dependency:
 
 - container-header metadata: ``parse_image_dims`` reads PNG/JPEG/GIF/
   BMP dimensions straight from the fixed-layout header bytes, run
@@ -30,8 +30,13 @@ Two decode paths are REAL, no codec dependency:
   reversal — Sub/Up/Average/Paeth), AND baseline JPEG (SOF0:
   Huffman entropy decode, dequant, float64 IDCT, JFIF YCbCr;
   operators/jpeg.py) — to per-channel pixel statistics, run
-  distributed by ``pixel_stats``. The NotImplementedError scope is
-  therefore progressive/arithmetic JPEG and video pixel data only.
+  distributed by ``pixel_stats``;
+- video frame decode: ``parse_y4m`` walks the Y4M (YUV4MPEG2)
+  container — ASCII stream/FRAME markers, raw planar YUV under
+  4:2:0 / 4:2:2 / 4:4:4 / mono subsampling — to per-frame plane
+  statistics, run distributed by ``video_frame_stats`` (1-to-many
+  frame sampling). The NotImplementedError scope is therefore
+  progressive/arithmetic JPEG and compressed video only.
 """
 
 from __future__ import annotations
@@ -721,3 +726,217 @@ def sample_frames(
             )
 
     return df.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video: REAL codec-free container decode
+# ---------------------------------------------------------------------------
+# YUV4MPEG2 is the one video container a codec-free environment can
+# fully read: a single ASCII header line, then per frame an ASCII
+# "FRAME" marker line followed by raw planar YUV samples. No entropy
+# coding, no inter-frame prediction — frame extraction is exact byte
+# slicing, the video analogue of PPM for images. Layout per the
+# public mjpegtools yuv4mpeg(5) spec. Reference scope note: the
+# reference (Glue_Scripts/*.py) carries no media at all; this is
+# beyond-reference LLM-pipeline surface (BASELINE.json north star).
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_MAX_HEADER = 1024          # ASCII header lines are tiny; cap parse scan
+_Y4M_MAX_PIXELS = 1 << 24       # per-frame luma bomb cap (same posture as PNG)
+_Y4M_MAX_FRAMES = 1 << 16
+
+# colorspace tag -> chroma plane size as (w_div, h_div); None = no chroma
+_Y4M_CHROMA = {
+    "C420": (2, 2),
+    "C420jpeg": (2, 2),
+    "C420mpeg2": (2, 2),
+    "C420paldv": (2, 2),
+    "C422": (2, 1),
+    "C444": (1, 1),
+    "Cmono": None,
+}
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    frames: list[tuple[bytes, bytes, bytes]],
+    colorspace: str = "C420jpeg",
+    frame_params: str = "",
+) -> bytes:
+    """Build a spec-valid YUV4MPEG2 stream: stream header with W/H/F/
+    I/A/C tokens, then per frame a FRAME marker (optionally carrying
+    an X-style parameter, which decoders must skip) and the raw
+    planes. ``frames`` is a list of (y, u, v) plane byte strings
+    (u/v ignored for Cmono). Sizes are validated against the
+    colorspace's subsampling so tests can't accidentally build a
+    stream the parser would rightly reject."""
+    chroma = _Y4M_CHROMA[colorspace]
+    cs_token = b" " + colorspace.encode()
+    out = [
+        _Y4M_MAGIC
+        + b" W%d H%d F25:1 Ip A1:1" % (width, height)
+        + cs_token
+        + b"\n"
+    ]
+    n_luma = width * height
+    n_chroma = 0 if chroma is None else (width // chroma[0]) * (height // chroma[1])
+    marker = b"FRAME" + (b" " + frame_params.encode() if frame_params else b"") + b"\n"
+    for y, u, v in frames:
+        if len(y) != n_luma:
+            raise ValueError(f"luma plane {len(y)} != {n_luma}")
+        if chroma is None:
+            out.append(marker + y)
+            continue
+        if len(u) != n_chroma or len(v) != n_chroma:
+            raise ValueError(f"chroma planes {len(u)}/{len(v)} != {n_chroma}")
+        out.append(marker + y + u + v)
+    return b"".join(out)
+
+
+def parse_y4m(
+    b: bytes,
+) -> tuple[int, int, str, list[tuple[bytes, bytes | None, bytes | None]]] | None:
+    """Parse a YUV4MPEG2 stream into (width, height, colorspace,
+    [(y, u, v) plane bytes per frame]); u/v are None for Cmono.
+
+    Strict-reject posture (same as the PNG decoder): any malformed
+    header, unsupported colorspace, odd dimensions under subsampling,
+    truncated frame, or bomb-cap violation returns None rather than a
+    partial result. Bounded: header scan capped at _Y4M_MAX_HEADER
+    bytes, luma plane at _Y4M_MAX_PIXELS, frame count at
+    _Y4M_MAX_FRAMES — a hostile payload cannot force large
+    allocations beyond its own length."""
+    b = bytes(b)
+    if not b.startswith(_Y4M_MAGIC):
+        return None
+    nl = b.find(b"\n", 0, _Y4M_MAX_HEADER)
+    if nl < 0:
+        return None
+    try:
+        tokens = b[:nl].decode("ascii").split(" ")
+    except UnicodeDecodeError:
+        return None
+    if tokens[0] != "YUV4MPEG2":
+        return None
+    width = height = None
+    colorspace = "C420jpeg"  # spec default when no C token present
+    for tok in tokens[1:]:
+        if not tok:
+            return None  # double space — malformed header
+        if tok[0] == "W":
+            if not tok[1:].isdigit():
+                return None
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            if not tok[1:].isdigit():
+                return None
+            height = int(tok[1:])
+        elif tok[0] == "C":
+            colorspace = tok
+        # F (framerate), I (interlace), A (aspect), X (extension)
+        # don't affect plane layout; skip
+    if width is None or height is None or width <= 0 or height <= 0:
+        return None
+    if width * height > _Y4M_MAX_PIXELS:
+        return None
+    if colorspace not in _Y4M_CHROMA:
+        return None
+    chroma = _Y4M_CHROMA[colorspace]
+    if chroma is not None and (width % chroma[0] or height % chroma[1]):
+        return None
+    n_luma = width * height
+    n_chroma = 0 if chroma is None else (width // chroma[0]) * (height // chroma[1])
+    frame_size = n_luma + 2 * n_chroma
+    frames: list[tuple[bytes, bytes | None, bytes | None]] = []
+    pos = nl + 1
+    while pos < len(b):
+        if len(frames) >= _Y4M_MAX_FRAMES:
+            return None
+        if b[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = b.find(b"\n", pos, pos + _Y4M_MAX_HEADER)
+        if fnl < 0:
+            return None
+        # FRAME may carry parameters: "FRAME Xfoo\n" — anything
+        # between the marker and the newline is skippable metadata,
+        # but a non-space right after FRAME (e.g. "FRAMEX") is not a
+        # valid marker line
+        if fnl != pos + 5 and b[pos + 5 : pos + 6] != b" ":
+            return None
+        pos = fnl + 1
+        if pos + frame_size > len(b):
+            return None  # truncated frame
+        y = b[pos : pos + n_luma]
+        if chroma is None:
+            frames.append((y, None, None))
+        else:
+            u = b[pos + n_luma : pos + n_luma + n_chroma]
+            v = b[pos + n_luma + n_chroma : pos + frame_size]
+            frames.append((y, u, v))
+        pos += frame_size
+    return (width, height, colorspace, frames)
+
+
+VIDEO_FRAME_STATS_SCHEMA = (
+    "id long, frame_idx int, n_frames int, width int, height int, "
+    "colorspace string, mean_y double, mean_u double, mean_v double"
+)
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL distributed video frame decode, no codec: parse_y4m over
+    Arrow-batched payloads via mapInPandas, keeping every
+    ``every_n``-th frame — 1-to-many row explosion, no shuffle, no
+    collect, payload bytes never leave the executor. Per kept frame,
+    per-plane means are exact int64 sums / plane size (deterministic
+    at any parallelism); Cmono rows carry null chroma means.
+    Non-Y4M / malformed payloads yield a single null-stats row (mixed
+    corpora keep flowing; filter on ``colorspace`` downstream) — the
+    same degradation contract as ``pixel_stats``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = {
+            "id": [], "frame_idx": [], "n_frames": [], "width": [],
+            "height": [], "colorspace": [], "mean_y": [], "mean_u": [],
+            "mean_v": [],
+        }
+
+        def emit(id_, fi, nf, w, h, cs, my, mu, mv):
+            for k, val in zip(
+                cols, (id_, fi, nf, w, h, cs, my, mu, mv)
+            ):
+                cols[k].append(val)
+
+        for pdf in batches:
+            for k in cols:
+                cols[k].clear()
+            for id_, payload in zip(pdf["id"], pdf["payload"]):
+                parsed = parse_y4m(payload)
+                if parsed is None:
+                    emit(id_, None, None, None, None, None, None, None, None)
+                    continue
+                w, h, cs, frames = parsed
+                for fi in range(0, len(frames), every_n):
+                    y, u, v = frames[fi]
+                    my = int(np.frombuffer(y, np.uint8).sum(dtype=np.int64)) / len(y)
+                    mu = mv = None
+                    if u is not None:
+                        mu = int(np.frombuffer(u, np.uint8).sum(dtype=np.int64)) / len(u)
+                        mv = int(np.frombuffer(v, np.uint8).sum(dtype=np.int64)) / len(v)
+                    emit(id_, fi, len(frames), w, h, cs, my, mu, mv)
+            yield pd.DataFrame(
+                {
+                    "id": cols["id"],
+                    "frame_idx": pd.array(cols["frame_idx"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "colorspace": cols["colorspace"],
+                    "mean_y": pd.array(cols["mean_y"], dtype="Float64"),
+                    "mean_u": pd.array(cols["mean_u"], dtype="Float64"),
+                    "mean_v": pd.array(cols["mean_v"], dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=VIDEO_FRAME_STATS_SCHEMA)
