@@ -65,6 +65,7 @@ HEADLINE_OPT = [
     "q126_png_pixel_stats",
     "q127_jpeg_pixel_stats",
     "q128_y4m_frame_stats",
+    "q129_wav_audio_stats",
 ]
 
 

@@ -17,7 +17,7 @@ plumbing — schema, batch shape, partition behavior — is real and
 tested (tests/test_llm.py); swapping in PIL/librosa later changes only
 the inner function body.
 
-Three decode paths are REAL, no codec dependency:
+Four decode paths are REAL, no codec dependency:
 
 - container-header metadata: ``parse_image_dims`` reads PNG/JPEG/GIF/
   BMP dimensions straight from the fixed-layout header bytes, run
@@ -35,8 +35,12 @@ Three decode paths are REAL, no codec dependency:
   container — ASCII stream/FRAME markers, raw planar YUV under
   4:2:0 / 4:2:2 / 4:4:4 / mono subsampling — to per-frame plane
   statistics, run distributed by ``video_frame_stats`` (1-to-many
-  frame sampling). The NotImplementedError scope is therefore
-  progressive/arithmetic JPEG and compressed video only.
+  frame sampling);
+- audio decode: ``parse_wav`` walks the RIFF/WAVE chunk list (unknown
+  chunks skipped, odd-size pad bytes honored) to exact per-channel
+  PCM sample means (u8 / s16le), run distributed by ``audio_stats``.
+  The NotImplementedError scope is therefore progressive/arithmetic
+  JPEG, compressed video, and compressed audio only.
 """
 
 from __future__ import annotations
@@ -940,3 +944,172 @@ def video_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) audio: REAL codec-free container decode
+# ---------------------------------------------------------------------------
+# Uncompressed PCM WAV completes the modality trio: PPM/BMP for
+# images, Y4M for video, RIFF/WAVE for audio — each the format a
+# codec-free environment can fully read. The RIFF layout (chunk
+# fourcc + little-endian u32 size, odd sizes padded to even) and the
+# fmt/data chunk fields are from the public multimedia programming
+# interface spec (IBM/Microsoft, 1991). Reference scope note: the
+# reference (Glue_Scripts/*.py) carries no media; beyond-reference
+# LLM-pipeline surface (BASELINE.json north star).
+
+_WAV_MAX_BYTES = 1 << 28        # data chunk bomb cap (256 MiB)
+_WAV_MAX_CHANNELS = 64
+
+
+def encode_wav(
+    sample_rate: int,
+    channels: list[bytes],
+    bits: int = 16,
+    junk_chunk: bytes | None = None,
+) -> bytes:
+    """Build a spec-valid RIFF/WAVE file: canonical 16-byte PCM fmt
+    chunk, optional extra chunk before data (decoders must skip
+    unknown chunks; odd sizes get the RIFF pad byte), then
+    channel-interleaved PCM frames. ``channels`` is one raw
+    little-endian sample array per channel (u8 for bits=8, s16le for
+    bits=16), equal lengths."""
+    import struct
+
+    if bits not in (8, 16):
+        raise ValueError("PCM bits must be 8 or 16")
+    width = bits // 8
+    n = len(channels[0]) // width
+    if any(len(c) != n * width for c in channels):
+        raise ValueError("channel sample arrays must have equal length")
+    nch = len(channels)
+    # interleave: frame-major, channel-minor
+    frames = bytearray()
+    for j in range(n):
+        for c in channels:
+            frames += c[j * width : (j + 1) * width]
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * width,
+        nch * width, bits,
+    )
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if junk_chunk is not None:
+        chunks.append(b"JUNK" + struct.pack("<I", len(junk_chunk)) + junk_chunk)
+        if len(junk_chunk) % 2:
+            chunks.append(b"\x00")  # RIFF pad byte on odd chunk sizes
+    chunks.append(b"data" + struct.pack("<I", len(frames)) + bytes(frames))
+    if len(frames) % 2:
+        chunks.append(b"\x00")
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav(
+    b: bytes,
+) -> tuple[int, int, int, int, list[float]] | None:
+    """Parse a PCM RIFF/WAVE payload into (channels, sample_rate,
+    bits, n_frames, per-channel exact means). Walks the chunk list
+    (skipping unknown chunks, honoring the odd-size pad byte), takes
+    the format from the fmt chunk (PCM u8 / s16le only) and the
+    samples from the data chunk; means are exact int64 sums per
+    channel / frame count. Strict-reject posture, same as the image
+    and Y4M decoders: truncated chunks, non-PCM formats, zero or
+    absurd channel counts, a data chunk that is not a whole number of
+    frames, or bomb-cap violations all return None."""
+    b = bytes(b)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    riff_size = int.from_bytes(b[4:8], "little")
+    if riff_size + 8 > len(b):
+        return None  # truncated vs declared RIFF size
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if size > _WAV_MAX_BYTES:
+            return None
+        if pos + 8 + size > len(b):
+            return None  # truncated chunk
+        payload = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = payload
+        elif cid == b"data":
+            data = payload
+        pos += 8 + size + (size % 2)  # odd chunk sizes carry a pad byte
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    nch = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        return None  # PCM only; no IEEE-float/ADPCM/extensible
+    if not 0 < nch <= _WAV_MAX_CHANNELS or sample_rate <= 0:
+        return None
+    width = bits // 8
+    frame_bytes = nch * width
+    if len(data) % frame_bytes:
+        return None  # partial trailing frame
+    n_frames = len(data) // frame_bytes
+    if n_frames == 0:
+        return (nch, sample_rate, bits, 0, [])
+    dt = np.uint8 if bits == 8 else np.dtype("<i2")
+    samples = np.frombuffer(data, dt).reshape(n_frames, nch)
+    sums = samples.sum(axis=0, dtype=np.int64)
+    means = [float(s) / n_frames for s in sums]
+    return (nch, sample_rate, bits, n_frames, means)
+
+
+AUDIO_STATS_SCHEMA = (
+    "id long, channels int, sample_rate int, bits int, n_frames int, "
+    "mean_left double, mean_right double"
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL distributed audio decode, no codec: parse_wav over
+    Arrow-batched payloads via mapInPandas — the same no-shuffle,
+    no-collect shape as pixel_stats/video_frame_stats. Reports exact
+    per-channel sample means for the first two channels (mean_right
+    null for mono; payloads with >2 channels still decode, extra
+    channel means are simply not surfaced in this fixed-schema
+    report). Non-WAV / malformed payloads yield null-stats rows."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "channels": pd.array(
+                        [p[0] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "sample_rate": pd.array(
+                        [p[1] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "bits": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "mean_left": pd.array(
+                        [
+                            p[4][0] if p and len(p[4]) > 0 else None
+                            for p in parsed
+                        ],
+                        dtype="Float64",
+                    ),
+                    "mean_right": pd.array(
+                        [
+                            p[4][1] if p and len(p[4]) > 1 else None
+                            for p in parsed
+                        ],
+                        dtype="Float64",
+                    ),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=AUDIO_STATS_SCHEMA)

@@ -1,0 +1,176 @@
+"""WAV (RIFF PCM) audio container decode: round-trip, strict-reject,
+chunk walking, and the distributed audio-stats operator.
+
+parse_wav is codec-free byte slicing over the public RIFF/WAVE layout
+— the audio analogue of the PPM/Y4M paths — so the tests mirror those
+suites: exact round trips over arbitrary geometry (hypothesis),
+totality on arbitrary/truncated input, and strict rejection of every
+detectable malformation (non-PCM format, partial frames, truncated or
+oversized chunks).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from synthea_etl_spark.operators.multimodal import (
+    _WAV_MAX_BYTES,
+    audio_stats,
+    encode_wav,
+    parse_wav,
+)
+
+
+def _s16(*vals):
+    return struct.pack(f"<{len(vals)}h", *vals)
+
+
+def test_roundtrip_mono_8bit():
+    b = encode_wav(44100, [bytes([10, 20, 31])], 8)
+    assert parse_wav(b) == (1, 44100, 8, 3, [61 / 3])
+
+
+def test_roundtrip_stereo_16bit_signed():
+    b = encode_wav(8000, [_s16(-3, -1, 1), _s16(100, 200, 300)], 16)
+    assert parse_wav(b) == (2, 8000, 16, 3, [-1.0, 200.0])
+
+
+def test_junk_chunk_and_odd_pad_byte_skipped():
+    # odd-sized unknown chunk before data exercises the pad-byte walk
+    b = encode_wav(8000, [_s16(5, 7)], 16, junk_chunk=b"xyz")
+    assert parse_wav(b) == (1, 8000, 16, 2, [6.0])
+    b2 = encode_wav(8000, [_s16(5, 7)], 16, junk_chunk=b"wxyz")
+    assert parse_wav(b2) == (1, 8000, 16, 2, [6.0])
+
+
+def test_empty_data_chunk_is_valid():
+    assert parse_wav(encode_wav(8000, [b""], 16)) == (1, 8000, 16, 0, [])
+
+
+def test_many_channels_decode():
+    chans = [_s16(c, c + 2) for c in range(5)]
+    assert parse_wav(encode_wav(8000, chans, 16)) == (
+        5, 8000, 16, 2, [1.0, 2.0, 3.0, 4.0, 5.0],
+    )
+
+
+def _valid():
+    return encode_wav(8000, [_s16(1, 2, 3)], 16)
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"",
+        lambda b: b[:8],                                   # no WAVE tag
+        lambda b: b"RIFX" + b[4:],                         # bad magic
+        lambda b: b[:8] + b"EVAW" + b[12:],                # bad form type
+        lambda b: b[:-1],                                  # truncated data
+        lambda b: b[:-2],                                  # partial frame
+        lambda b: b.replace(b"fmt ", b"fmx "),             # no fmt chunk
+        lambda b: b.replace(b"data", b"datx"),             # no data chunk
+        lambda b: b.replace(                               # ADPCM, not PCM
+            struct.pack("<H", 1), struct.pack("<H", 2), 1
+        ),
+        lambda b: b.replace(                               # 0 channels
+            struct.pack("<HH", 1, 1), struct.pack("<HH", 1, 0), 1
+        ),
+        lambda b: b.replace(                               # 24-bit samples
+            struct.pack("<H", 16), struct.pack("<H", 24)
+        ),
+    ],
+)
+def test_malformed_wavs_rejected(mutate):
+    assert parse_wav(mutate(_valid())) is None
+
+
+def test_declared_riff_size_beyond_payload_rejected():
+    b = _valid()
+    inflated = b[:4] + struct.pack("<I", len(b) + 100) + b[8:]
+    assert parse_wav(inflated) is None
+
+
+def test_chunk_size_bomb_cap():
+    # a data chunk DECLARING more than the cap must be rejected before
+    # any slicing, even though the actual payload is tiny
+    b = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"data" + struct.pack("<I", _WAV_MAX_BYTES + 1) + b"\x00" * 16
+    )
+    assert parse_wav(b) is None
+
+
+@given(b=st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_parser_never_raises_on_arbitrary_bytes(b):
+    for payload in (b, b"RIFF" + b, _valid() + b):
+        r = parse_wav(payload)
+        assert r is None or len(r) == 5
+
+
+@given(data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_parser_never_raises_on_truncated_valid_files(data):
+    nch = data.draw(st.integers(1, 3))
+    bits = data.draw(st.sampled_from([8, 16]))
+    n = data.draw(st.integers(0, 5))
+    if bits == 8:
+        chans = [bytes((c * 17 + j) % 256 for j in range(n)) for c in range(nch)]
+    else:
+        chans = [
+            _s16(*((c * 1000 + j - 500) for j in range(n))) if n else b""
+            for c in range(nch)
+        ]
+    b = encode_wav(8000, chans, bits)
+    cut = data.draw(st.integers(0, len(b)))
+    r = parse_wav(b[:cut])
+    assert r is None or len(r) == 5
+
+
+@given(
+    nch=st.integers(1, 4),
+    n=st.integers(1, 20),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(-500, 255),
+)
+@settings(max_examples=100, deadline=None)
+def test_roundtrip_any_geometry_exact_means(nch, n, bits, seed):
+    if bits == 8:
+        seed = abs(seed) % 100
+        chans = [
+            bytes((seed + 2 * j + c) % 256 for j in range(n)) for c in range(nch)
+        ]
+        exp = [
+            sum((seed + 2 * j + c) % 256 for j in range(n)) / n
+            for c in range(nch)
+        ]
+    else:
+        chans = [_s16(*(seed + 2 * j + c for j in range(n))) for c in range(nch)]
+        exp = [seed + (n - 1) + c for c in range(nch)]
+    got = parse_wav(encode_wav(8000, chans, bits))
+    assert got is not None
+    assert got[:4] == (nch, 8000, bits, n)
+    assert got[4] == pytest.approx(exp, abs=0)
+
+
+def test_audio_stats_distributed(spark):
+    """End-to-end through mapInPandas: stereo vs mono, the >2-channel
+    decode path, and the null-row degradation contract."""
+    rows = [
+        (1, encode_wav(8000, [_s16(-3, -1, 1), _s16(100, 200, 300)], 16)),
+        (2, encode_wav(44100, [bytes([10, 20, 31])], 8)),
+        (3, encode_wav(8000, [_s16(c, c + 2) for c in range(4)], 16)),
+        (4, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(2)
+    got = {r.id: r for r in audio_stats(df).collect()}
+    assert got[1].channels == 2 and got[1].bits == 16 and got[1].n_frames == 3
+    assert got[1].mean_left == -1.0 and got[1].mean_right == 200.0
+    assert got[2].channels == 1 and got[2].bits == 8
+    assert got[2].mean_right is None
+    assert got[3].channels == 4  # decodes; only first two means surfaced
+    assert (got[3].mean_left, got[3].mean_right) == (1.0, 2.0)
+    assert got[4].channels is None and got[4].mean_left is None
