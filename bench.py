@@ -66,6 +66,7 @@ HEADLINE_OPT = [
     "q127_jpeg_pixel_stats",
     "q128_y4m_frame_stats",
     "q129_wav_audio_stats",
+    "q130_resize_pixel_stats",
 ]
 
 

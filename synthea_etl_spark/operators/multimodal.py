@@ -10,12 +10,14 @@ runs distributed via mapInPandas (Arrow batches, bounded memory per
 task via maxRecordsPerBatch).
 
 The COMPRESSED-codec step is STUBBED: this container ships no
-image/audio libraries, so ``decode_features``/``resize_payloads``/
-``sample_frames`` raise NotImplementedError unless ``fake=True``,
-which substitutes a deterministic byte-level stand-in. The Spark-side
-plumbing — schema, batch shape, partition behavior — is real and
-tested (tests/test_llm.py); swapping in PIL/librosa later changes only
-the inner function body.
+image/audio libraries, so ``decode_features``/``sample_frames`` raise
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic byte-level stand-in (``resize_payloads`` now has a REAL
+codec-free path for uncompressed rasters — see below — and keeps the
+fake stand-in only for codec formats). The Spark-side plumbing —
+schema, batch shape, partition behavior — is real and tested
+(tests/test_llm.py); swapping in PIL/librosa later changes only the
+inner function body.
 
 Four decode paths are REAL, no codec dependency:
 
@@ -38,9 +40,13 @@ Four decode paths are REAL, no codec dependency:
   frame sampling);
 - audio decode: ``parse_wav`` walks the RIFF/WAVE chunk list (unknown
   chunks skipped, odd-size pad bytes honored) to exact per-channel
-  PCM sample means (u8 / s16le), run distributed by ``audio_stats``.
-  The NotImplementedError scope is therefore progressive/arithmetic
-  JPEG, compressed video, and compressed audio only.
+  PCM sample means (u8 / s16le), run distributed by ``audio_stats``;
+- raster transform: ``resize_payloads`` decodes uncompressed rasters
+  (``decode_raster``: BMP/PPM), nearest-neighbor resamples with exact
+  integer index arithmetic, and re-encodes as binary PPM
+  (``encode_ppm``). The NotImplementedError scope is therefore
+  progressive/arithmetic JPEG, compressed video, and compressed
+  audio only.
 """
 
 from __future__ import annotations
@@ -538,6 +544,56 @@ def encode_png(
     )
 
 
+def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
+    """Decode an UNCOMPRESSED payload to its full spatial raster:
+    (format, h×w×3 uint8 RGB array in top-down row order) for 24-bit
+    BI_RGB BMP (stride padding honored; positive height = bottom-up
+    storage, flipped here; stored BGR converted to RGB) and binary
+    PPM (P6, maxval < 256). Same reject conditions as the
+    corresponding ``decode_pixels`` branches — that function now sums
+    this raster, so the two can never drift. Compressed formats are
+    deliberately out of scope: statistics don't need their spatial
+    structure (``decode_pixels`` handles them sum-only), and
+    re-encode after a transform would need a codec."""
+    b = bytes(b)
+    if b[:2] == b"BM" and len(b) >= 54:
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h_raw = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        h = abs(h_raw)
+        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        stride = (w * 3 + 3) // 4 * 4
+        if off < 54 or len(b) < off + stride * h:
+            return None
+        rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if h_raw > 0:
+            px = px[::-1]  # bottom-up storage -> top-down raster
+        return ("bmp", px)
+    hdr = _ppm_header(b)
+    if hdr is not None:
+        w, h, maxval, off = hdr
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        if len(b) < off + w * h * 3:
+            return None
+        return ("ppm", np.frombuffer(b, np.uint8, w * h * 3, off).reshape(h, w, 3))
+    return None
+
+
+def encode_ppm(raster: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an h×w×3 uint8 RGB raster —
+    the re-encode target for raster transforms, since it is the one
+    image format writable without a codec."""
+    h, w = raster.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        raster, dtype=np.uint8
+    ).tobytes()
+
+
 def decode_pixels(
     b: bytes,
 ) -> tuple[str, int, int, float, float, float] | None:
@@ -572,34 +628,13 @@ def decode_pixels(
             return None
         w, h, mr, mg, mb = jpg
         return ("jpeg", w, h, mr, mg, mb)
-    if b[:2] == b"BM" and len(b) >= 54:
-        off = int.from_bytes(b[10:14], "little")
-        w = int.from_bytes(b[18:22], "little", signed=True)
-        h_raw = int.from_bytes(b[22:26], "little", signed=True)
-        bpp = int.from_bytes(b[28:30], "little")
-        comp = int.from_bytes(b[30:34], "little")
-        h = abs(h_raw)
-        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
-            return None
-        stride = (w * 3 + 3) // 4 * 4
-        if off < 54 or len(b) < off + stride * h:
-            return None
-        rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
-        px = rows[:, : w * 3].reshape(-1, 3)  # stored BGR
-        sums = px.sum(axis=0, dtype=np.int64)
+    ras = decode_raster(b)
+    if ras is not None:
+        fmt, px = ras
+        h, w = px.shape[:2]
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
         cnt = float(w * h)
-        return ("bmp", w, h, sums[2] / cnt, sums[1] / cnt, sums[0] / cnt)
-    hdr = _ppm_header(b)
-    if hdr is not None:
-        w, h, maxval, off = hdr
-        if w <= 0 or h <= 0 or not 0 < maxval < 256:
-            return None
-        if len(b) < off + w * h * 3:
-            return None
-        px = np.frombuffer(b, np.uint8, w * h * 3, off).reshape(-1, 3)  # RGB
-        sums = px.sum(axis=0, dtype=np.int64)
-        cnt = float(w * h)
-        return ("ppm", w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
+        return (fmt, w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
     return None
 
 
@@ -651,43 +686,82 @@ def resize_payloads(
     df: DataFrame, width: int, height: int, fake: bool = False
 ) -> DataFrame:
     """Distributed image resize: payload -> re-encoded payload +
-    updated (width, height) metadata, 1-to-1 via mapInPandas. The
-    codec is stubbed (no PIL here): fake=True substitutes a
-    deterministic byte transform (truncate/cycle-pad to width*height
-    bytes) so batch shape, output schema, and metadata propagation are
-    exercised end-to-end; a real deployment replaces only the inner
-    per-payload function with Image.open/resize/save."""
+    updated (width, height) metadata, 1-to-1 via mapInPandas.
+
+    The REAL path (fake=False) is codec-free end to end for
+    uncompressed rasters: ``decode_raster`` (24-bit BMP / binary PPM)
+    -> nearest-neighbor resample (target pixel (x, y) samples source
+    (x*sw//width, y*sh//height) — exact integer index arithmetic, so
+    results are deterministic and oracle-checkable) -> ``encode_ppm``
+    re-encode with content_type image/x-portable-pixmap. Payloads
+    ``decode_raster`` can't read (compressed formats would need a
+    codec to re-ENCODE even where we can decode them) degrade to a
+    null-payload row with the input content_type preserved — same
+    mixed-corpus contract as pixel_stats.
+
+    fake=True keeps the deterministic byte transform (truncate/
+    cycle-pad to width*height bytes) used by the plumbing tests and
+    as the stand-in for codec formats."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv, absent here; "
-                    "pass fake=True for the deterministic stub"
+            if fake:
+
+                def fake_resize(b: bytes) -> bytes:
+                    if not len(b):
+                        return bytes(target)
+                    reps = -(-target // len(b))  # ceil
+                    return (bytes(b) * reps)[:target]
+
+                payload = pdf["payload"].map(fake_resize)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "payload": payload,
+                        "meta": [
+                            {
+                                "n_bytes": len(p),
+                                "content_type": m["content_type"],
+                                "width": width,
+                                "height": height,
+                            }
+                            for p, m in zip(payload, pdf["meta"])
+                        ],
+                    }
                 )
-
-            def fake_resize(b: bytes) -> bytes:
-                if not len(b):
-                    return bytes(target)
-                reps = -(-target // len(b))  # ceil
-                return (bytes(b) * reps)[:target]
-
-            payload = pdf["payload"].map(fake_resize)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "payload": payload,
-                    "meta": [
+                continue
+            xs = np.arange(width)
+            ys = np.arange(height)
+            payloads, metas = [], []
+            for b, m in zip(pdf["payload"], pdf["meta"]):
+                dec = decode_raster(b)
+                if dec is None:
+                    payloads.append(None)
+                    metas.append(
                         {
-                            "n_bytes": len(p),
+                            "n_bytes": None,
                             "content_type": m["content_type"],
-                            "width": width,
-                            "height": height,
+                            "width": None,
+                            "height": None,
                         }
-                        for p, m in zip(payload, pdf["meta"])
-                    ],
-                }
+                    )
+                    continue
+                _, px = dec
+                sh, sw = px.shape[:2]
+                out = px[ys * sh // height][:, xs * sw // width]
+                p = encode_ppm(out)
+                payloads.append(p)
+                metas.append(
+                    {
+                        "n_bytes": len(p),
+                        "content_type": "image/x-portable-pixmap",
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"], "payload": payloads, "meta": metas}
             )
 
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
