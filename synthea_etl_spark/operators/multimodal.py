@@ -10,14 +10,14 @@ runs distributed via mapInPandas (Arrow batches, bounded memory per
 task via maxRecordsPerBatch).
 
 The COMPRESSED-codec step is STUBBED: this container ships no
-image/audio libraries, so ``decode_features``/``sample_frames`` raise
+image/audio libraries, so ``decode_features`` raises
 NotImplementedError unless ``fake=True``, which substitutes a
-deterministic byte-level stand-in (``resize_payloads`` now has a REAL
-codec-free path for uncompressed rasters — see below — and keeps the
-fake stand-in only for codec formats). The Spark-side plumbing —
-schema, batch shape, partition behavior — is real and tested
-(tests/test_llm.py); swapping in PIL/librosa later changes only the
-inner function body.
+deterministic byte-level stand-in. ``resize_payloads`` and
+``sample_frames`` now have REAL codec-free paths (uncompressed
+rasters / Y4M containers — see below) and keep the fake stand-in only
+for codec formats. The Spark-side plumbing — schema, batch shape,
+partition behavior — is real and tested (tests/test_llm.py); swapping
+in PIL/librosa later changes only the inner function body.
 
 Four decode paths are REAL, no codec dependency:
 
@@ -778,27 +778,43 @@ def sample_frames(
 ) -> DataFrame:
     """Distributed frame sampling: one input payload -> 0..k frame
     rows (1-to-many mapInPandas — output batches need not align with
-    input rows). The decoder is stubbed: fake=True treats the payload
-    as fixed-size byte frames and keeps every ``every_n``-th; a real
-    deployment swaps in pyav/ffmpeg keyframe extraction with the same
-    row-explosion shape."""
+    input rows).
+
+    The REAL path (fake=False) decodes Y4M containers via
+    ``parse_y4m`` and emits every ``every_n``-th frame's raw plane
+    bytes (Y then U then V, concatenated — the container's own frame
+    payload layout); non-Y4M payloads yield no rows (compressed video
+    would need pyav/ffmpeg, which can slot into the same
+    row-explosion shape). ``frame_bytes`` is ignored on this path —
+    the container declares its own frame geometry.
+
+    fake=True keeps the deterministic stub: the payload is treated as
+    ``frame_bytes``-sized chunks, for plumbing tests and as the
+    stand-in for codec formats."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires pyav/ffmpeg, absent here; "
-                    "pass fake=True for the deterministic stub"
-                )
             ids, idxs, frames, totals = [], [], [], []
             for i, b in zip(pdf["id"], pdf["payload"]):
                 b = bytes(b)
-                n = len(b) // frame_bytes
-                for fi in range(0, n, every_n):
+                if fake:
+                    n = len(b) // frame_bytes
+                    for fi in range(0, n, every_n):
+                        ids.append(i)
+                        idxs.append(fi)
+                        frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
+                        totals.append(n)
+                    continue
+                parsed = parse_y4m(b)
+                if parsed is None:
+                    continue
+                _, _, _, decoded = parsed
+                for fi in range(0, len(decoded), every_n):
+                    y, u, v = decoded[fi]
                     ids.append(i)
                     idxs.append(fi)
-                    frames.append(b[fi * frame_bytes : (fi + 1) * frame_bytes])
-                    totals.append(n)
+                    frames.append(y if u is None else y + u + v)
+                    totals.append(len(decoded))
             yield pd.DataFrame(
                 {"id": ids, "frame_idx": idxs, "frame": frames, "n_frames": totals}
             )

@@ -173,3 +173,28 @@ def test_video_frame_stats_distributed(spark):
     assert got[(2, 0)].mean_u is None and got[(2, 0)].mean_v is None
     bad = got[(3, None)]
     assert bad.colorspace is None and bad.mean_y is None and bad.width is None
+
+
+def test_sample_frames_real_y4m_path(spark):
+    """fake=False now decodes Y4M for real: every_n sampling over the
+    container's own frames, raw plane bytes out, non-video payloads
+    dropped."""
+    from synthea_etl_spark.operators.multimodal import sample_frames
+
+    frames1 = [_planes(2, 2, "C444", seed=k) for k in range(5)]
+    frames2 = [_planes(2, 2, "Cmono", seed=9)]
+    rows = [
+        (1, encode_y4m(2, 2, frames1, "C444")),
+        (2, encode_y4m(2, 2, frames2, "Cmono")),
+        (3, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(2)
+    got = {
+        (r.id, r.frame_idx): r
+        for r in sample_frames(df, every_n=2).collect()
+    }
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    y, u, v = frames1[2]
+    assert bytes(got[(1, 2)].frame) == y + u + v
+    assert got[(1, 0)].n_frames == 5
+    assert bytes(got[(2, 0)].frame) == frames2[0][0]  # mono: Y only
