@@ -43,7 +43,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local-mode niceties; harmless on a cluster.
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Single-JVM local mode puts ALL 32 task slots in the driver heap.
+    # 8g was enough through sf1 but thrashes at sf10 (measured: q110's
+    # sort-merge spilled 13.4 GB and q16/q61 ran 10-15% GC,
+    # bench_artifacts/stage_profile_sf10_r06_8g.json); on this 128 GiB
+    # box 32g gives each of the 32 slots ~0.5 GB of execution memory,
+    # the same per-slot budget a real cluster executor would get.
+    # Cluster deployments size spark.executor.memory instead and this
+    # knob is inert.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
 
 
