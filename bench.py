@@ -67,6 +67,8 @@ HEADLINE_OPT = [
     "q128_y4m_frame_stats",
     "q129_wav_audio_stats",
     "q130_resize_pixel_stats",
+    "q131_media_census",
+    "q132_wav_dominant_freq",
 ]
 
 

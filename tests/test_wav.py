@@ -174,3 +174,57 @@ def test_audio_stats_distributed(spark):
     assert got[3].channels == 4  # decodes; only first two means surfaced
     assert (got[3].mean_left, got[3].mean_right) == (1.0, 2.0)
     assert got[4].channels is None and got[4].mean_left is None
+
+
+def test_audio_spectral_distributed(spark):
+    """FFT dominant-bin recovery through mapInPandas: on-bin tones at
+    16-bit and 8-bit widths resolve exactly; short and non-WAV
+    payloads yield null-bin rows."""
+    import math
+
+    from synthea_etl_spark.operators.multimodal import audio_spectral
+
+    n = 64
+
+    def tone16(k, amp=1000):
+        vals = [round(amp * math.sin(2 * math.pi * k * j / n)) for j in range(n)]
+        return encode_wav(8000, [struct.pack(f"<{n}h", *vals)], 16)
+
+    def tone8(k, amp=100):
+        vals = bytes(
+            128 + round(amp * math.sin(2 * math.pi * k * j / n)) for j in range(n)
+        )
+        return encode_wav(8000, [vals], 8)
+
+    rows = [
+        (1, tone16(3)),
+        (2, tone16(31)),       # Nyquist-adjacent bin
+        (3, tone8(7)),         # u8 offset-binary must be centered first
+        (4, encode_wav(8000, [_s16(1, 2, 3)], 16)),  # shorter than n_fft
+        (5, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(2)
+    got = {r.id: r for r in audio_spectral(df, n_fft=n).collect()}
+    assert got[1].dominant_bin == 3 and got[1].n_fft == n
+    assert got[2].dominant_bin == 31
+    assert got[3].dominant_bin == 7
+    assert got[4].dominant_bin is None and got[4].channels is None
+    assert got[5].dominant_bin is None
+
+
+def test_audio_spectral_uses_first_channel_of_stereo(spark):
+    """Stereo: channel 0 carries bin 5, channel 1 carries bin 9 — the
+    operator reads channel 0 after de-interleaving."""
+    import math
+
+    from synthea_etl_spark.operators.multimodal import audio_spectral
+
+    n = 64
+    ch = []
+    for k in (5, 9):
+        vals = [round(1000 * math.sin(2 * math.pi * k * j / n)) for j in range(n)]
+        ch.append(struct.pack(f"<{n}h", *vals))
+    payload = encode_wav(8000, ch, 16)
+    df = spark.createDataFrame([(1, payload)], "id long, payload binary")
+    r = audio_spectral(df, n_fft=n).collect()[0]
+    assert r.channels == 2 and r.dominant_bin == 5
