@@ -69,6 +69,7 @@ HEADLINE_OPT = [
     "q130_resize_pixel_stats",
     "q131_media_census",
     "q132_wav_dominant_freq",
+    "q133_webdataset_shards",
 ]
 
 
