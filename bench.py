@@ -70,6 +70,7 @@ HEADLINE_OPT = [
     "q131_media_census",
     "q132_wav_dominant_freq",
     "q133_webdataset_shards",
+    "q134_gif_pixel_stats",
 ]
 
 

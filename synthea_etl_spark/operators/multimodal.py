@@ -31,8 +31,9 @@ These paths are REAL, no codec dependency:
   interlaced (Adam7) or not (stdlib zlib inflate + spec filter
   reversal — Sub/Up/Average/Paeth), AND baseline JPEG (SOF0:
   Huffman entropy decode, dequant, float64 IDCT, JFIF YCbCr;
-  operators/jpeg.py) — to per-channel pixel statistics, run
-  distributed by ``pixel_stats``;
+  operators/jpeg.py), AND GIF (variable-width LZW, global/local
+  color tables, extension skipping; operators/gif.py) — to
+  per-channel pixel statistics, run distributed by ``pixel_stats``;
 - video frame decode: ``parse_y4m`` walks the Y4M (YUV4MPEG2)
   container — ASCII stream/FRAME markers, raw planar YUV under
   4:2:0 / 4:2:2 / 4:4:4 / mono subsampling — to per-frame plane
@@ -48,7 +49,7 @@ These paths are REAL, no codec dependency:
   integer index arithmetic, and re-encodes as binary PPM
   (``encode_ppm``). The NotImplementedError scope is therefore
   progressive/arithmetic JPEG, compressed video, and compressed
-  audio only.
+  audio only — every common still-image format decodes for real.
 """
 
 from __future__ import annotations
@@ -630,6 +631,14 @@ def decode_pixels(
             return None
         w, h, mr, mg, mb = jpg
         return ("jpeg", w, h, mr, mg, mb)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from synthea_etl_spark.operators.gif import decode_gif_pixels
+
+        gif = decode_gif_pixels(b)
+        if gif is None:
+            return None
+        w, h, mr, mg, mb = gif
+        return ("gif", w, h, mr, mg, mb)
     ras = decode_raster(b)
     if ras is not None:
         fmt, px = ras

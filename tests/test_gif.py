@@ -1,0 +1,143 @@
+"""GIF decode: LZW round trips (incl. dictionary growth, CLEAR
+restart, the KwKwK case), container walking (extensions, local color
+tables, sub-block reassembly), strict-reject, bomb caps, totality.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from synthea_etl_spark.operators.gif import (
+    _lzw_compress,
+    _lzw_decompress,
+    decode_gif_pixels,
+    encode_gif,
+)
+
+
+@given(
+    mcs=st.integers(2, 8),
+    idx=st.lists(st.integers(0, 255), max_size=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip(mcs, idx):
+    idx = [i & ((1 << mcs) - 1) for i in idx]
+    assert _lzw_decompress(_lzw_compress(idx, mcs), mcs, 10**6) == idx
+
+
+def test_lzw_kwkwk_case():
+    # 'aaaa...' forces the code == len(table) path immediately
+    idx = [0] * 50
+    assert _lzw_decompress(_lzw_compress(idx, 2), 2, 10**6) == idx
+
+
+def test_lzw_dictionary_cap_and_clear_restart():
+    # enough distinct 2-grams to overflow 4096 codes and force the
+    # compressor's CLEAR-restart path
+    idx = [(j * 181 + j // 7) % 256 for j in range(60000)]
+    assert _lzw_decompress(_lzw_compress(idx, 8), 8, 10**6) == idx
+
+
+def test_lzw_bomb_cap():
+    # valid stream decoding past max_pixels must be rejected
+    idx = [0] * 1000
+    blob = _lzw_compress(idx, 2)
+    assert _lzw_decompress(blob, 2, 999) is None
+    assert _lzw_decompress(blob, 2, 1000) == idx
+
+
+def test_container_roundtrip_exact_means():
+    pal = [(10 * i, 10 * i + 1, 10 * i + 2) for i in range(7)]
+    idx = [j % 7 for j in range(20)]
+    got = decode_gif_pixels(encode_gif(5, 4, idx, pal, comment=b"meta"))
+    exp_r = sum(pal[i][0] for i in idx) / 20
+    assert got == (5, 4, exp_r, exp_r + 1, exp_r + 2)
+
+
+def test_interlace_flag_is_order_blind_for_means():
+    pal = [(i, i, i) for i in range(4)]
+    idx = [j % 4 for j in range(16)]
+    a = decode_gif_pixels(encode_gif(4, 4, idx, pal, interlace=False))
+    b = decode_gif_pixels(encode_gif(4, 4, idx, pal, interlace=True))
+    assert a == b
+
+
+def test_local_color_table_overrides_global():
+    # hand-extend an encoded GIF: rewrite the image descriptor to
+    # carry a local table with shifted colors
+    pal = [(0, 0, 0), (10, 20, 30)]
+    b = bytearray(encode_gif(2, 1, [0, 1], pal))
+    desc = b.index(0x2C)
+    assert b[desc + 9] == 0x00
+    b[desc + 9] = 0x80  # local table, 2 entries
+    local = bytes([100, 0, 0, 200, 0, 0])
+    patched = bytes(b[: desc + 10]) + local + bytes(b[desc + 10 :])
+    got = decode_gif_pixels(patched)
+    assert got == (2, 1, 150.0, 0.0, 0.0)
+
+
+def test_big_image_multi_subblock_12bit_codes():
+    idx = [(j * 37 + j // 13) % 200 for j in range(90000)]
+    pal = [(i % 256, i * 2 % 256, i * 3 % 256) for i in range(200)]
+    w, h, mr, mg, mb = decode_gif_pixels(encode_gif(300, 300, idx, pal))
+    exp = np.array([pal[i] for i in idx], np.int64).sum(0) / 90000
+    assert (w, h) == (300, 300)
+    assert (mr, mg, mb) == (exp[0], exp[1], exp[2])
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b"",
+        lambda b: b[:10],
+        lambda b: b"GIF90a" + b[6:],                 # unknown version
+        lambda b: b[:-1],                            # truncated trailer
+        lambda b: b[: b.index(0x2C)] + b"\x3B",      # trailer before image
+        lambda b: b.replace(b"\x2C", b"\x2D", 1),    # bad block intro
+        lambda b: b[:6] + struct.pack("<HH", 0, 4) + b[10:],  # zero width
+    ],
+)
+def test_malformed_gifs_rejected(mutate):
+    pal = [(1, 2, 3), (4, 5, 6)]
+    b = encode_gif(2, 2, [0, 1, 1, 0], pal)
+    assert decode_gif_pixels(mutate(b)) is None
+
+
+def test_pixel_cap_rejects_huge_dims():
+    b = bytearray(encode_gif(2, 2, [0] * 4, [(1, 2, 3)]))
+    b[6:8] = (50000).to_bytes(2, "little")
+    b[8:10] = (50000).to_bytes(2, "little")
+    assert decode_gif_pixels(bytes(b)) is None  # 2.5e9 px > cap
+
+
+@given(b=st.binary(max_size=300))
+@settings(max_examples=300, deadline=None)
+def test_decoder_never_raises_on_arbitrary_bytes(b):
+    for payload in (b, b"GIF89a" + b):
+        r = decode_gif_pixels(payload)
+        assert r is None or len(r) == 5
+
+
+@given(data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_decoder_never_raises_on_truncated_valid_gifs(data):
+    pal = [(i * 3, i * 3 + 1, i * 3 + 2) for i in range(5)]
+    w = data.draw(st.integers(1, 5))
+    h = data.draw(st.integers(1, 5))
+    idx = [data.draw(st.integers(0, 4)) for _ in range(w * h)]
+    b = encode_gif(w, h, idx, pal)
+    cut = data.draw(st.integers(0, len(b)))
+    r = decode_gif_pixels(b[:cut])
+    assert r is None or len(r) == 5
+
+
+def test_dispatch_through_decode_pixels():
+    from synthea_etl_spark.operators.multimodal import decode_pixels
+
+    pal = [(9, 10, 11)]
+    got = decode_pixels(encode_gif(2, 2, [0] * 4, pal))
+    assert got == ("gif", 2, 2, 9.0, 10.0, 11.0)
