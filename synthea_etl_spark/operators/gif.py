@@ -38,31 +38,60 @@ def _lzw_compress(indices: list[int], min_code_size: int) -> bytes:
     clear = 1 << min_code_size
     eoi = clear + 1
     next_code = eoi + 1
-    width = min_code_size + 1
     table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
 
-    out_bits: list[tuple[int, int]] = [(clear, width)]
+    # The code WIDTH follows the DECODER's table length, not the
+    # encoder's: the decoder adds its entry one code behind the
+    # encoder (and adds one after the final data code the encoder
+    # never mirrors), so simulating the decoder is the only width
+    # schedule that stays in sync through the stream tail. The
+    # decoder's table before reading any code holds
+    # clear + 2 + max(0, d - 1) entries, where d = data codes it has
+    # read since the last CLEAR; it widens whenever that count
+    # reaches 2^width.
+    width = min_code_size + 1
+    data_codes = 0  # data codes emitted since the last CLEAR
+    adds_applied = 0
+    dec_len = clear + 2
+    out_bits: list[tuple[int, int]] = []
+
+    def emit(code: int) -> None:
+        nonlocal width, dec_len, adds_applied
+        while adds_applied < max(0, data_codes - 1):
+            dec_len += 1
+            adds_applied += 1
+        while dec_len >= (1 << width) and width < 12:
+            width += 1
+        out_bits.append((code, width))
+
+    def reset() -> None:
+        nonlocal width, dec_len, data_codes, adds_applied, table, next_code
+        width = min_code_size + 1
+        dec_len = clear + 2
+        data_codes = adds_applied = 0
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+
+    emit(clear)
     seq: tuple[int, ...] = ()
     for px in indices:
         cand = seq + (px,)
         if cand in table:
             seq = cand
             continue
-        out_bits.append((table[seq], width))
+        emit(table[seq])
+        data_codes += 1
         if next_code < 4096:
             table[cand] = next_code
             next_code += 1
-            if next_code - 1 == (1 << width) and width < 12:
-                width += 1
         else:  # dictionary full: emit CLEAR and restart
-            out_bits.append((clear, width))
-            table = {(i,): i for i in range(clear)}
-            next_code = eoi + 1
-            width = min_code_size + 1
+            emit(clear)
+            reset()
         seq = (px,)
     if seq:
-        out_bits.append((table[seq], width))
-    out_bits.append((eoi, width))
+        emit(table[seq])
+        data_codes += 1
+    emit(eoi)
 
     # LSB-first bit packing
     acc = n_acc = 0

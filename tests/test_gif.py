@@ -25,8 +25,12 @@ from synthea_etl_spark.operators.gif import (
 )
 @settings(max_examples=200, deadline=None)
 def test_lzw_roundtrip(mcs, idx):
+    # exact bomb cap: the decoder must produce len(idx) pixels, not
+    # one more — this is the boundary that exposed the tail-width
+    # desync the cross-format differential caught (decoder widens
+    # after its post-final-code add; encoder must simulate it)
     idx = [i & ((1 << mcs) - 1) for i in idx]
-    assert _lzw_decompress(_lzw_compress(idx, mcs), mcs, 10**6) == idx
+    assert _lzw_decompress(_lzw_compress(idx, mcs), mcs, max(len(idx), 1)) == idx
 
 
 def test_lzw_kwkwk_case():
@@ -141,3 +145,42 @@ def test_dispatch_through_decode_pixels():
     pal = [(9, 10, 11)]
     got = decode_pixels(encode_gif(2, 2, [0] * 4, pal))
     assert got == ("gif", 2, 2, 9.0, 10.0, 11.0)
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_cross_format_mean_consistency(data):
+    """The same raster encoded as BMP, PPM, PNG, and GIF must decode
+    to identical means through decode_pixels — a differential test
+    across four independent codecs (GIF constrained to <=256 distinct
+    colors by construction)."""
+    from synthea_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+    )
+    from tests.test_multimodal_pixels import make_bmp
+
+    w = data.draw(st.integers(1, 5))
+    h = data.draw(st.integers(1, 5))
+    n_colors = data.draw(st.integers(1, 8))
+    palette = [
+        tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+        for _ in range(n_colors)
+    ]
+    idx = [data.draw(st.integers(0, n_colors - 1)) for _ in range(w * h)]
+    px = [palette[i] for i in idx]
+
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + b"".join(bytes(p) for p in px)
+    bmp = make_bmp(w, h, [(b, g, r) for r, g, b in px])
+    png = encode_png(w, h, px, colortype=2)
+    gif = encode_gif(w, h, idx, palette)
+
+    results = {
+        fmt: decode_pixels(b)
+        for fmt, b in (("ppm", ppm), ("bmp", bmp), ("png", png), ("gif", gif))
+    }
+    base = results["ppm"]
+    assert base is not None and base[0] == "ppm"
+    for fmt, r in results.items():
+        assert r is not None and r[0] == fmt
+        assert r[1:] == base[1:], (fmt, r, base)
