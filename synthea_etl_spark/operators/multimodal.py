@@ -44,10 +44,10 @@ These paths are REAL, no codec dependency:
   PCM sample means (u8 / s16le), run distributed by ``audio_stats``;
   ``audio_spectral`` adds real DSP on top (rfft -> dominant
   frequency bin);
-- raster transform: ``resize_payloads`` decodes uncompressed rasters
-  (``decode_raster``: BMP/PPM), nearest-neighbor resamples with exact
-  integer index arithmetic, and re-encodes as binary PPM
-  (``encode_ppm``). The NotImplementedError scope is therefore
+- raster transform: ``resize_payloads`` decodes spatial rasters
+  (``decode_raster``: BMP, PPM, non-interlaced 8-bit PNG),
+  nearest-neighbor resamples with exact integer index arithmetic,
+  and re-encodes as binary PPM (``encode_ppm``). The NotImplementedError scope is therefore
   progressive/arithmetic JPEG, compressed video, and compressed
   audio only — every common still-image format decodes for real.
 """
@@ -305,17 +305,16 @@ def _png_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
     return out
 
 
-def _decode_png_pixels(b: bytes):
-    """Pure-Python PNG pixel decode (zlib is stdlib — no codec
-    needed): all five color types — gray(0) / RGB(2) / palette(3) /
-    gray+alpha(4) / RGBA(6) — at bit depth 8 or 16 (palette is 8-bit
-    only, per this decoder's scope), interlaced (Adam7) or not. Gray
-    pixels report the gray mean on all three channels; palette
-    indices resolve through PLTE before the channel sums; means are
-    over RAW sample values (0..255 at depth 8, 0..65535 at depth 16).
-    Interlaced images need no deinterlacing for statistics: each pass
-    is unfiltered independently and its samples join the sums.
-    Returns (w, h, mean_r, mean_g, mean_b) or None.
+def _decode_png_samples(b: bytes):
+    """Shared PNG decode core (zlib is stdlib — no codec needed): all
+    five color types — gray(0) / RGB(2) / palette(3) / gray+alpha(4) /
+    RGBA(6) — at bit depth 8 or 16 (palette is 8-bit only, per this
+    decoder's scope), interlaced (Adam7) or not. Returns
+    (w, h, bitdepth, interlace, px) with px an N x 1 (gray) or N x 3
+    array of RAW sample values, palette resolved through PLTE and
+    alpha dropped; None on any malformation. For non-interlaced
+    images px is in row-major raster order; interlaced px is in pass
+    order (sufficient for statistics, not for spatial use).
 
     Decode is bomb-safe for arbitrary corpora: total pixels are capped
     (``_PNG_MAX_PIXELS``) and inflate is bounded to the exact filtered
@@ -398,6 +397,19 @@ def _decode_png_pixels(b: bytes):
         px = arr[:, :1]
     else:
         px = arr[:, :3]
+    return (w, h, bitdepth, interlace, px)
+
+
+def _decode_png_pixels(b: bytes):
+    """(w, h, mean_r, mean_g, mean_b) from a PNG, or None — exact
+    int64 channel sums over ``_decode_png_samples``' raw samples;
+    gray reports its mean on all three channels. Interlaced images
+    need no deinterlacing for statistics: sample order is irrelevant
+    to a sum."""
+    dec = _decode_png_samples(b)
+    if dec is None:
+        return None
+    w, h, _, _, px = dec
     sums = px.sum(axis=0, dtype=np.int64)
     cnt = float(w * h)
     if px.shape[1] == 1:
@@ -548,17 +560,32 @@ def encode_png(
 
 
 def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
-    """Decode an UNCOMPRESSED payload to its full spatial raster:
-    (format, h×w×3 uint8 RGB array in top-down row order) for 24-bit
-    BI_RGB BMP (stride padding honored; positive height = bottom-up
-    storage, flipped here; stored BGR converted to RGB) and binary
-    PPM (P6, maxval < 256). Same reject conditions as the
-    corresponding ``decode_pixels`` branches — that function now sums
-    this raster, so the two can never drift. Compressed formats are
-    deliberately out of scope: statistics don't need their spatial
-    structure (``decode_pixels`` handles them sum-only), and
-    re-encode after a transform would need a codec."""
+    """Decode a payload to its full spatial raster: (format, h×w×3
+    uint8 RGB array in top-down row order) for 24-bit BI_RGB BMP
+    (stride padding honored; positive height = bottom-up storage,
+    flipped here; stored BGR converted to RGB), binary PPM (P6,
+    maxval < 256), and non-interlaced 8-bit PNG (any color type;
+    palette resolved, gray replicated, alpha dropped). Same reject
+    conditions as the corresponding ``decode_pixels`` branches — for
+    BMP/PPM that function sums this raster, so the two can never
+    drift. Still stats-only (no raster): interlaced or 16-bit PNG
+    (pass-major order / not PPM-encodable), JPEG and GIF (their
+    decoders produce sums, and lossy/palette re-encode rarely makes
+    sense for a resize path)."""
     b = bytes(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        dec = _decode_png_samples(b)
+        if dec is None:
+            return None
+        w, h, bitdepth, interlace, px = dec
+        # raster needs row-major order and PPM-encodable depth:
+        # interlaced sample order is pass-major, 16-bit exceeds the
+        # re-encode target's range — both stay stats-only
+        if interlace or bitdepth != 8:
+            return None
+        if px.shape[1] == 1:
+            px = np.repeat(px, 3, axis=1)
+        return ("png", px.reshape(h, w, 3))
     if b[:2] == b"BM" and len(b) >= 54:
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -699,9 +726,9 @@ def resize_payloads(
     """Distributed image resize: payload -> re-encoded payload +
     updated (width, height) metadata, 1-to-1 via mapInPandas.
 
-    The REAL path (fake=False) is codec-free end to end for
-    uncompressed rasters: ``decode_raster`` (24-bit BMP / binary PPM)
-    -> nearest-neighbor resample (target pixel (x, y) samples source
+    The REAL path (fake=False) is codec-free end to end:
+    ``decode_raster`` (24-bit BMP / binary PPM / non-interlaced 8-bit
+    PNG) -> nearest-neighbor resample (target pixel (x, y) samples source
     (x*sw//width, y*sh//height) — exact integer index arithmetic, so
     results are deterministic and oracle-checkable) -> ``encode_ppm``
     re-encode with content_type image/x-portable-pixmap. Payloads

@@ -141,3 +141,57 @@ def test_resize_payloads_fake_path_still_works(spark):
     r = resize_payloads(df, 4, 2, fake=True).collect()[0]
     assert bytes(r.payload) == b"abcabcab"
     assert r.meta.content_type == "video/mp4"
+
+
+def test_raster_png_all_color_types():
+    """Non-interlaced 8-bit PNG decodes to a spatial raster in every
+    color type: palette resolved, gray replicated to RGB, alpha
+    dropped — and the raster matches the PPM ground truth."""
+    from synthea_etl_spark.operators.multimodal import encode_png
+
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    truth = decode_raster(make_ppm(2, 2, px))[1]
+    for ct in (2, 3, 6):
+        fmt, ras = decode_raster(encode_png(2, 2, px, colortype=ct))
+        assert fmt == "png" and np.array_equal(ras, truth), ct
+    gray = [(9,), (20,), (31,), (42,)]
+    fmt, ras = decode_raster(
+        encode_png(2, 2, [(g[0], g[0], g[0]) for g in gray], colortype=0)
+    )
+    assert fmt == "png"
+    assert ras.tolist() == [
+        [[9, 9, 9], [20, 20, 20]],
+        [[31, 31, 31], [42, 42, 42]],
+    ]
+
+
+def test_raster_rejects_interlaced_and_16bit_png():
+    from synthea_etl_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+    )
+
+    px = [(1, 2, 3)] * 4
+    inter = encode_png(2, 2, px, colortype=2, interlace=1)
+    deep = encode_png(2, 2, px, colortype=2, bitdepth=16)
+    for b in (inter, deep):
+        assert decode_raster(b) is None      # no spatial raster...
+        assert decode_pixels(b) is not None  # ...but stats still work
+
+
+def test_resize_png_through_operator(spark):
+    from synthea_etl_spark.operators.multimodal import (
+        encode_png,
+        resize_payloads,
+    )
+
+    px = [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)]
+    rows = [(1, encode_png(2, 2, px, colortype=2),
+             {"n_bytes": 1, "content_type": "image/png"})]
+    df = spark.createDataFrame(
+        rows,
+        "id long, payload binary, meta struct<n_bytes: long, content_type: string>",
+    )
+    r = resize_payloads(df, 1, 1).collect()[0]
+    assert decode_raster(bytes(r.payload))[1].tolist() == [[[1, 2, 3]]]
+    assert r.meta.content_type == "image/x-portable-pixmap"
