@@ -71,6 +71,7 @@ HEADLINE_OPT = [
     "q132_wav_dominant_freq",
     "q133_webdataset_shards",
     "q134_gif_pixel_stats",
+    "q135_wav_rms_windows",
 ]
 
 

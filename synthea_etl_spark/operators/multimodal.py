@@ -1314,3 +1314,76 @@ def audio_spectral(df: DataFrame, n_fft: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "id long, window_idx int, n_windows int, window int, "
+    "rms double, mean double"
+)
+
+
+def audio_rms_windows(df: DataFrame, window: int = 16) -> DataFrame:
+    """Windowed audio feature extraction, no codec: parse_wav ->
+    first channel -> non-overlapping windows of ``window`` frames ->
+    per-window RMS (sqrt of the mean of squares, float64 over exact
+    int64 squares) and mean. 1-to-many row explosion via Arrow-batched
+    mapInPandas, the audio analogue of video_frame_stats' frame
+    sampling. Trailing partial windows are dropped (a deliberate,
+    documented choice: fixed-length windows are what downstream
+    spectral/feature code expects). Non-WAV payloads yield a single
+    null-window row."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "id", "window_idx", "n_windows", "rms", "mean",
+            )}
+
+            def emit(id_, wi, nw, rms, mean):
+                out["id"].append(id_)
+                out["window_idx"].append(wi)
+                out["n_windows"].append(nw)
+                out["rms"].append(rms)
+                out["mean"].append(mean)
+
+            for id_, payload in zip(pdf["id"], pdf["payload"]):
+                parsed = parse_wav(payload)
+                if parsed is None or parsed[3] < window:
+                    emit(id_, None, None, None, None)
+                    continue
+                nch, _, bits, n_frames, _ = parsed
+                b = bytes(payload)
+                pos, data = 12, None
+                while pos + 8 <= len(b):
+                    size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+                    if b[pos : pos + 4] == b"data":
+                        data = b[pos + 8 : pos + 8 + size]
+                        break
+                    pos += 8 + size + (size % 2)
+                dt = np.uint8 if bits == 8 else np.dtype("<i2")
+                ch0 = np.frombuffer(data, dt).reshape(n_frames, nch)[:, 0]
+                x = ch0.astype(np.int64)
+                n_windows = n_frames // window
+                w = x[: n_windows * window].reshape(n_windows, window)
+                sums = w.sum(axis=1)
+                sqsums = (w * w).sum(axis=1)
+                for wi in range(n_windows):
+                    emit(
+                        id_, wi, n_windows,
+                        float(np.sqrt(sqsums[wi] / window)),
+                        sums[wi] / window,
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": out["id"],
+                    "window_idx": pd.array(out["window_idx"], dtype="Int32"),
+                    "n_windows": pd.array(out["n_windows"], dtype="Int32"),
+                    "window": pd.array(
+                        [window] * len(out["id"]), dtype="Int32"
+                    ),
+                    "rms": pd.array(out["rms"], dtype="Float64"),
+                    "mean": pd.array(out["mean"], dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=AUDIO_WINDOW_SCHEMA)

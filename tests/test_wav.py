@@ -228,3 +228,57 @@ def test_audio_spectral_uses_first_channel_of_stereo(spark):
     df = spark.createDataFrame([(1, payload)], "id long, payload binary")
     r = audio_spectral(df, n_fft=n).collect()[0]
     assert r.channels == 2 and r.dominant_bin == 5
+
+
+def test_audio_rms_windows_distributed(spark):
+    """Window slicing, trailing-partial drop, exact RMS/mean, and the
+    null-row degradation contract."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import audio_rms_windows
+
+    vals = [100 + 2 * j for j in range(35)]  # 2 full windows + 3 dropped
+    rows = [
+        (1, encode_wav(8000, [struct.pack("<35h", *vals)], 16)),
+        (2, encode_wav(8000, [_s16(*range(10))], 16)),  # < one window
+        (3, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(2)
+    got = {(r.id, r.window_idx): r for r in audio_rms_windows(df, 16).collect()}
+    assert set(got) == {(1, 0), (1, 1), (2, None), (3, None)}
+    for wi in (0, 1):
+        x = np.array(vals[wi * 16 : (wi + 1) * 16], dtype=np.int64)
+        r = got[(1, wi)]
+        assert r.n_windows == 2 and r.window == 16
+        assert r.rms == float(np.sqrt((x * x).sum() / 16))
+        assert r.mean == x.sum() / 16
+    assert got[(2, None)].rms is None and got[(3, None)].rms is None
+
+
+def test_audio_rms_windows_negative_and_8bit():
+    """Signed 16-bit negatives square correctly; u8 path works too."""
+    import numpy as np
+    import pandas as pd
+
+    from synthea_etl_spark.operators import multimodal as M
+
+    neg = [-j for j in range(16)]
+    b16 = M.encode_wav(8000, [struct.pack("<16h", *neg)], 16)
+    b8 = M.encode_wav(8000, [bytes(range(16))], 8)
+
+    # drive the inner batch closure directly (no Spark session needed)
+    pdf = pd.DataFrame({"id": [1, 2], "payload": [b16, b8]})
+    x = np.array(neg, dtype=np.int64)
+    exp_rms16 = float(np.sqrt((x * x).sum() / 16))
+    y = np.arange(16, dtype=np.int64)
+    exp_rms8 = float(np.sqrt((y * y).sum() / 16))
+    # run through the actual mapInPandas closure via a local iterator
+    import synthea_etl_spark.operators.multimodal as mm
+
+    class FakeDF:
+        def mapInPandas(self, f, schema):
+            return list(f(iter([pdf])))
+
+    out = mm.audio_rms_windows(FakeDF(), window=16)[0]
+    assert out.loc[0, "rms"] == exp_rms16 and out.loc[0, "mean"] == x.sum() / 16
+    assert out.loc[1, "rms"] == exp_rms8 and out.loc[1, "mean"] == y.sum() / 16
