@@ -72,6 +72,7 @@ HEADLINE_OPT = [
     "q133_webdataset_shards",
     "q134_gif_pixel_stats",
     "q135_wav_rms_windows",
+    "q136_gif_frame_stats",
 ]
 
 

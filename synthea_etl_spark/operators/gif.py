@@ -202,14 +202,19 @@ def encode_gif(
     return bytes(out)
 
 
-def decode_gif_pixels(
+_GIF_MAX_FRAMES = 1 << 12
+
+
+def _decode_gif_stream(
     b: bytes,
-) -> tuple[int, int, float, float, float] | None:
-    """(width, height, mean_r, mean_g, mean_b) from a single-image
-    GIF: header + logical screen, global/local color table, extension
-    skipping, sub-block reassembly, LZW decode, palette resolution.
-    Means are exact int64 sums / pixel count. None on any
-    malformation (strict-reject) or bomb-cap violation."""
+) -> tuple[int, int, list[np.ndarray]] | None:
+    """Walk a full GIF stream to (width, height, [per-image N x 3 RGB
+    pixel arrays]) — one entry per image block, so animations come
+    back as frame sequences. Shared by the single-image and animation
+    decoders; same strict-reject posture throughout: malformed
+    headers, sub-rectangle frames (compositing is out of scope),
+    truncated sub-blocks, bad LZW streams, indices past the palette,
+    a missing trailer, or cap violations all return None."""
     b = bytes(b)
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
         return None
@@ -219,18 +224,21 @@ def decode_gif_pixels(
         return None
     flags = b[10]
     pos = 13
-    table = None
+    global_table = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         if pos + 3 * n > len(b):
             return None
-        table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        global_table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    frames: list[np.ndarray] = []
+    saw_trailer = False
     while pos < len(b):
         block = b[pos]
-        if block == 0x3B:  # trailer before any image
-            return None
-        if block == 0x21:  # extension: label + sub-blocks
+        if block == 0x3B:  # trailer
+            saw_trailer = True
+            break
+        if block == 0x21:  # extension (GCE, comment, application, ...)
             pos += 2
             while pos < len(b) and b[pos] != 0:
                 pos += 1 + b[pos]
@@ -240,53 +248,134 @@ def decode_gif_pixels(
             continue
         if block != 0x2C:
             return None
-        break
-    else:
-        return None
-    # image descriptor
-    if pos + 10 > len(b):
-        return None
-    iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
-    ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
-    iflags = b[pos + 9]
-    pos += 10
-    if iw != width or ih != height:
-        return None  # sub-rectangle images: out of scope, reject
-    if iflags & 0x80:  # local color table overrides global
-        n = 2 << (iflags & 0x07)
-        if pos + 3 * n > len(b):
+        if len(frames) >= _GIF_MAX_FRAMES:
             return None
-        table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
-        pos += 3 * n
-    if table is None:
-        return None
-    if pos >= len(b):
-        return None
-    mcs = b[pos]
-    pos += 1
-    if not 2 <= mcs <= 11:
-        return None
-    data = bytearray()
-    while True:
+        # image descriptor
+        if pos + 10 > len(b):
+            return None
+        iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+        iflags = b[pos + 9]
+        pos += 10
+        if iw != width or ih != height:
+            return None  # sub-rectangle frames: out of scope, reject
+        table = global_table
+        if iflags & 0x80:  # local color table overrides global
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            table = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            return None
         if pos >= len(b):
             return None
-        n = b[pos]
+        mcs = b[pos]
         pos += 1
-        if n == 0:
-            break
-        if pos + n > len(b):
+        if not 2 <= mcs <= 11:
             return None
-        data += b[pos : pos + n]
-        pos += n
-    if pos >= len(b) or b[pos] != 0x3B:
-        return None  # strict: single-image stream must end in trailer
-    indices = _lzw_decompress(bytes(data), mcs, width * height)
-    if indices is None or len(indices) != width * height:
+        data = bytearray()
+        while True:
+            if pos >= len(b):
+                return None
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(b):
+                return None
+            data += b[pos : pos + n]
+            pos += n
+        indices = _lzw_decompress(bytes(data), mcs, width * height)
+        if indices is None or len(indices) != width * height:
+            return None
+        idx = np.asarray(indices, np.int64)
+        if idx.max(initial=0) >= len(table):
+            return None
+        frames.append(table[idx])
+    if not saw_trailer or not frames:
         return None
-    idx = np.asarray(indices, np.int64)
-    if idx.max(initial=0) >= len(table):
+    return (width, height, frames)
+
+
+def decode_gif_pixels(
+    b: bytes,
+) -> tuple[int, int, float, float, float] | None:
+    """(width, height, mean_r, mean_g, mean_b) from a SINGLE-image
+    GIF (animations are rejected here — decode_gif_frames handles
+    them): header + logical screen, global/local color table,
+    extension skipping, sub-block reassembly, LZW decode, palette
+    resolution. Means are exact int64 sums / pixel count. None on any
+    malformation (strict-reject) or bomb-cap violation."""
+    dec = _decode_gif_stream(b)
+    if dec is None or len(dec[2]) != 1:
         return None
-    px = table[idx]
+    w, h, (px,) = dec
     sums = px.sum(axis=0, dtype=np.int64)
-    cnt = float(width * height)
-    return (width, height, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
+    cnt = float(w * h)
+    return (w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
+
+
+def decode_gif_frames(
+    b: bytes,
+) -> tuple[int, int, list[tuple[float, float, float]]] | None:
+    """(width, height, [(mean_r, mean_g, mean_b) per frame]) from a
+    GIF of ANY frame count — the animated-GIF analogue of the Y4M
+    frame decode. Frames must be full-size (sub-rectangle frames with
+    disposal compositing are out of scope and strict-rejected), which
+    is exactly the shape synthetic/training corpora use."""
+    dec = _decode_gif_stream(b)
+    if dec is None:
+        return None
+    w, h, frames = dec
+    cnt = float(w * h)
+    means = []
+    for px in frames:
+        sums = px.sum(axis=0, dtype=np.int64)
+        means.append((sums[0] / cnt, sums[1] / cnt, sums[2] / cnt))
+    return (w, h, means)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[tuple[list[int], list[tuple[int, int, int]]]],
+    delay_cs: int = 4,
+    loop: bool = False,
+) -> bytes:
+    """Spec-valid animated GIF89a: logical screen with NO global
+    table, then per frame a graphic control extension (delay,
+    no transparency) + full-frame image descriptor with a LOCAL
+    color table + LZW data; optional NETSCAPE2.0 looping application
+    extension after the header. ``frames`` is [(indices, palette)]
+    per frame."""
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00\x00\x00"  # no global table
+    if loop:
+        out += (
+            b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+        )
+    for indices, palette in frames:
+        if len(indices) != width * height:
+            raise ValueError("indices must be width*height")
+        if any(i >= len(palette) for i in indices):
+            raise ValueError("index past palette")
+        out += b"\x21\xf9\x04\x00" + delay_cs.to_bytes(2, "little") + b"\x00\x00"
+        k = max(1, (max(1, len(palette) - 1)).bit_length())
+        n_table = 1 << k
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out.append(0x80 | (k - 1))  # local table, 2^k entries
+        for i in range(n_table):
+            out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
+        mcs = max(2, k)
+        out.append(mcs)
+        data = _lzw_compress(list(indices), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -1387,3 +1387,57 @@ def audio_rms_windows(df: DataFrame, window: int = 16) -> DataFrame:
             )
 
     return df.mapInPandas(extract, schema=AUDIO_WINDOW_SCHEMA)
+
+
+GIF_FRAME_STATS_SCHEMA = (
+    "id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def gif_frame_stats(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL animated-GIF frame decode, no codec: decode_gif_frames
+    (operators/gif.py — full LZW per frame, per-frame local color
+    tables, GCE/application-extension skipping) over Arrow-batched
+    payloads, keeping every ``every_n``-th frame — the same 1-to-many
+    explosion as video_frame_stats, for the web's most common
+    animation container. Per kept frame, exact int64-sum channel
+    means. Non-GIF / malformed payloads yield a single null-stats
+    row."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from synthea_etl_spark.operators.gif import decode_gif_frames
+
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "id", "frame_idx", "n_frames", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            )}
+
+            def emit(id_, fi, nf, w, h, mr, mg, mb):
+                for k, v in zip(cols, (id_, fi, nf, w, h, mr, mg, mb)):
+                    cols[k].append(v)
+
+            for id_, payload in zip(pdf["id"], pdf["payload"]):
+                dec = decode_gif_frames(payload)
+                if dec is None:
+                    emit(id_, None, None, None, None, None, None, None)
+                    continue
+                w, h, means = dec
+                for fi in range(0, len(means), every_n):
+                    mr, mg, mb = means[fi]
+                    emit(id_, fi, len(means), w, h, mr, mg, mb)
+            yield pd.DataFrame(
+                {
+                    "id": cols["id"],
+                    "frame_idx": pd.array(cols["frame_idx"], dtype="Int32"),
+                    "n_frames": pd.array(cols["n_frames"], dtype="Int32"),
+                    "width": pd.array(cols["width"], dtype="Int32"),
+                    "height": pd.array(cols["height"], dtype="Int32"),
+                    "mean_r": pd.array(cols["mean_r"], dtype="Float64"),
+                    "mean_g": pd.array(cols["mean_g"], dtype="Float64"),
+                    "mean_b": pd.array(cols["mean_b"], dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=GIF_FRAME_STATS_SCHEMA)

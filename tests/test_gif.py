@@ -184,3 +184,62 @@ def test_cross_format_mean_consistency(data):
     for fmt, r in results.items():
         assert r is not None and r[0] == fmt
         assert r[1:] == base[1:], (fmt, r, base)
+
+
+def test_animation_roundtrip_per_frame_means():
+    from synthea_etl_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = []
+    for k in range(3):
+        pal = [(10 * k + 3 * i, 10 * k + 3 * i + 1, 10 * k + 3 * i + 2) for i in range(4)]
+        frames.append(([j % 4 for j in range(6)], pal))
+    b = encode_gif_animation(3, 2, frames, loop=True)
+    w, h, means = decode_gif_frames(b)
+    assert (w, h) == (3, 2)
+    # wh=6 divides p=4? no -- j%4 over 6 px: counts [2,2,1,1]; compute directly
+    exp = []
+    for k in range(3):
+        pal = frames[k][1]
+        px = [pal[j % 4] for j in range(6)]
+        exp.append(tuple(sum(c[d] for c in px) / 6 for d in range(3)))
+    assert means == exp
+    # single-image decoder strict-rejects animations; frames decoder
+    # accepts single images
+    assert decode_gif_pixels(b) is None
+    single = encode_gif(2, 1, [0, 0], [(5, 6, 7)])
+    assert decode_gif_frames(single) == (2, 1, [(5.0, 6.0, 7.0)])
+
+
+def test_animation_truncation_and_frame_cap():
+    from synthea_etl_spark.operators.gif import (
+        _GIF_MAX_FRAMES,
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    frames = [([0], [(1, 2, 3)])] * 3
+    b = encode_gif_animation(1, 1, frames)
+    assert decode_gif_frames(b[:-1]) is None          # no trailer
+    assert decode_gif_frames(b[: len(b) // 2]) is None
+    assert _GIF_MAX_FRAMES == 4096  # cap documented; huge animations reject
+
+
+def test_gif_frame_stats_distributed(spark):
+    from synthea_etl_spark.operators.gif import encode_gif_animation
+    from synthea_etl_spark.operators.multimodal import gif_frame_stats
+
+    frames = [
+        ([0, 0], [(10 * (k + 1), 0, 0)]) for k in range(5)
+    ]  # 5 solid 2x1 frames, mean_r = 10(k+1)
+    rows = [
+        (1, encode_gif_animation(2, 1, frames)),
+        (2, b"not a gif"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary").repartition(2)
+    got = {(r.id, r.frame_idx): r for r in gif_frame_stats(df, every_n=2).collect()}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, None)}
+    assert got[(1, 2)].mean_r == 30.0 and got[(1, 2)].n_frames == 5
+    assert got[(2, None)].width is None and got[(2, None)].mean_r is None
