@@ -73,6 +73,9 @@ HEADLINE_OPT = [
     "q134_gif_pixel_stats",
     "q135_wav_rms_windows",
     "q136_gif_frame_stats",
+    "q137_progressive_jpeg_stats",
+    "q138_g711_audio_stats",
+    "q139_adpcm_audio_stats",
 ]
 
 

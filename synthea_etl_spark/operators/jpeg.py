@@ -1,21 +1,31 @@
-"""Baseline JPEG (SOF0) codec, pure Python + numpy — no image library.
+"""JPEG codec — baseline (SOF0) AND progressive (SOF2) — pure Python
++ numpy, no image library.
 
 Beyond-reference multimodal surface (the reference repo has no image
 code; this implements the builder's-brief 'real pixel decode' scope
 for the format that dominates real corpora). Public knowledge only:
 the ITU-T T.81 spec — marker/segment layout, zigzag order, Huffman
-entropy coding (Annex K standard tables), 8x8 DCT-II, JFIF YCbCr.
+entropy coding (Annex K standard tables), 8x8 DCT-II, JFIF YCbCr,
+and Annex G's progressive mode (spectral selection, successive
+approximation, EOB-run coding, the AC correction-bit refinement
+algorithm).
 
-Scope, deliberately baseline:
+Scope:
 
-- decode: sequential DCT (SOF0), 8-bit precision, 1 or 3 components,
-  NO chroma subsampling (all sampling factors 1x1 — a 4:2:0 file
-  returns None rather than silently wrong means), restart markers
-  (DRI/RSTn), byte stuffing, multi-table DQT/DHT. Progressive (SOF2),
-  arithmetic coding, and hierarchical modes return None — that is the
-  documented remaining stub scope together with video.
-- encode: the exact twin used to synthesize valid payloads for tests
-  and oracles (same spirit as multimodal.encode_png).
+- decode: sequential DCT (SOF0) AND progressive DCT (SOF2), 8-bit
+  precision, 1 or 3 components, NO chroma subsampling (all sampling
+  factors 1x1 — a 4:2:0 file returns None rather than silently wrong
+  means), restart markers (DRI/RSTn), byte stuffing, multi-table
+  DQT/DHT, multi-scan progressive refinement with DC/AC successive
+  approximation and EOB runs. Arithmetic coding and
+  hierarchical/lossless modes return None — the remaining stub scope
+  together with compressed video codecs.
+- encode: exact twins used to synthesize valid payloads for tests
+  and oracles (same spirit as multimodal.encode_png):
+  ``encode_jpeg`` emits baseline SOF0 streams;
+  ``encode_jpeg_progressive`` emits multi-scan SOF2 streams from the
+  SAME quantized coefficients, so the two decode paths must agree
+  sample-for-sample — the differential property the tests pin.
 
 Adversarial-input posture matches the PNG decoder: declared raster
 capped at 2^24 pixels, every read bounds-checked, malformed input
@@ -375,6 +385,343 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# Progressive encoder (SOF2)
+# ---------------------------------------------------------------------------
+
+# A complete AC Huffman table holding ALL 256 run/size symbols: 254 at
+# code length 8, the last two (0xFE/0xFF, never emitted) at length 9.
+# Progressive scans need EOBn symbols (0x10..0xE0) that Annex K's
+# standard tables deliberately omit — real progressive encoders build
+# per-scan optimal tables; a fixed complete table keeps this twin
+# deterministic without a Huffman-construction pass. Canonical-valid:
+# lengths sum to 254/256 + 2/4 of the remaining code space.
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+class _EntropyOut:
+    """Accumulates entropy-coded chunks separated by restart markers;
+    each restart flushes the bit writer (1-padded per spec) before the
+    RSTn byte pair."""
+
+    def __init__(self) -> None:
+        self.chunks = bytearray()
+        self.wr = _BitWriter()
+        self.rst = 0
+
+    def restart(self) -> None:
+        self.wr.flush()
+        self.chunks += self.wr.out
+        self.chunks += bytes([0xFF, 0xD0 + self.rst])
+        self.rst = (self.rst + 1) % 8
+        self.wr = _BitWriter()
+
+    def finish(self) -> bytes:
+        self.wr.flush()
+        self.chunks += self.wr.out
+        return bytes(self.chunks)
+
+
+def _quantized_zigzag(plane: np.ndarray, qtable: np.ndarray, mx: int, my: int) -> np.ndarray:
+    """(my*8, mx*8) samples -> (n_blocks, 64) quantized coefficients in
+    ZIGZAG order — the shared front half of both encoders (same DCT,
+    same floor(x+0.5) quantizer, same |v|<=1023 baseline clamp)."""
+    blocks = (
+        plane.astype(np.float64)
+        .reshape(my, 8, mx, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+    # per-block chained matmul, NOT a batched einsum: must be the
+    # bit-identical float64 op sequence _encode_block uses, or
+    # floor(x+0.5) flips on near-half coefficients at low quant and
+    # the baseline/progressive twins stop agreeing
+    out = np.empty((blocks.shape[0], 64), dtype=np.int64)
+    zz = np.array(_ZZ)
+    for i in range(blocks.shape[0]):
+        coef = _A @ (blocks[i] - 128.0) @ _A.T
+        q = _floor_half(coef / qtable).astype(np.int64)
+        out[i] = np.clip(q, -1023, 1023).flatten()[zz]
+    return out
+
+
+def _emit_dc_first(eo, coefs, al, dc_tables, restart_interval):
+    """Interleaved first DC scan: DPCM over (dc >> al) per component
+    (arithmetic shift — T.81 G.1.2.1's DC point transform)."""
+    preds = [0] * len(coefs)
+    n = coefs[0].shape[0]
+    for mcu in range(n):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            eo.restart()
+            preds = [0] * len(coefs)
+        for ci, cz in enumerate(coefs):
+            v = int(cz[mcu, 0]) >> al
+            cat, bits = _magnitude(v - preds[ci])
+            code, ln = dc_tables[ci][cat]
+            eo.wr.put(code, ln)
+            if cat:
+                eo.wr.put(bits, cat)
+            preds[ci] = v
+    return eo
+
+
+def _emit_dc_refine(eo, coefs, al, restart_interval):
+    """DC refinement: one raw bit per block per component — bit ``al``
+    of the two's-complement DC value, no Huffman coding at all."""
+    n = coefs[0].shape[0]
+    for mcu in range(n):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            eo.restart()
+        for cz in coefs:
+            eo.wr.put((int(cz[mcu, 0]) >> al) & 1, 1)
+    return eo
+
+
+def _emit_ac_first(eo, cz, ss, se, al, ac_codes, restart_interval):
+    """Non-interleaved first AC scan for one band: run/size coding as
+    baseline plus EOBn run accumulation across all-zero bands. The AC
+    point transform is sign-magnitude (|v| >> al, sign kept)."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            eo.wr.put(code, ln)
+            if r:
+                eo.wr.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    n = cz.shape[0]
+    for mcu in range(n):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            flush_eob()
+            eo.restart()
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(cz[mcu, k])
+            m = abs(v) >> al
+            vals.append(m if v >= 0 else -m)
+        last = -1
+        for i, v in enumerate(vals):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:  # largest representable EOBn
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                eo.wr.put(code, ln)
+                run -= 16
+            cat, bits = _magnitude(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            eo.wr.put(code, ln)
+            eo.wr.put(bits, cat)
+            run = 0
+        if last < se - ss:
+            eobrun = 1  # EOB covers this block's tail; may extend
+    flush_eob()
+    return eo
+
+
+def _emit_ac_refine(eo, cz, ss, se, ah, al, ac_codes, restart_interval):
+    """Non-interleaved AC refinement scan (T.81 G.1.2.3, the
+    correction-bit algorithm): newly-significant coefficients (|v|>>al
+    == 1) are run/size-coded with s=1 plus a sign bit; already-nonzero
+    history coefficients contribute one buffered correction bit each,
+    emitted after the next symbol; trailing runs fold into EOBn whose
+    buffered bits follow the EOBn code."""
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            eo.wr.put(code, ln)
+            if r:
+                eo.wr.put(eobrun - (1 << r), r)
+            for bitv in pending:
+                eo.wr.put(bitv, 1)
+            eobrun = 0
+            pending = []
+
+    n = cz.shape[0]
+    for mcu in range(n):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            flush_eob()
+            eo.restart()
+        tvals = []
+        signs = []
+        for k in range(ss, se + 1):
+            v = int(cz[mcu, k])
+            tvals.append(abs(v) >> al)
+            signs.append(1 if v >= 0 else 0)
+        eob_pos = -1
+        for i, t in enumerate(tvals):
+            if t == 1:
+                eob_pos = i
+        run = 0
+        br: list[int] = []
+        for i, t in enumerate(tvals):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i <= eob_pos:
+                flush_eob()
+                code, ln = ac_codes[0xF0]  # ZRL among history coefs
+                eo.wr.put(code, ln)
+                run -= 16
+                for bitv in br:
+                    eo.wr.put(bitv, 1)
+                br = []
+            if t > 1:  # history coefficient: buffered correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            code, ln = ac_codes[(run << 4) | 1]
+            eo.wr.put(code, ln)
+            eo.wr.put(signs[i], 1)
+            for bitv in br:
+                eo.wr.put(bitv, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush_eob()
+    flush_eob()
+    return eo
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels_rgb: list[tuple[int, int, int]],
+    gray: bool = False,
+    quant: int = 8,
+    restart_interval: int = 0,
+    dc_al: int = 1,
+    ac_al: int = 2,
+    band_split: int = 6,
+) -> bytes:
+    """REAL progressive-JPEG (SOF2) encoder, twin of the progressive
+    decode path. Same pixel contract as ``encode_jpeg`` (row-major
+    RGB, dims multiples of 8, uniform quant, 1x1 sampling), same
+    quantized coefficients — so baseline and progressive streams of
+    the same image decode identically.
+
+    Scan script (the successive-approximation ladder libjpeg's
+    simple-progression preset uses, parameterized):
+
+    1. interleaved DC first scan at Al=dc_al, then dc_al refinement
+       scans down to Al=0 (raw-bit scans);
+    2. per component, AC first scans at Al=ac_al for the two spectral
+       bands [1, band_split-1] and [band_split, 63];
+    3. per component and band, ac_al correction-bit refinement scans
+       stepping Al down to 0.
+
+    dc_al=0/ac_al=0 degenerates to pure spectral selection. AC scans
+    use a complete fixed Huffman table (_FLAT_AC) so EOBn symbols are
+    codable without a per-scan Huffman-construction pass."""
+    if width <= 0 or height <= 0 or width % 8 or height % 8:
+        raise ValueError("dimensions must be positive multiples of 8")
+    if len(pixels_rgb) != width * height:
+        raise ValueError("pixel count mismatch")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must fit an 8-bit DQT entry")
+    if not (0 <= dc_al <= 8 and 0 <= ac_al <= 8 and 1 <= band_split <= 63):
+        raise ValueError("bad progression parameters")
+    px = np.asarray(pixels_rgb, dtype=np.int64).reshape(height, width, 3)
+    if gray:
+        planes = [px[:, :, 0]]
+    else:
+        y, cb, cr = rgb_to_ycc(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        planes = [y, cb, cr]
+    ncomp = len(planes)
+    mx, my = width // 8, height // 8
+    qtable = np.full((8, 8), float(quant))
+    coefs = [_quantized_zigzag(p, qtable, mx, my) for p in planes]
+
+    qzz = bytes([quant] * 64)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, b"\x00" + qzz)
+    if not gray:
+        out += _seg(0xDB, b"\x01" + qzz)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return _seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _STD_DC_LUMA) + dht(1, 0, _FLAT_AC)
+    dc_tables = [_canonical_codes(*_STD_DC_LUMA)]
+    if not gray:
+        out += dht(0, 1, _STD_DC_CHROMA)
+        dc_tables += [_canonical_codes(*_STD_DC_CHROMA)] * 2
+    ac_codes = _canonical_codes(*_FLAT_AC)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    def sos(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, tda in comp_specs:
+            body += bytes([cid, tda])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # 1. DC ladder (interleaved, all components)
+    all_dc = [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(ncomp)]
+    out += sos(all_dc, 0, 0, 0, dc_al)
+    out += _emit_dc_first(
+        _EntropyOut(), coefs, dc_al, dc_tables, restart_interval
+    ).finish()
+    for al in range(dc_al - 1, -1, -1):
+        out += sos(all_dc, 0, 0, al + 1, al)
+        out += _emit_dc_refine(
+            _EntropyOut(), coefs, al, restart_interval
+        ).finish()
+
+    # 2+3. AC ladder per component and spectral band (non-interleaved)
+    bands = [(1, band_split - 1), (band_split, 63)] if band_split > 1 else [(1, 63)]
+    for ci in range(ncomp):
+        for ss, se in bands:
+            out += sos([(ci + 1, 0x00)], ss, se, 0, ac_al)
+            out += _emit_ac_first(
+                _EntropyOut(), coefs[ci], ss, se, ac_al, ac_codes, restart_interval
+            ).finish()
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                out += sos([(ci + 1, 0x00)], ss, se, al + 1, al)
+                out += _emit_ac_refine(
+                    _EntropyOut(), coefs[ci], ss, se, al + 1, al,
+                    ac_codes, restart_interval,
+                ).finish()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
 
@@ -498,10 +845,13 @@ def _decode_jpeg_inner(b: bytes):
     qtables: dict[int, np.ndarray] = {}  # id -> 64 values in zigzag order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode dict
     restart_interval = 0
-    frame = None  # (w, h, [(comp_id, tq)])
+    frame = None  # (w, h, [(comp_id, tq)], progressive)
+    prog: dict | None = None  # progressive state: quantized coefs + scan flag
     pos = 2
     n = len(b)
-    while pos + 4 <= n:
+    # pos+2 (not +4): the trailing EOI of a progressive stream is the
+    # last two bytes and must still be visited for finalization
+    while pos + 2 <= n:
         if b[pos] != 0xFF:
             return None
         marker = b[pos + 1]
@@ -512,7 +862,11 @@ def _decode_jpeg_inner(b: bytes):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         if marker == 0xD9:
-            return None  # EOI before any scan
+            # EOI: for progressive, all accumulated scans now finalize;
+            # for baseline (single-scan) reaching EOI here means no scan
+            if prog is not None and prog["scans"] > 0:
+                return _finalize_progressive(frame, prog, qtables)
+            return None
         seglen = int.from_bytes(b[pos : pos + 2], "big")
         if seglen < 2 or pos + seglen > n:
             return None
@@ -554,7 +908,9 @@ def _decode_jpeg_inner(b: bytes):
             if len(seg) != 2:
                 return None
             restart_interval = int.from_bytes(seg, "big")
-        elif marker == 0xC0:  # SOF0 baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                return None  # multiple frames: not a valid T.81 stream
             if len(seg) < 6 or seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -570,16 +926,37 @@ def _decode_jpeg_inner(b: bytes):
                 if hv != 0x11:
                     return None  # subsampling out of scope, explicitly
                 comps.append((cid, tq))
-            frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (w, h, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
-        elif marker == 0xDA:  # SOS — decode the single baseline scan
+            return None  # extended/lossless/arithmetic modes
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
-            return _decode_scan(
-                b, pos, seg, frame, qtables, htables, restart_interval
+            if not frame[3]:  # baseline: decode the single scan, done
+                return _decode_scan(
+                    b, pos, seg, frame[:3], qtables, htables, restart_interval
+                )
+            if prog is None:
+                w, h = frame[0], frame[1]
+                mx, my = (w + 7) // 8, (h + 7) // 8
+                # anti-bomb before allocation: even a 1-bit-per-block DC
+                # scan cannot be shorter than n_blocks bits
+                if mx * my > (n - pos) * 8:
+                    return None
+                prog = {
+                    "coefs": [
+                        np.zeros((mx * my, 64), dtype=np.int64)
+                        for _ in frame[2]
+                    ],
+                    "scans": 0,
+                }
+            pos = _decode_scan_progressive(
+                b, pos, seg, frame, prog, htables, restart_interval
             )
+            if pos is None:
+                return None
+            prog["scans"] += 1
         # else: APPn/COM/unknown-with-length — skipped
     return None
 
@@ -646,13 +1023,19 @@ def _decode_scan(b, pos, seg, frame, qtables, htables, restart_interval):
                 zz[k] = _extend(rd.bits(cat), cat) * qt[k]
                 k += 1
 
-    # inverse zigzag -> (n_mcu, 8, 8), batched orthonormal IDCT, level
-    # shift, floor(x+0.5) sample rounding
+    return (w, h, _finish_planes(coefs, w, h, mx, my))
+
+
+def _finish_planes(coefs, w, h, mx, my):
+    """Dequantized zigzag coefficient arrays -> cropped sample planes:
+    inverse zigzag -> (n_mcu, 8, 8), batched orthonormal IDCT, level
+    shift, floor(x+0.5) sample rounding — shared by the baseline
+    single-scan path and the progressive EOI finalizer."""
     inv = np.empty(64, dtype=np.int64)
     inv[np.array(_ZZ)] = np.arange(64)
     planes = []
-    for ci in range(len(comps)):
-        blocks = coefs[ci][:, inv].reshape(-1, 8, 8)
+    for arr in coefs:
+        blocks = arr[:, inv].reshape(-1, 8, 8)
         spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + 128.0
         samples = np.clip(_floor_half(spatial), 0, 255).astype(np.int64)
         # MCU raster -> image plane, crop to declared dims
@@ -662,4 +1045,168 @@ def _decode_scan(b, pos, seg, frame, qtables, htables, restart_interval):
             .reshape(my * 8, mx * 8)[:h, :w]
         )
         planes.append(plane)
-    return (w, h, planes)
+    return planes
+
+
+def _finalize_progressive(frame, prog, qtables):
+    """Dequantize the accumulated quantized coefficients (progressive
+    scans refine QUANTIZED values; dequantization happens once, here)
+    and run the shared IDCT tail."""
+    w, h, comps, _ = frame
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    deq = []
+    for ci, (_cid, tq) in enumerate(comps):
+        qt = qtables.get(tq)
+        if qt is None:
+            return None
+        deq.append(prog["coefs"][ci].astype(np.float64) * qt)
+    return (w, h, _finish_planes(deq, w, h, mx, my))
+
+
+def _next_marker_pos(b: bytes, pos: int) -> int | None:
+    """Advance past entropy-coded data to the next true marker (skips
+    stuffed 0xFF00 pairs); None if the stream ends first."""
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    return None
+
+
+def _decode_scan_progressive(b, pos, seg, frame, prog, htables, restart_interval):
+    """One progressive scan (T.81 Annex G decode): DC first/refine
+    (interleaved allowed), AC first/refine (single component only),
+    EOB-run bookkeeping, restart markers. Mutates prog['coefs'] in
+    place; returns the byte offset of the marker after the scan's
+    entropy data, or None on malformed input."""
+    w, h, comps, _ = frame
+    ns = seg[0] if seg else 0
+    if ns < 1 or len(seg) != 1 + 2 * ns + 3:
+        return None
+    ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahl >> 4, ahl & 0xF
+    if ss > 63 or se > 63 or se < ss or al > 13:
+        return None
+    if ah and ah != al + 1:
+        return None  # successive approximation must step one bit
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        return None  # DC and AC bands may not mix in progressive mode
+    if not dc_scan and ns != 1:
+        return None  # AC scans are non-interleaved by spec
+
+    # resolve scan components -> (coef array index, dc table)
+    sel = []
+    for ci in range(ns):
+        cs, tda = seg[1 + 2 * ci], seg[2 + 2 * ci]
+        idxs = [i for i, (cid, _tq) in enumerate(comps) if cid == cs]
+        if not idxs:
+            return None
+        if dc_scan and ah == 0:
+            tab = htables.get((0, tda >> 4))
+            if tab is None:
+                return None
+        elif not dc_scan:
+            tab = htables.get((1, tda & 0xF))
+            if tab is None:
+                return None
+        else:
+            tab = None  # DC refinement reads raw bits, no table
+        sel.append((idxs[0], tab))
+
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    n_mcu = mx * my  # 1x1 sampling: MCU == block for every scan shape
+    rd = _BitReader(b, pos)
+    preds = [0] * ns
+    eobrun = 0
+    coefs = prog["coefs"]
+    p1 = 1 << al
+    m1 = -p1
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            marker = rd.align_to_marker()
+            if marker is None or not 0xD0 <= marker <= 0xD7:
+                return None
+            rd.pos += 2
+            preds = [0] * ns
+            eobrun = 0
+        if dc_scan:
+            for si, (idx, tab) in enumerate(sel):
+                if ah == 0:  # first DC scan: DPCM of (dc >> al)
+                    cat = _huff_decode(rd, tab)
+                    if cat > 15:
+                        return None
+                    preds[si] += _extend(rd.bits(cat), cat)
+                    coefs[idx][mcu, 0] = preds[si] << al
+                else:  # DC refinement: one raw bit ORed into bit al
+                    if rd.bit():
+                        coefs[idx][mcu, 0] = int(coefs[idx][mcu, 0]) | p1
+            continue
+        # --- AC scan, single component ---
+        idx, tab = sel[0]
+        band = coefs[idx][mcu]
+        if ah == 0:  # first scan for this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huff_decode(rd, tab)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rd.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    return None
+                band[k] = _extend(rd.bits(s), s) << al
+                k += 1
+        else:  # refinement scan: correction bits (T.81 G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(rd, tab)
+                    r, s = sym >> 4, sym & 0xF
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            return None
+                        newval = p1 if rd.bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.bits(r)
+                        break  # rest of band handled by the EOB sweep
+                    # advance over r zero-history coefficients, applying
+                    # correction bits to nonzero-history ones en route
+                    while k <= se:
+                        c = int(band[k])
+                        if c != 0:
+                            if rd.bit() and (c & p1) == 0:
+                                band[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            return None
+                        band[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB sweep: correction bits for every remaining
+                # nonzero-history coefficient in the band
+                while k <= se:
+                    c = int(band[k])
+                    if c != 0 and rd.bit() and (c & p1) == 0:
+                        band[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker_pos(b, rd.pos)

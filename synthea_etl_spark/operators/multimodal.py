@@ -48,8 +48,9 @@ These paths are REAL, no codec dependency:
   (``decode_raster``: BMP, PPM, non-interlaced 8-bit PNG),
   nearest-neighbor resamples with exact integer index arithmetic,
   and re-encodes as binary PPM (``encode_ppm``). The NotImplementedError scope is therefore
-  progressive/arithmetic JPEG, compressed video, and compressed
-  audio only — every common still-image format decodes for real.
+  arithmetic-coded JPEG, compressed video, and compressed audio
+  only — every common still-image format, INCLUDING progressive
+  (SOF2) JPEG, decodes for real (operators/jpeg.py).
 """
 
 from __future__ import annotations
@@ -636,13 +637,14 @@ def decode_pixels(
     16, interlaced (Adam7) or not (stdlib zlib inflate + spec filter
     reversal; palette resolved through PLTE; gray reported on all
     three channels; 16-bit means are over raw 0..65535 samples), and
-    baseline JPEG (SOF0, 1x1 sampling; operators/jpeg.py).
+    JPEG — both baseline SOF0 and progressive SOF2 with successive
+    approximation (1x1 sampling; operators/jpeg.py).
     Returns (format, width,
     height, mean_r, mean_g, mean_b) with channel means computed as
     exact int64 sums over the pixel array divided by the pixel
     count — deterministic at any parallelism. None for anything else
-    (progressive/arithmetic JPEG and video pixel data need a codec:
-    see decode_features' fake path)."""
+    (arithmetic-coded JPEG and compressed video need a codec: see
+    decode_features' fake path)."""
     b = bytes(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         png = _decode_png_pixels(b)
@@ -687,8 +689,8 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     Arrow-batched payloads via mapInPandas — same no-shuffle,
     no-collect shape as ``image_metadata``. Decodes uncompressed
     BMP/PPM rasters, PNG (all five color types, depth 8/16,
-    interlaced or not), and baseline JPEG (SOF0); anything else
-    (progressive JPEG, video) yields
+    interlaced or not), GIF, and JPEG (baseline SOF0 and progressive
+    SOF2); anything else (arithmetic JPEG, compressed video) yields
     null format/stats rows (mixed corpora keep flowing; filter on
     ``format`` downstream)."""
 
@@ -1135,15 +1137,19 @@ def encode_wav(
 def parse_wav(
     b: bytes,
 ) -> tuple[int, int, int, int, list[float]] | None:
-    """Parse a PCM RIFF/WAVE payload into (channels, sample_rate,
-    bits, n_frames, per-channel exact means). Walks the chunk list
-    (skipping unknown chunks, honoring the odd-size pad byte), takes
-    the format from the fmt chunk (PCM u8 / s16le only) and the
-    samples from the data chunk; means are exact int64 sums per
-    channel / frame count. Strict-reject posture, same as the image
-    and Y4M decoders: truncated chunks, non-PCM formats, zero or
-    absurd channel counts, a data chunk that is not a whole number of
-    frames, or bomb-cap violations all return None."""
+    """Parse a RIFF/WAVE payload into (channels, sample_rate, bits,
+    n_frames, per-channel exact means). Walks the chunk list (skipping
+    unknown chunks, honoring the odd-size pad byte), takes the format
+    from the fmt chunk and the samples from the data chunk. Formats:
+    PCM u8 / s16le (tag 1), G.711 mu-law / A-law (tags 7 / 6, decoded
+    through the exact table expansion in operators/audio_codecs), and
+    IMA/DVI ADPCM (tag 0x11, block-decoded with header predictors and
+    the standard step/index state machine). Means are exact int64
+    sums per channel / frame count, in the DECODED linear-PCM domain
+    for the compressed tags. Strict-reject posture, same as the image
+    and Y4M decoders: truncated chunks, unsupported tags (IEEE float,
+    MPEG, extensible), zero or absurd channel counts, ragged
+    frames/blocks, or bomb-cap violations all return None."""
     b = bytes(b)
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -1171,11 +1177,44 @@ def parse_wav(
     audio_format = int.from_bytes(fmt[0:2], "little")
     nch = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16):
-        return None  # PCM only; no IEEE-float/ADPCM/extensible
     if not 0 < nch <= _WAV_MAX_CHANNELS or sample_rate <= 0:
         return None
+    if audio_format in (6, 7):  # G.711 A-law / mu-law: 8-bit codes
+        from synthea_etl_spark.operators.audio_codecs import (
+            alaw_to_linear,
+            ulaw_to_linear,
+        )
+
+        if bits != 8:
+            return None
+        if len(data) % nch:
+            return None  # partial trailing frame
+        n_frames = len(data) // nch
+        if n_frames == 0:
+            return (nch, sample_rate, bits, 0, [])
+        expand = ulaw_to_linear if audio_format == 7 else alaw_to_linear
+        samples = expand(data).reshape(n_frames, nch)
+        sums = samples.sum(axis=0, dtype=np.int64)
+        return (nch, sample_rate, bits, n_frames,
+                [float(s) / n_frames for s in sums])
+    if audio_format == 0x11:  # IMA/DVI ADPCM: 4-bit block-coded
+        from synthea_etl_spark.operators.audio_codecs import decode_ima_adpcm
+
+        if bits != 4:
+            return None
+        samples = decode_ima_adpcm(data, nch, block_align)
+        if samples is None:
+            return None
+        n_frames = samples.shape[0]
+        if n_frames == 0:
+            return (nch, sample_rate, bits, 0, [])
+        sums = samples.sum(axis=0, dtype=np.int64)
+        return (nch, sample_rate, bits, n_frames,
+                [float(s) / n_frames for s in sums])
+    if audio_format != 1 or bits not in (8, 16):
+        return None  # no IEEE-float/extensible/other compressed tags
     width = bits // 8
     frame_bytes = nch * width
     if len(data) % frame_bytes:
