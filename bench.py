@@ -76,6 +76,7 @@ HEADLINE_OPT = [
     "q137_progressive_jpeg_stats",
     "q138_g711_audio_stats",
     "q139_adpcm_audio_stats",
+    "q140_chunk_overlap",
 ]
 
 

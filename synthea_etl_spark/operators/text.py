@@ -48,6 +48,59 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
 
 
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    overlap: int = 4,
+) -> DataFrame:
+    """Token-window document chunking with overlap — the standard
+    RAG/pretraining chunker: chunk k covers tokens [k*stride,
+    k*stride + window) with stride = window - overlap, and the chunk
+    count is max(1, ceil((n_tokens - overlap) / stride)) so every
+    chunk past the first contributes at least one NEW token (no
+    chunk is a suffix of its predecessor).
+
+    100 TB design: every stage is a built-in JVM expression —
+    split -> sequence -> explode -> slice/array_join — inside one
+    whole-stage-codegen span, no UDF, no shuffle (the explode is a
+    narrow 1-to-~n/stride row expansion); chunking 100 TB of text is
+    embarrassingly parallel and this plan keeps it that way."""
+    if overlap >= window:
+        raise ValueError("overlap must be smaller than window")
+    stride = window - overlap
+    toks = tokens(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(stride))),
+    ).cast("int")
+    start = F.col("chunk_idx") * stride + 1  # slice() is 1-based
+    piece = F.slice(F.col("_toks"), start, window)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            n_chunks.alias("n_chunks"),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "n_chunks",
+            F.size(piece).cast("int").alias("chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------

@@ -366,3 +366,42 @@ def test_multimodal_binary_file_source(spark, tmp_path):
         assert feats[i].n_bytes == len(b)
         assert feats[i].head_hex == b[:8].hex()
         assert abs(feats[i].mean_byte - (sum(b) / len(b))) < 1e-9
+
+
+def test_chunk_by_tokens_windows_and_overlap(spark):
+    """Chunker contract: stride = window - overlap; every chunk past
+    the first starts overlap tokens before the previous chunk's end;
+    short docs yield exactly one chunk; no chunk is a pure suffix of
+    its predecessor (the count formula stops in time)."""
+    from synthea_etl_spark.operators.text import chunk_by_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # n == window
+            (2, " ".join(f"w{i}" for i in range(11))),  # one extra token
+            (3, " ".join(f"w{i}" for i in range(25))),  # several chunks
+            (4, "only three tokens"),
+            (5, ""),  # degenerate: single empty chunk
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(docs, window=10, overlap=3)
+    rows = {(r.id, r.chunk_idx): r for r in out.collect()}
+    by_doc = {}
+    for (did, _k), r in rows.items():
+        by_doc.setdefault(did, []).append(r)
+
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_tokens == 10
+    # 11 tokens: ceil((11-3)/7) = 2 chunks; second covers tokens 7..10
+    assert len(by_doc[2]) == 2
+    assert rows[(2, 1)].chunk_text.split() == [f"w{i}" for i in range(7, 11)]
+    # 25 tokens: ceil(22/7) = 4 chunks; overlap region repeats
+    assert len(by_doc[3]) == 4
+    c0, c1 = rows[(3, 0)].chunk_text.split(), rows[(3, 1)].chunk_text.split()
+    assert c0[-3:] == c1[:3]  # 3-token overlap
+    assert rows[(3, 3)].chunk_tokens == 25 - 3 * 7
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_tokens == 3
+    assert len(by_doc[5]) == 1 and by_doc[5][0].chunk_tokens == 0
+    # every row agrees on n_chunks with the actual row count
+    for did, rs in by_doc.items():
+        assert {r.n_chunks for r in rs} == {len(rs)}
