@@ -77,6 +77,7 @@ HEADLINE_OPT = [
     "q138_g711_audio_stats",
     "q139_adpcm_audio_stats",
     "q140_chunk_overlap",
+    "q141_mjpeg_frame_stats",
 ]
 
 

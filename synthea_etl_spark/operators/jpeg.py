@@ -721,6 +721,53 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+def ensure_huffman_tables(b: bytes) -> bytes:
+    """MJPEG convention support: motion-JPEG streams routinely OMIT
+    DHT segments (the OpenDML/MJPG spec says decoders supply the
+    Annex-K defaults). If the stream has no DHT before its first SOS,
+    splice the four standard tables in right before the SOS marker;
+    otherwise return it unchanged. Walks markers with the same
+    bounds discipline as the decoder; returns the input unchanged on
+    anything malformed (the decoder will reject it properly)."""
+    if b[:2] != b"\xff\xd8":
+        return b
+    pos = 2
+    n = len(b)
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return b
+        marker = b[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xC4:
+            return b  # has its own tables
+        if marker == 0xDA:  # first SOS, no DHT seen: splice defaults
+            def dht(tc, th, spec):
+                bits, vals = spec
+                return _seg(
+                    0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+                )
+
+            tables = (
+                dht(0, 0, _STD_DC_LUMA)
+                + dht(1, 0, _STD_AC_LUMA)
+                + dht(0, 1, _STD_DC_CHROMA)
+                + dht(1, 1, _STD_AC_CHROMA)
+            )
+            return b[:pos] + tables + b[pos:]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            return b
+        seglen = int.from_bytes(b[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            return b
+        pos += seglen
+    return b
+
+
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
