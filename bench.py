@@ -78,6 +78,7 @@ HEADLINE_OPT = [
     "q139_adpcm_audio_stats",
     "q140_chunk_overlap",
     "q141_mjpeg_frame_stats",
+    "q142_flac_audio_stats",
 ]
 
 
