@@ -79,6 +79,7 @@ HEADLINE_OPT = [
     "q140_chunk_overlap",
     "q141_mjpeg_frame_stats",
     "q142_flac_audio_stats",
+    "q143_warc_ingest",
 ]
 
 
