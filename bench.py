@@ -80,6 +80,7 @@ HEADLINE_OPT = [
     "q141_mjpeg_frame_stats",
     "q142_flac_audio_stats",
     "q143_warc_ingest",
+    "q144_tiff_pixel_stats",
 ]
 
 

@@ -45,7 +45,8 @@ These paths are REAL, no codec dependency:
   ``audio_spectral`` adds real DSP on top (rfft -> dominant
   frequency bin);
 - raster transform: ``resize_payloads`` decodes spatial rasters
-  (``decode_raster``: BMP, PPM, non-interlaced 8-bit PNG),
+  (``decode_raster``: BMP, PPM, baseline TIFF, non-interlaced
+  8-bit PNG),
   nearest-neighbor resamples with exact integer index arithmetic,
   and re-encodes as binary PPM (``encode_ppm``). The NotImplementedError scope is therefore
   arithmetic-coded JPEG, compressed video, and compressed audio
@@ -560,6 +561,204 @@ def encode_png(
     )
 
 
+_TIFF_MAX_PIXELS = 1 << 24  # same anti-bomb cap as PNG/JPEG
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels_rgb: list[tuple[int, int, int]],
+    gray: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Minimal REAL baseline-TIFF encoder, twin of _decode_tiff:
+    header + one IFD + uncompressed 8-bit chunky strips. ``gray``
+    writes one sample per pixel (PhotometricInterpretation 1) from
+    the r channel; rows_per_strip=0 means a single strip. Both byte
+    orders ('II' little / 'MM' big) for decoder coverage."""
+    if width <= 0 or height <= 0 or len(pixels_rgb) != width * height:
+        raise ValueError("bad dimensions")
+    bo = ">" if big_endian else "<"
+    import struct
+
+    px = np.asarray(pixels_rgb, dtype=np.uint8).reshape(height, width, 3)
+    data = px[:, :, :1] if gray else px
+    raw = data.tobytes()
+    spp = 1 if gray else 3
+    rps = rows_per_strip or height
+    strips = [
+        raw[r * width * spp : min(r + rps, height) * width * spp]
+        for r in range(0, height, rps)
+    ]
+    n = len(strips)
+
+    header = (b"II" if not big_endian else b"MM") + struct.pack(
+        bo + "HI", 42, 8
+    )
+    # layout: header(8) IFD at 8; entry count + 10 entries + next=0
+    n_entries = 10
+    ifd_size = 2 + n_entries * 12 + 4
+    arrays_off = 8 + ifd_size
+    # out-of-line arrays: BitsPerSample (if rgb), StripOffsets,
+    # StripByteCounts (when n > 1 or values don't fit inline)
+    blobs = bytearray()
+
+    def blob(fmt: str, values: list[int]) -> int:
+        off = arrays_off + len(blobs)
+        blobs.extend(struct.pack(bo + fmt * len(values), *values))
+        return off
+
+    bits_entry: tuple[int, int, int]
+    if gray:
+        bits_entry = (3, 1, 8)  # SHORT inline
+    else:
+        bits_entry = (3, 3, blob("H", [8, 8, 8]))
+    strip_data_off = None  # filled after blobs are final
+
+    # reserve the strip arrays last so offsets are simple: compute
+    # after other blobs. StripOffsets needs the final data start.
+    counts = [len(s) for s in strips]
+    if n == 1:
+        counts_entry = (4, 1, counts[0])
+    else:
+        counts_entry = (4, n, blob("I", counts))
+    # strip offsets depend on total blob size; place data after blobs
+    if n == 1:
+        offsets_entry_placeholder = (4, 1, None)
+        offsets_blob_off = None
+    else:
+        offsets_blob_off = arrays_off + len(blobs)
+        blobs.extend(b"\x00" * (4 * n))
+        offsets_entry_placeholder = (4, n, offsets_blob_off)
+    data_off = arrays_off + len(blobs)
+    offs = []
+    acc = data_off
+    for c in counts:
+        offs.append(acc)
+        acc += c
+    if n == 1:
+        offsets_entry = (4, 1, offs[0])
+    else:
+        struct.pack_into(bo + "I" * n, blobs, offsets_blob_off - arrays_off, *offs)
+        offsets_entry = offsets_entry_placeholder
+
+    entries = [
+        (256, 4, 1, width),
+        (257, 4, 1, height),
+        (258, *bits_entry),
+        (259, 3, 1, 1),  # Compression: none
+        (262, 3, 1, 1 if gray else 2),  # Photometric
+        (273, *offsets_entry),
+        (277, 3, 1, spp),
+        (278, 4, 1, rps),
+        (279, *counts_entry),
+        (284, 3, 1, 1),  # PlanarConfig: chunky
+    ]
+    ifd = struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, val in entries:
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack(bo + "HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack(bo + "HHII", tag, typ, cnt, val)
+    ifd += struct.pack(bo + "I", 0)  # no next IFD
+    assert len(ifd) == ifd_size
+    return header + ifd + bytes(blobs) + b"".join(strips)
+
+
+def _decode_tiff(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """Baseline TIFF decode: II/MM byte order, first IFD, 8-bit
+    uncompressed chunky strips, gray (photometric 1) or RGB
+    (photometric 2). Returns (w, h, h×w×3 uint8, top-down). Strict:
+    compression, planar, bit-depth, photometric outside that scope,
+    ragged strips, or bomb-cap violations return None."""
+    import struct
+
+    if len(b) < 8:
+        return None
+    if b[:2] == b"II":
+        bo = "<"
+    elif b[:2] == b"MM":
+        bo = ">"
+    else:
+        return None
+    magic, ifd_off = struct.unpack_from(bo + "HI", b, 2)
+    if magic != 42:
+        return None
+
+    def read_entry(pos):
+        tag, typ = struct.unpack_from(bo + "HH", b, pos)
+        cnt = struct.unpack_from(bo + "I", b, pos + 4)[0]
+        return tag, typ, cnt, pos + 8
+
+    def values(typ, cnt, vpos):
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            return None
+        total = size * cnt
+        if total <= 4:
+            src = vpos
+        else:
+            src = struct.unpack_from(bo + "I", b, vpos)[0]
+            if src + total > len(b):
+                return None
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        try:
+            return list(struct.unpack_from(bo + fmt * cnt, b, src))
+        except struct.error:
+            return None
+
+    if ifd_off + 2 > len(b):
+        return None
+    n_entries = struct.unpack_from(bo + "H", b, ifd_off)[0]
+    if n_entries > 512 or ifd_off + 2 + n_entries * 12 + 4 > len(b):
+        return None
+    tags: dict[int, list[int]] = {}
+    pos = ifd_off + 2
+    for _ in range(n_entries):
+        tag, typ, cnt, vpos = read_entry(pos)
+        pos += 12
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+            vals = values(typ, cnt, vpos)
+            if vals is None:
+                return None
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if not w or not h or w * h > _TIFF_MAX_PIXELS:
+        return None
+    if one(259, 1) != 1 or one(284, 1) != 1:
+        return None  # compressed or planar: out of scope, explicit
+    spp = one(277, 1)
+    photometric = one(262)
+    if (spp, photometric) not in ((1, 1), (3, 2)):
+        return None
+    bits = tags.get(258, [8])
+    if any(v != 8 for v in bits) or len(bits) not in (1, spp):
+        return None
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(b):
+            return None
+        raw += b[off : off + cnt]
+    if len(raw) != w * h * spp:
+        return None
+    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return (w, h, px)
+
+
 def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
     """Decode a payload to its full spatial raster: (format, h×w×3
     uint8 RGB array in top-down row order) for 24-bit BI_RGB BMP
@@ -604,6 +803,12 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
         if h_raw > 0:
             px = px[::-1]  # bottom-up storage -> top-down raster
         return ("bmp", px)
+    if b[:2] in (b"II", b"MM"):
+        tiff = _decode_tiff(b)
+        if tiff is None:
+            return None
+        w, h, px = tiff
+        return ("tiff", px)
     hdr = _ppm_header(b)
     if hdr is not None:
         w, h, maxval, off = hdr
@@ -688,11 +893,11 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     """REAL distributed pixel decode: ``decode_pixels`` over
     Arrow-batched payloads via mapInPandas — same no-shuffle,
     no-collect shape as ``image_metadata``. Decodes uncompressed
-    BMP/PPM rasters, PNG (all five color types, depth 8/16,
-    interlaced or not), GIF, and JPEG (baseline SOF0 and progressive
-    SOF2); anything else (arithmetic JPEG, compressed video) yields
-    null format/stats rows (mixed corpora keep flowing; filter on
-    ``format`` downstream)."""
+    BMP/PPM/baseline-TIFF rasters, PNG (all five color types, depth
+    8/16, interlaced or not), GIF, and JPEG (baseline SOF0 and
+    progressive SOF2); anything else (arithmetic JPEG, compressed
+    video) yields null format/stats rows (mixed corpora keep
+    flowing; filter on ``format`` downstream)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

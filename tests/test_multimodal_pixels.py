@@ -156,7 +156,8 @@ def test_decoder_never_raises_on_arbitrary_bytes(b):
     prefixes that look like headers."""
     out = decode_pixels(b)
     assert out is None or (
-        len(out) == 6 and out[0] in ("bmp", "ppm", "png", "jpeg")
+        len(out) == 6
+        and out[0] in ("bmp", "ppm", "png", "jpeg", "gif", "tiff")
     )
 
 
@@ -726,3 +727,76 @@ def test_jpeg_tiny_file_huge_dims_no_allocation():
     i = good.find(b"\xff\xc0")
     good[i + 5 : i + 9] = (4096).to_bytes(2, "big") * 2
     assert decode_jpeg_pixels(bytes(good)) is None
+
+
+def test_tiff_roundtrip_byte_orders_strips_and_routing():
+    """Baseline TIFF: II and MM byte orders, single- and multi-strip
+    layouts, gray and RGB — lossless round trip through the encoder
+    twin, routed through decode_raster/decode_pixels like BMP/PPM."""
+    import random
+
+    from synthea_etl_spark.operators.multimodal import (
+        _decode_tiff,
+        decode_raster,
+        encode_tiff,
+    )
+
+    rng = random.Random(3)
+    for _ in range(40):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        gray = rng.random() < 0.4
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        if gray:
+            px = [(r, r, r) for r, _g, _b in px]
+        t = encode_tiff(
+            w, h, px, gray=gray,
+            big_endian=rng.random() < 0.5,
+            rows_per_strip=rng.choice([0, 1, 2, 3]),
+        )
+        got = _decode_tiff(t)
+        assert got is not None and got[0] == w and got[1] == h
+        exp = np.asarray(px, np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got[2], exp)
+        fmt, raster = decode_raster(t)
+        assert fmt == "tiff" and np.array_equal(raster, exp)
+        f = decode_pixels(t)
+        sums = exp.reshape(-1, 3).sum(axis=0)
+        assert f == (
+            "tiff", w, h,
+            sums[0] / (w * h), sums[1] / (w * h), sums[2] / (w * h),
+        )
+
+
+def test_tiff_strict_rejects_and_fuzz():
+    import random
+
+    from synthea_etl_spark.operators.multimodal import (
+        _decode_tiff,
+        encode_tiff,
+    )
+
+    base = encode_tiff(4, 4, [(i, i, i) for i in range(16)], rows_per_strip=2)
+    bad = bytearray(base)
+    bad[2] = 41  # magic != 42
+    assert _decode_tiff(bytes(bad)) is None
+    # compressed TIFF (tag 259 != 1) refused, not silently mis-read:
+    # flip the Compression value in the IFD
+    comp = bytearray(base)
+    # find the 259 tag entry (little-endian: 0x03 0x01)
+    i = comp.find(bytes([3, 1, 3, 0]))
+    assert i > 0
+    comp[i + 8] = 5  # LZW
+    assert _decode_tiff(bytes(comp)) is None
+    rng = random.Random(11)
+    for _ in range(300):
+        ba = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] = rng.randrange(256)
+        r = _decode_tiff(bytes(ba))
+        assert r is None or isinstance(r, tuple)
+    for cut in range(len(base)):
+        r = _decode_tiff(base[:cut])
+        assert r is None or isinstance(r, tuple)
