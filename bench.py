@@ -81,6 +81,7 @@ HEADLINE_OPT = [
     "q142_flac_audio_stats",
     "q143_warc_ingest",
     "q144_tiff_pixel_stats",
+    "q145_html_extract",
 ]
 
 

@@ -101,6 +101,32 @@ def chunk_by_tokens(
     )
 
 
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-stripping HTML -> text extraction (the standard
+    first step on crawled corpora): drop <script>/<style> elements
+    WITH their contents, drop comments, strip remaining tags, decode
+    the common character entities, collapse whitespace. Entirely
+    JVM-side regexp/replace expressions — one codegen span, no UDF —
+    and every pattern is RE2-compatible so the DuckDB oracle can run
+    the identical chain (q145's differential is therefore two
+    independent regex engines agreeing on the same spec).
+
+    Deliberately heuristic, like every at-scale extractor: it does
+    not parse HTML (no browser DOM at 100 TB), it normalizes it."""
+    c = F.col(col) if isinstance(col, str) else col
+    # (?is): case-insensitive + DOTALL so elements span lines
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 # ---------------------------------------------------------------------------
 # Quality scoring
 # ---------------------------------------------------------------------------

@@ -405,3 +405,35 @@ def test_chunk_by_tokens_windows_and_overlap(spark):
     # every row agrees on n_chunks with the actual row count
     for did, rs in by_doc.items():
         assert {r.n_chunks for r in rs} == {len(rs)}
+
+
+def test_html_to_text_extraction(spark):
+    """html_to_text: script/style bodies dropped, comments dropped,
+    tags stripped, entities decoded AFTER tag removal (so &lt;b&gt;
+    yields literal <b> rather than a strippable tag), whitespace
+    collapsed."""
+    from synthea_etl_spark.operators.text import html_to_text
+
+    cases = [
+        (
+            "<html><SCRIPT src='x'>alert('evil')</SCRIPT>"
+            "<style>p{}</style><body><h1>Hi</h1> <p>a  b</p></body>",
+            "Hi a b",
+        ),
+        ("<!-- secret -->visible<!-- more\nlines -->", "visible"),
+        ("&lt;b&gt;not a tag&lt;/b&gt; &amp; &quot;q&#39;s&quot;",
+         "<b>not a tag</b> & \"q's\""),
+        ("plain text untouched", "plain text untouched"),
+        ("<div\nclass='x'>multi\nline</div>", "multi line"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _e) in enumerate(cases)], "id long, html string"
+    )
+    got = {
+        r.id: r.out
+        for r in df.select(
+            "id", html_to_text("html").alias("out")
+        ).collect()
+    }
+    for i, (_h, expect) in enumerate(cases):
+        assert got[i] == expect, (i, got[i], expect)
