@@ -82,6 +82,7 @@ HEADLINE_OPT = [
     "q143_warc_ingest",
     "q144_tiff_pixel_stats",
     "q145_html_extract",
+    "q146_bigram_familiarity",
 ]
 
 
