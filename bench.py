@@ -83,6 +83,7 @@ HEADLINE_OPT = [
     "q144_tiff_pixel_stats",
     "q145_html_extract",
     "q146_bigram_familiarity",
+    "q147_url_domain_stats",
 ]
 
 
