@@ -84,6 +84,7 @@ HEADLINE_OPT = [
     "q145_html_extract",
     "q146_bigram_familiarity",
     "q147_url_domain_stats",
+    "q148_crawl_pipeline",
 ]
 
 
