@@ -85,6 +85,7 @@ HEADLINE_OPT = [
     "q146_bigram_familiarity",
     "q147_url_domain_stats",
     "q148_crawl_pipeline",
+    "q149_bpe_tokenize",
 ]
 
 
