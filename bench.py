@@ -86,6 +86,7 @@ HEADLINE_OPT = [
     "q147_url_domain_stats",
     "q148_crawl_pipeline",
     "q149_bpe_tokenize",
+    "q150_dataset_fingerprint",
 ]
 
 

@@ -437,3 +437,44 @@ def test_html_to_text_extraction(spark):
     }
     for i, (_h, expect) in enumerate(cases):
         assert got[i] == expect, (i, got[i], expect)
+
+
+def test_dataset_fingerprint_is_partitioning_invariant(spark):
+    """The q150 property itself: re-partitioning and re-ordering the
+    input must not change the per-source content fingerprint, and
+    changing ONE row must."""
+    from pyspark.sql import functions as F
+
+    from synthea_etl_spark.plans.llm import q150_dataset_fingerprint
+
+    sf = "/root/testdata/sf0.001"
+    base = {
+        r.source: r.content_fingerprint
+        for r in q150_dataset_fingerprint(spark, sf).collect()
+    }
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "doc_id", "text")), 1, 15), 16, 10
+    ).cast("long")
+
+    def fp(df):
+        return {
+            r.source: r.f
+            for r in df.select("source", row_hash.alias("h"))
+            .groupBy("source")
+            .agg(F.expr("bit_xor(h)").alias("f"))
+            .collect()
+        }
+
+    shuffled = fp(docs.repartition(17, "text").sortWithinPartitions("text"))
+    assert shuffled == base
+    mutated = fp(
+        docs.withColumn(
+            "text",
+            F.when(F.col("doc_id") == 0, F.lit("tampered")).otherwise(
+                F.col("text")
+            ),
+        )
+    )
+    assert mutated != base
