@@ -436,3 +436,65 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert ("u1", "2024-01-01 10:30:00", "2024-01-01 10:00:00") in streamed
     assert ("u2", "2024-01-01 09:20:00", "2024-01-01 09:00:00") in streamed
     assert not any(b == "2024-01-01 12:00:00" for _, b, _ in streamed)
+
+
+def test_streaming_warc_ingest_incremental_and_exactly_once(spark, tmp_path):
+    """Streaming crawl ingestion: WARC.gz payload batches land as
+    parquet files, a file-source stream explodes them through the
+    Arrow-batched record parser (mapInPandas is stateless, so it
+    composes with Structured Streaming unchanged), and an
+    AvailableNow + checkpoint loop proves incremental exactly-once:
+    re-running without new input appends nothing; a second landing
+    batch appends exactly its own records."""
+    from synthea_etl_spark.operators.warc import encode_warc_gz, warc_records
+
+    src = tmp_path / "landing"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def land(batch_id: int, doc_ids: list[int]) -> None:
+        rows = []
+        for doc_id in doc_ids:
+            recs = [
+                {
+                    "type": "response",
+                    "uri": f"http://x/{doc_id}/{k}",
+                    "payload": f"body {doc_id} {k}".encode(),
+                }
+                for k in range(2)
+            ]
+            rows.append((doc_id, bytearray(encode_warc_gz(recs))))
+        spark.createDataFrame(rows, "id long, payload binary").write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("id long, payload binary")
+            .parquet(str(src))
+        )
+        q = (
+            warc_records(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0, [1, 2, 3])
+    run_once()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 6  # 3 archives x 2 records
+    # idempotent: no new files -> no new rows
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 6
+    # incremental: a second landing batch adds exactly its records
+    land(1, [4, 5])
+    run_once()
+    final = spark.read.parquet(str(out))
+    assert final.count() == 10
+    uris = {r.target_uri for r in final.collect()}
+    assert uris == {f"http://x/{d}/{k}" for d in (1, 2, 3, 4, 5) for k in range(2)}
