@@ -150,13 +150,14 @@ def test_dispatch_through_decode_pixels():
 @given(data=st.data())
 @settings(max_examples=60, deadline=None)
 def test_cross_format_mean_consistency(data):
-    """The same raster encoded as BMP, PPM, PNG, and GIF must decode
-    to identical means through decode_pixels — a differential test
-    across four independent codecs (GIF constrained to <=256 distinct
-    colors by construction)."""
+    """The same raster encoded as BMP, PPM, PNG, GIF, and TIFF (both
+    byte orders) must decode to identical means through decode_pixels
+    — a differential test across five independent codecs (GIF
+    constrained to <=256 distinct colors by construction)."""
     from synthea_etl_spark.operators.multimodal import (
         decode_pixels,
         encode_png,
+        encode_tiff,
     )
     from tests.test_multimodal_pixels import make_bmp
 
@@ -174,15 +175,21 @@ def test_cross_format_mean_consistency(data):
     bmp = make_bmp(w, h, [(b, g, r) for r, g, b in px])
     png = encode_png(w, h, px, colortype=2)
     gif = encode_gif(w, h, idx, palette)
+    tiff_le = encode_tiff(w, h, px, big_endian=False,
+                          rows_per_strip=data.draw(st.integers(0, 3)))
+    tiff_be = encode_tiff(w, h, px, big_endian=True)
 
     results = {
         fmt: decode_pixels(b)
-        for fmt, b in (("ppm", ppm), ("bmp", bmp), ("png", png), ("gif", gif))
+        for fmt, b in (
+            ("ppm", ppm), ("bmp", bmp), ("png", png), ("gif", gif),
+            ("tiff", tiff_le), ("tiff_be", tiff_be),
+        )
     }
     base = results["ppm"]
     assert base is not None and base[0] == "ppm"
     for fmt, r in results.items():
-        assert r is not None and r[0] == fmt
+        assert r is not None and r[0] == ("tiff" if fmt.startswith("tiff") else fmt)
         assert r[1:] == base[1:], (fmt, r, base)
 
 
