@@ -87,6 +87,7 @@ HEADLINE_OPT = [
     "q148_crawl_pipeline",
     "q149_bpe_tokenize",
     "q150_dataset_fingerprint",
+    "q151_incremental_dedup",
 ]
 
 
