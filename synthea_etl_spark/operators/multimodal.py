@@ -45,8 +45,8 @@ These paths are REAL, no codec dependency:
   ``audio_spectral`` adds real DSP on top (rfft -> dominant
   frequency bin);
 - raster transform: ``resize_payloads`` decodes spatial rasters
-  (``decode_raster``: BMP, PPM, baseline TIFF, non-interlaced
-  8-bit PNG),
+  (``decode_raster``: BMP, PPM, baseline TIFF, 8-bit PNG —
+  interlaced or not, Adam7 spatially reassembled),
   nearest-neighbor resamples with exact integer index arithmetic,
   and re-encodes as binary PPM (``encode_ppm``). The NotImplementedError scope is therefore
   arithmetic-coded JPEG, compressed video, and compressed audio
@@ -764,7 +764,7 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
     uint8 RGB array in top-down row order) for 24-bit BI_RGB BMP
     (stride padding honored; positive height = bottom-up storage,
     flipped here; stored BGR converted to RGB), binary PPM (P6,
-    maxval < 256), and non-interlaced 8-bit PNG (any color type;
+    maxval < 256), and 8-bit PNG, interlaced or not (any color type;
     palette resolved, gray replicated, alpha dropped). Same reject
     conditions as the corresponding ``decode_pixels`` branches — for
     BMP/PPM that function sums this raster, so the two can never
@@ -778,14 +778,26 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
         if dec is None:
             return None
         w, h, bitdepth, interlace, px = dec
-        # raster needs row-major order and PPM-encodable depth:
-        # interlaced sample order is pass-major, 16-bit exceeds the
-        # re-encode target's range — both stay stats-only
-        if interlace or bitdepth != 8:
+        # raster needs PPM-encodable depth; 16-bit stays stats-only
+        if bitdepth != 8:
             return None
         if px.shape[1] == 1:
             px = np.repeat(px, 3, axis=1)
-        return ("png", px.reshape(h, w, 3))
+        if not interlace:
+            return ("png", px.reshape(h, w, 3))
+        # Adam7 spatial reassembly: samples arrive in pass order with
+        # known pass geometry — scatter each pass back to its strided
+        # (y0::dy, x0::dx) grid positions
+        out = np.zeros((h, w, 3), dtype=px.dtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            out[y0::dy, x0::dx] = px[off : off + wp * hp].reshape(hp, wp, 3)
+            off += wp * hp
+        return ("png", out)
     if b[:2] == b"BM" and len(b) >= 54:
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -934,7 +946,7 @@ def resize_payloads(
     updated (width, height) metadata, 1-to-1 via mapInPandas.
 
     The REAL path (fake=False) is codec-free end to end:
-    ``decode_raster`` (24-bit BMP / binary PPM / non-interlaced 8-bit
+    ``decode_raster`` (24-bit BMP / binary PPM / baseline TIFF / 8-bit
     PNG) -> nearest-neighbor resample (target pixel (x, y) samples source
     (x*sw//width, y*sh//height) — exact integer index arithmetic, so
     results are deterministic and oracle-checkable) -> ``encode_ppm``

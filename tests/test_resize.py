@@ -165,18 +165,23 @@ def test_raster_png_all_color_types():
     ]
 
 
-def test_raster_rejects_interlaced_and_16bit_png():
+def test_raster_rejects_16bit_png_but_takes_interlaced():
+    """16-bit PNG stays stats-only (exceeds the PPM re-encode range);
+    interlaced 8-bit now yields a real spatial raster via Adam7
+    reassembly."""
     from synthea_etl_spark.operators.multimodal import (
         decode_pixels,
         encode_png,
     )
 
     px = [(1, 2, 3)] * 4
-    inter = encode_png(2, 2, px, colortype=2, interlace=1)
     deep = encode_png(2, 2, px, colortype=2, bitdepth=16)
-    for b in (inter, deep):
-        assert decode_raster(b) is None      # no spatial raster...
-        assert decode_pixels(b) is not None  # ...but stats still work
+    assert decode_raster(deep) is None       # no spatial raster...
+    assert decode_pixels(deep) is not None   # ...but stats still work
+    inter = encode_png(2, 2, px, colortype=2, interlace=1)
+    got = decode_raster(inter)
+    assert got is not None and got[0] == "png"
+    assert got[1].tolist() == [[[1, 2, 3]] * 2] * 2
 
 
 def test_resize_png_through_operator(spark):
@@ -195,3 +200,35 @@ def test_resize_png_through_operator(spark):
     r = resize_payloads(df, 1, 1).collect()[0]
     assert decode_raster(bytes(r.payload))[1].tolist() == [[[1, 2, 3]]]
     assert r.meta.content_type == "image/x-portable-pixmap"
+
+
+def test_interlaced_png_raster_matches_plain():
+    """Adam7 spatial reassembly: the interlaced encoding of a raster
+    must decode (via decode_raster) to exactly the same spatial array
+    as the plain encoding — so resize now accepts interlaced PNGs."""
+    import random
+
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import (
+        decode_raster,
+        encode_png,
+    )
+
+    rng = random.Random(21)
+    for _ in range(30):
+        w, h = rng.randint(1, 12), rng.randint(1, 12)
+        ct = rng.choice([0, 2, 3])
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        if ct == 0:
+            px = [(r, r, r) for r, _g, _b in px]
+        if ct == 3:
+            pal = px[: min(8, len(px))]
+            px = [pal[i % len(pal)] for i in range(w * h)]
+        _f1, plain = decode_raster(encode_png(w, h, px, colortype=ct))
+        got = decode_raster(encode_png(w, h, px, colortype=ct, interlace=1))
+        assert got is not None
+        assert np.array_equal(got[1], plain)
