@@ -232,12 +232,14 @@ def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
     return vals[0], vals[1], vals[2], pos + 1  # single ws then raster
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray | None:
+def _png_unfilter(raw: bytes, stride: int, h: int, bpp: int) -> bytearray | None:
     """Reverse PNG per-row filtering (spec §9: None/Sub/Up/Average/
-    Paeth). Returns the reconstructed raster or None on a malformed
-    stream. Per-byte Python on the sequential filters — correctness
-    path; at scale compressed decode belongs behind a codec."""
-    stride = w * bpp
+    Paeth). ``stride`` is the row length in BYTES (for sub-8-bit
+    depths this is ceil(w*depth/8), and the filter unit ``bpp`` is 1
+    byte per spec §9.2). Returns the reconstructed raster or None on
+    a malformed stream. Per-byte Python on the sequential filters —
+    correctness path; at scale compressed decode belongs behind a
+    codec."""
     if len(raw) < h * (stride + 1):
         return None
     out = bytearray(h * stride)
@@ -310,8 +312,9 @@ def _png_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
 def _decode_png_samples(b: bytes):
     """Shared PNG decode core (zlib is stdlib — no codec needed): all
     five color types — gray(0) / RGB(2) / palette(3) / gray+alpha(4) /
-    RGBA(6) — at bit depth 8 or 16 (palette is 8-bit only, per this
-    decoder's scope), interlaced (Adam7) or not. Returns
+    RGBA(6) — at every legal bit depth (1/2/4 for gray and palette,
+    8 for all types, 16 for non-palette; sub-8 rows are MSB-first
+    bit-packed per spec §7.2), interlaced (Adam7) or not. Returns
     (w, h, bitdepth, interlace, px) with px an N x 1 (gray) or N x 3
     array of RAW sample values, palette resolved through PLTE and
     alpha dropped; None on any malformation. For non-interlaced
@@ -330,16 +333,21 @@ def _decode_png_samples(b: bytes):
     w = int.from_bytes(b[16:20], "big")
     h = int.from_bytes(b[20:24], "big")
     bitdepth, colortype, comp, filt, interlace = b[24:29]
-    if bitdepth not in (8, 16) or colortype not in _PNG_CHANNELS:
+    if bitdepth not in (1, 2, 4, 8, 16) or colortype not in _PNG_CHANNELS:
         return None
-    if (colortype == 3 and bitdepth != 8) or comp or filt or interlace > 1:
+    # sub-8 depths exist only for gray and palette images (spec §11.2.2)
+    if bitdepth < 8 and colortype not in (0, 3):
+        return None
+    if (colortype == 3 and bitdepth == 16) or comp or filt or interlace > 1:
         return None
     if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
         return None
     if w * h > _PNG_MAX_PIXELS:
         return None
     channels = _PNG_CHANNELS[colortype]
-    bpp = channels * (bitdepth // 8)  # filter unit = bytes per pixel
+    # filter unit = bytes per pixel, floored at one byte for packed
+    # sub-8 depths (spec §9.2)
+    bpp = max(1, channels * bitdepth // 8)
     # walk chunks, concatenating IDAT payloads; keep PLTE for type 3
     idat = bytearray()
     plte = None
@@ -360,7 +368,11 @@ def _decode_png_samples(b: bytes):
     if not idat:
         return None
     segs = _png_pass_dims(w, h) if interlace else [(w, h)]
-    expected = sum(hp * (wp * bpp + 1) for wp, hp in segs)
+
+    def row_bytes(wp: int) -> int:
+        return (wp * channels * bitdepth + 7) // 8
+
+    expected = sum(hp * (row_bytes(wp) + 1) for wp, hp in segs)
     d = zlib.decompressobj()
     try:
         raw = d.decompress(bytes(idat), expected)
@@ -379,13 +391,25 @@ def _decode_png_samples(b: bytes):
     parts = []
     off = 0
     for wp, hp in segs:
-        size = hp * (wp * bpp + 1)
-        rec = _png_unfilter(raw[off : off + size], wp, hp, bpp)
+        rb = row_bytes(wp)
+        size = hp * (rb + 1)
+        rec = _png_unfilter(raw[off : off + size], rb, hp, bpp)
         if rec is None:
             return None
-        parts.append(bytes(rec))
+        if bitdepth < 8:
+            # unpack MSB-first bit groups per row, dropping the final
+            # byte's padding bits (spec §7.2)
+            rows8 = np.frombuffer(bytes(rec), np.uint8).reshape(hp, rb)
+            bits = np.unpackbits(rows8, axis=1)[:, : wp * bitdepth]
+            weights = 1 << np.arange(bitdepth - 1, -1, -1)
+            vals = (
+                bits.reshape(hp, wp, bitdepth) * weights
+            ).sum(axis=2).astype(np.uint8)
+            parts.append(vals.reshape(-1).tobytes())
+        else:
+            parts.append(bytes(rec))
         off += size
-    dtype = np.uint8 if bitdepth == 8 else np.dtype(">u2")
+    dtype = np.uint8 if bitdepth <= 8 else np.dtype(">u2")
     arr = np.frombuffer(b"".join(parts), dtype).reshape(-1, channels)
     if colortype == 3:
         if plte is None or len(plte) < 3 or len(plte) % 3 or len(plte) > 768:
@@ -472,10 +496,12 @@ def encode_png(
     storage order (all passes concatenated when interlaced)."""
     import zlib
 
-    if bitdepth not in (8, 16):
+    if bitdepth not in (1, 2, 4, 8, 16):
         raise ValueError(f"bad bit depth {bitdepth}")
-    if colortype == 3 and bitdepth != 8:
-        raise ValueError("palette PNG is 8-bit only here")
+    if bitdepth < 8 and colortype not in (0, 3):
+        raise ValueError("sub-8-bit depth needs gray or palette")
+    if colortype == 3 and bitdepth == 16:
+        raise ValueError("palette PNG is at most 8-bit")
     opaque = (1 << bitdepth) - 1
     plte = b""
     if colortype == 2:
@@ -488,20 +514,37 @@ def encode_png(
         pixels = [(p[0], opaque) for p in pixels_rgb]
     elif colortype == 3:
         uniq = sorted(set(pixels_rgb))
-        if len(uniq) > 256:
-            raise ValueError("palette PNG needs <= 256 unique colors")
+        if len(uniq) > (1 << bitdepth):
+            raise ValueError("palette exceeds the depth's index range")
         lut = {c: i for i, c in enumerate(uniq)}
         pixels = [(lut[p],) for p in pixels_rgb]
         plte = b"".join(bytes(c) for c in uniq)
     else:
         raise ValueError(f"bad color type {colortype}")
     nbytes = bitdepth // 8
-    bpp = _PNG_CHANNELS[colortype] * nbytes
+    bpp = max(1, _PNG_CHANNELS[colortype] * nbytes)
 
     def pack(pix_row) -> bytes:
-        return b"".join(
-            int(s).to_bytes(nbytes, "big") for p in pix_row for s in p
-        )
+        if bitdepth >= 8:
+            return b"".join(
+                int(s).to_bytes(nbytes, "big") for p in pix_row for s in p
+            )
+        # sub-8: MSB-first bit packing, final byte zero-padded (§7.2)
+        acc = 0
+        nbits = 0
+        out = bytearray()
+        for (s,) in pix_row:
+            if not 0 <= int(s) <= opaque:
+                raise ValueError("sample exceeds the bit depth")
+            acc = (acc << bitdepth) | int(s)
+            nbits += bitdepth
+            if nbits == 8:
+                out.append(acc)
+                acc = 0
+                nbits = 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out)
 
     if interlace == 0:
         groups = [
@@ -530,9 +573,9 @@ def encode_png(
     raw = bytearray()
     row_i = 0
     for rows in groups:
-        prev = bytes(len(rows[0]) * bpp)
-        for pix_row in rows:
-            row = pack(pix_row)
+        packed = [pack(pix_row) for pix_row in rows]
+        prev = bytes(len(packed[0]))  # row length in BYTES (sub-8 packs)
+        for row in packed:
             f = filters[row_i % len(filters)]
             row_i += 1
             raw.append(f)
@@ -778,8 +821,10 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
         if dec is None:
             return None
         w, h, bitdepth, interlace, px = dec
-        # raster needs PPM-encodable depth; 16-bit stays stats-only
-        if bitdepth != 8:
+        # raster needs PPM-encodable samples: 16-bit stays stats-only;
+        # sub-8 qualifies only when palette-resolved to full 8-bit RGB
+        # (sub-8 GRAY samples are raw 0..2^d-1 codes, not intensities)
+        if bitdepth == 16 or (bitdepth < 8 and px.shape[1] != 3):
             return None
         if px.shape[1] == 1:
             px = np.repeat(px, 3, axis=1)

@@ -800,3 +800,68 @@ def test_tiff_strict_rejects_and_fuzz():
     for cut in range(len(base)):
         r = _decode_tiff(base[:cut])
         assert r is None or isinstance(r, tuple)
+
+
+def test_png_sub8_depths_roundtrip():
+    """PNG bit depths 1/2/4 (gray and palette, interlaced or not, all
+    five filters): bit-packed rows unpack to exact sample values;
+    palette indices resolve through PLTE; sub-8 palette images also
+    produce a spatial raster (full 8-bit RGB after resolution) while
+    sub-8 gray stays stats-only (raw code values)."""
+    import random
+
+    from synthea_etl_spark.operators.multimodal import (
+        _decode_png_samples,
+        decode_raster,
+        encode_png,
+    )
+
+    rng = random.Random(31)
+    for _ in range(60):
+        w, h = rng.randint(1, 13), rng.randint(1, 11)
+        depth = rng.choice([1, 2, 4])
+        ct = rng.choice([0, 3])
+        inter = rng.choice([0, 0, 1])
+        filters = [rng.randint(0, 4) for _ in range(h)]
+        maxv = (1 << depth) - 1
+        if ct == 0:
+            px = [(rng.randint(0, maxv),) * 3 for _ in range(w * h)]
+        else:
+            pal = [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(rng.randint(1, maxv + 1))
+            ]
+            px = [pal[rng.randrange(len(pal))] for _ in range(w * h)]
+        b = encode_png(
+            w, h, px, colortype=ct, bitdepth=depth, interlace=inter,
+            filters=filters,
+        )
+        dec = _decode_png_samples(b)
+        assert dec is not None and dec[:4] == (w, h, depth, inter)
+        stats = decode_pixels(b)
+        n = w * h
+        exp = tuple(sum(p[c] for p in px) / n for c in range(3))
+        assert stats[0] == "png" and stats[1:3] == (w, h)
+        assert all(abs(a - e) < 1e-12 for a, e in zip(stats[3:], exp))
+        ras = decode_raster(b)
+        if ct == 3 and inter == 0:
+            assert ras is not None
+            assert ras[1].reshape(-1, 3).tolist() == [list(p) for p in px]
+        elif ct == 0:
+            assert ras is None  # raw gray codes are not intensities
+
+
+def test_png_sub8_depth_validation():
+    from synthea_etl_spark.operators.multimodal import encode_png
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        encode_png(2, 2, [(1, 1, 1)] * 4, colortype=2, bitdepth=4)
+    with _pytest.raises(ValueError):
+        # 5 colors cannot fit a 2-bit palette
+        encode_png(
+            5, 1, [(i, 0, 0) for i in range(5)], colortype=3, bitdepth=2
+        )
+    with _pytest.raises(ValueError):
+        # gray sample exceeding the depth range
+        encode_png(2, 2, [(9, 9, 9)] * 4, colortype=0, bitdepth=2)
