@@ -88,6 +88,7 @@ HEADLINE_OPT = [
     "q149_bpe_tokenize",
     "q150_dataset_fingerprint",
     "q151_incremental_dedup",
+    "q152_png_sub8_stats",
 ]
 
 
