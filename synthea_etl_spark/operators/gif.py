@@ -292,10 +292,40 @@ def _decode_gif_stream(
         idx = np.asarray(indices, np.int64)
         if idx.max(initial=0) >= len(table):
             return None
-        frames.append(table[idx])
+        frames.append((table[idx], bool(iflags & 0x40)))
     if not saw_trailer or not frames:
         return None
     return (width, height, frames)
+
+
+def _deinterlace_rows(h: int) -> list[int]:
+    """GIF interlace row order (spec appendix E): pass 1 every 8th
+    row from 0, pass 2 every 8th from 4, pass 3 every 4th from 2,
+    pass 4 every 2nd from 1. Returns the destination row index for
+    each stream row."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def decode_gif_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """SINGLE-image GIF -> (w, h, h x w x 3 uint8 spatial raster),
+    de-interlacing the four-pass row order when the image descriptor
+    sets the interlace flag. The spatial companion to
+    decode_gif_pixels (whose means never needed row order)."""
+    dec = _decode_gif_stream(b)
+    if dec is None or len(dec[2]) != 1:
+        return None
+    w, h, ((px, interlaced),) = dec
+    raster = px.reshape(h, w, 3).astype(np.uint8)
+    if interlaced:
+        out = np.empty_like(raster)
+        out[_deinterlace_rows(h)] = raster
+        raster = out
+    return (w, h, raster)
 
 
 def decode_gif_pixels(
@@ -310,7 +340,7 @@ def decode_gif_pixels(
     dec = _decode_gif_stream(b)
     if dec is None or len(dec[2]) != 1:
         return None
-    w, h, (px,) = dec
+    w, h, ((px, _interlaced),) = dec
     sums = px.sum(axis=0, dtype=np.int64)
     cnt = float(w * h)
     return (w, h, sums[0] / cnt, sums[1] / cnt, sums[2] / cnt)
@@ -330,7 +360,7 @@ def decode_gif_frames(
     w, h, frames = dec
     cnt = float(w * h)
     means = []
-    for px in frames:
+    for px, _interlaced in frames:
         sums = px.sum(axis=0, dtype=np.int64)
         means.append((sums[0] / cnt, sums[1] / cnt, sums[2] / cnt))
     return (w, h, means)

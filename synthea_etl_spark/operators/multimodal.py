@@ -866,6 +866,14 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
             return None
         w, h, px = tiff
         return ("tiff", px)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from synthea_etl_spark.operators.gif import decode_gif_raster
+
+        gif = decode_gif_raster(b)
+        if gif is None:
+            return None
+        w, h, px = gif
+        return ("gif", px)
     hdr = _ppm_header(b)
     if hdr is not None:
         w, h, maxval, off = hdr

@@ -250,3 +250,41 @@ def test_gif_frame_stats_distributed(spark):
     assert set(got) == {(1, 0), (1, 2), (1, 4), (2, None)}
     assert got[(1, 2)].mean_r == 30.0 and got[(1, 2)].n_frames == 5
     assert got[(2, None)].width is None and got[(2, None)].mean_r is None
+
+
+def test_gif_spatial_raster_and_deinterlace():
+    """decode_gif_raster: exact spatial raster, with the four-pass
+    interlaced row order de-shuffled — so resize and every raster
+    consumer accept GIFs via decode_raster."""
+    import random
+
+    import numpy as np
+
+    from synthea_etl_spark.operators.gif import (
+        _deinterlace_rows,
+        decode_gif_raster,
+    )
+    from synthea_etl_spark.operators.multimodal import decode_raster
+
+    rng = random.Random(17)
+    for _ in range(25):
+        w, h = rng.randint(1, 9), rng.randint(1, 11)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(rng.randint(1, 8))
+        ]
+        idx = [rng.randrange(len(pal)) for _ in range(w * h)]
+        exp = np.array([pal[i] for i in idx], np.uint8).reshape(h, w, 3)
+        plain = encode_gif(w, h, idx, pal)
+        got = decode_gif_raster(plain)
+        assert got is not None and np.array_equal(got[2], exp)
+        fmt, ras = decode_raster(plain)
+        assert fmt == "gif" and np.array_equal(ras, exp)
+        # interlaced storage: raster rows pre-shuffled to pass order
+        order = _deinterlace_rows(h)
+        stream_idx = []
+        for dst in order:
+            stream_idx.extend(idx[dst * w : (dst + 1) * w])
+        inter = encode_gif(w, h, stream_idx, pal, interlace=True)
+        got_i = decode_gif_raster(inter)
+        assert got_i is not None and np.array_equal(got_i[2], exp)
