@@ -807,14 +807,14 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
     uint8 RGB array in top-down row order) for 24-bit BI_RGB BMP
     (stride padding honored; positive height = bottom-up storage,
     flipped here; stored BGR converted to RGB), binary PPM (P6,
-    maxval < 256), and 8-bit PNG, interlaced or not (any color type;
-    palette resolved, gray replicated, alpha dropped). Same reject
-    conditions as the corresponding ``decode_pixels`` branches — for
-    BMP/PPM that function sums this raster, so the two can never
-    drift. Still stats-only (no raster): interlaced or 16-bit PNG
-    (pass-major order / not PPM-encodable), JPEG and GIF (their
-    decoders produce sums, and lossy/palette re-encode rarely makes
-    sense for a resize path)."""
+    maxval < 256), 8-bit PNG — interlaced or not, any color type,
+    plus sub-8 palette (palette resolved, gray replicated, alpha
+    dropped), baseline TIFF (both byte orders), GIF (single-image,
+    four-pass de-interlaced), and JPEG (baseline AND progressive;
+    JFIF YCbCr converted to RGB, gray replicated). Same reject
+    conditions as the corresponding ``decode_pixels`` branches.
+    Still stats-only (no raster): 16-bit PNG and sub-8 GRAY PNG
+    (samples are not 8-bit intensities) and animated GIF."""
     b = bytes(b)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         dec = _decode_png_samples(b)
@@ -874,6 +874,21 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
             return None
         w, h, px = gif
         return ("gif", px)
+    if b[:2] == b"\xff\xd8":
+        from synthea_etl_spark.operators.jpeg import (
+            decode_jpeg_samples,
+            ycc_to_rgb,
+        )
+
+        jpg = decode_jpeg_samples(b)
+        if jpg is None:
+            return None
+        w, h, planes = jpg
+        if len(planes) == 1:
+            g = np.clip(planes[0], 0, 255).astype(np.uint8)
+            return ("jpeg", np.repeat(g[:, :, None], 3, axis=2))
+        r, g, bl = ycc_to_rgb(planes[0], planes[1], planes[2])
+        return ("jpeg", np.stack([r, g, bl], axis=2).astype(np.uint8))
     hdr = _ppm_header(b)
     if hdr is not None:
         w, h, maxval, off = hdr

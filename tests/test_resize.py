@@ -232,3 +232,28 @@ def test_interlaced_png_raster_matches_plain():
         got = decode_raster(encode_png(w, h, px, colortype=ct, interlace=1))
         assert got is not None
         assert np.array_equal(got[1], plain)
+
+
+def test_jpeg_and_gif_rasters_resize():
+    """The two formats that dominate real corpora now feed the resize
+    path: decode_raster returns spatial RGB for JPEG (baseline and
+    progressive, color and gray) and single-image GIF, consistent
+    with decode_pixels' exact means."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.gif import encode_gif
+    from synthea_etl_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from synthea_etl_spark.operators.multimodal import decode_pixels
+
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        b = enc(16, 8, [(120, 30, 200)] * 128)
+        fmt, ras = decode_raster(b)
+        assert fmt == "jpeg" and ras.shape == (8, 16, 3)
+        sums = ras.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert tuple(s / 128 for s in sums) == decode_pixels(b)[3:]
+    g = encode_gif(4, 2, [0, 1] * 4, [(5, 6, 7), (8, 9, 10)])
+    fmt, ras = decode_raster(g)
+    assert fmt == "gif" and ras.shape == (2, 4, 3)
