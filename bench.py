@@ -89,6 +89,7 @@ HEADLINE_OPT = [
     "q150_dataset_fingerprint",
     "q151_incremental_dedup",
     "q152_png_sub8_stats",
+    "q153_wav_deep_stats",
 ]
 
 

@@ -1388,11 +1388,11 @@ def encode_wav(
     unknown chunks; odd sizes get the RIFF pad byte), then
     channel-interleaved PCM frames. ``channels`` is one raw
     little-endian sample array per channel (u8 for bits=8, s16le for
-    bits=16), equal lengths."""
+    bits=16, s24le for bits=24), equal lengths."""
     import struct
 
-    if bits not in (8, 16):
-        raise ValueError("PCM bits must be 8 or 16")
+    if bits not in (8, 16, 24):
+        raise ValueError("PCM bits must be 8, 16, or 24")
     width = bits // 8
     n = len(channels[0]) // width
     if any(len(c) != n * width for c in channels):
@@ -1412,6 +1412,34 @@ def encode_wav(
         chunks.append(b"JUNK" + struct.pack("<I", len(junk_chunk)) + junk_chunk)
         if len(junk_chunk) % 2:
             chunks.append(b"\x00")  # RIFF pad byte on odd chunk sizes
+    chunks.append(b"data" + struct.pack("<I", len(frames)) + bytes(frames))
+    if len(frames) % 2:
+        chunks.append(b"\x00")
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float32(
+    sample_rate: int, channels: list[list[float]]
+) -> bytes:
+    """Spec-valid IEEE-float RIFF/WAVE: fmt tag 3, 32-bit samples,
+    cbSize=0 extension field (non-PCM tags carry it), frame-
+    interleaved little-endian float32."""
+    import struct
+
+    n = len(channels[0])
+    if any(len(c) != n for c in channels):
+        raise ValueError("channel sample arrays must have equal length")
+    nch = len(channels)
+    frames = bytearray()
+    for j in range(n):
+        for c in channels:
+            frames += struct.pack("<f", c[j])
+    fmt = struct.pack(
+        "<HHIIHHH", 3, nch, sample_rate, sample_rate * nch * 4, nch * 4,
+        32, 0,
+    )
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
     chunks.append(b"data" + struct.pack("<I", len(frames)) + bytes(frames))
     if len(frames) % 2:
         chunks.append(b"\x00")
@@ -1498,8 +1526,23 @@ def parse_wav(
         sums = samples.sum(axis=0, dtype=np.int64)
         return (nch, sample_rate, bits, n_frames,
                 [float(s) / n_frames for s in sums])
-    if audio_format != 1 or bits not in (8, 16):
-        return None  # no IEEE-float/extensible/other compressed tags
+    if audio_format == 3:  # IEEE float PCM
+        if bits != 32:
+            return None  # float64 WAVs are vanishingly rare; explicit
+        frame_bytes = nch * 4
+        if len(data) % frame_bytes:
+            return None
+        n_frames = len(data) // frame_bytes
+        if n_frames == 0:
+            return (nch, sample_rate, bits, 0, [])
+        samples = np.frombuffer(data, np.dtype("<f4")).reshape(n_frames, nch)
+        if not np.isfinite(samples).all():
+            return None  # NaN/inf poison aggregate stats: reject
+        sums = samples.astype(np.float64).sum(axis=0)
+        return (nch, sample_rate, bits, n_frames,
+                [float(s) / n_frames for s in sums])
+    if audio_format != 1 or bits not in (8, 16, 24):
+        return None  # no extensible/other compressed tags
     width = bits // 8
     frame_bytes = nch * width
     if len(data) % frame_bytes:
@@ -1507,8 +1550,14 @@ def parse_wav(
     n_frames = len(data) // frame_bytes
     if n_frames == 0:
         return (nch, sample_rate, bits, 0, [])
-    dt = np.uint8 if bits == 8 else np.dtype("<i2")
-    samples = np.frombuffer(data, dt).reshape(n_frames, nch)
+    if bits == 24:  # s24le: assemble + sign-extend, no 3-byte dtype
+        tri = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int64)
+        vals = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        vals -= (vals >= 1 << 23) * (1 << 24)
+        samples = vals.reshape(n_frames, nch)
+    else:
+        dt = np.uint8 if bits == 8 else np.dtype("<i2")
+        samples = np.frombuffer(data, dt).reshape(n_frames, nch)
     sums = samples.sum(axis=0, dtype=np.int64)
     means = [float(s) / n_frames for s in sums]
     return (nch, sample_rate, bits, n_frames, means)

@@ -282,3 +282,28 @@ def test_audio_rms_windows_negative_and_8bit():
     out = mm.audio_rms_windows(FakeDF(), window=16)[0]
     assert out.loc[0, "rms"] == exp_rms16 and out.loc[0, "mean"] == x.sum() / 16
     assert out.loc[1, "rms"] == exp_rms8 and out.loc[1, "mean"] == y.sum() / 16
+
+
+def test_24bit_pcm_sign_extension_and_assembly():
+    import struct
+
+    from synthea_etl_spark.operators.multimodal import encode_wav, parse_wav
+
+    vals = [-(1 << 23), (1 << 23) - 1, 0, 123456, -654321]
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    assert parse_wav(encode_wav(48000, [raw], bits=24)) == (
+        1, 48000, 24, 5, [sum(vals) / 5],
+    )
+
+
+def test_float32_wav_and_finiteness_screen():
+    from synthea_etl_spark.operators.multimodal import (
+        encode_wav_float32,
+        parse_wav,
+    )
+
+    r = parse_wav(encode_wav_float32(44100, [[1.25] * 4, [-0.5] * 4]))
+    assert r == (2, 44100, 32, 4, [1.25, -0.5])
+    # NaN / inf payloads poison aggregates: rejected, not propagated
+    assert parse_wav(encode_wav_float32(8000, [[float("nan")] * 2])) is None
+    assert parse_wav(encode_wav_float32(8000, [[float("inf")] * 2])) is None
