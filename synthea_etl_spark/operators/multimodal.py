@@ -207,10 +207,12 @@ def image_metadata(df: DataFrame) -> DataFrame:
 
 
 def _ppm_header(b: bytes) -> tuple[int, int, int, int] | None:
-    """Parse a binary-PPM (P6) header: returns (width, height, maxval,
-    pixel_data_offset) or None. Handles arbitrary whitespace runs and
-    '#' comments between tokens per the netpbm spec."""
-    if b[:2] != b"P6":
+    """Parse a binary-PPM (P6) or binary-PGM (P5) header: returns
+    (width, height, maxval, pixel_data_offset) or None. Handles
+    arbitrary whitespace runs and '#' comments between tokens per the
+    netpbm spec. The magic byte at b[1] distinguishes gray (P5, one
+    sample per pixel) from RGB (P6)."""
+    if b[:2] not in (b"P6", b"P5"):
         return None
     pos, vals = 2, []
     n = len(b)
@@ -850,13 +852,31 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
         bpp = int.from_bytes(b[28:30], "little")
         comp = int.from_bytes(b[30:34], "little")
         h = abs(h_raw)
-        if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        if bpp not in (8, 24, 32) or comp != 0 or w <= 0 or h == 0:
             return None
-        stride = (w * 3 + 3) // 4 * 4
+        if w * h > _TIFF_MAX_PIXELS:
+            return None
+        bytes_pp = bpp // 8
+        stride = (w * bytes_pp + 3) // 4 * 4
         if off < 54 or len(b) < off + stride * h:
             return None
         rows = np.frombuffer(b, np.uint8, stride * h, off).reshape(h, stride)
-        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if bpp == 8:
+            # palette (BGRA quads) follows the 40-byte info header;
+            # biClrUsed 0 means a full 256-entry table
+            n_colors = int.from_bytes(b[46:50], "little") or 256
+            if n_colors > 256 or off < 54 + 4 * n_colors:
+                return None
+            pal = np.frombuffer(b, np.uint8, 4 * n_colors, 54).reshape(
+                n_colors, 4
+            )[:, :3][:, ::-1]  # BGRx -> RGB
+            idx = rows[:, :w]
+            if int(idx.max(initial=0)) >= n_colors:
+                return None
+            px = pal[idx]
+        else:
+            px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+            px = px[:, :, :3][:, :, ::-1]  # BGR(A) -> RGB, alpha dropped
         if h_raw > 0:
             px = px[::-1]  # bottom-up storage -> top-down raster
         return ("bmp", px)
@@ -894,6 +914,11 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
         w, h, maxval, off = hdr
         if w <= 0 or h <= 0 or not 0 < maxval < 256:
             return None
+        if b[1:2] == b"5":  # PGM: one gray sample per pixel
+            if len(b) < off + w * h:
+                return None
+            g = np.frombuffer(b, np.uint8, w * h, off).reshape(h, w)
+            return ("pgm", np.repeat(g[:, :, None], 3, axis=2))
         if len(b) < off + w * h * 3:
             return None
         return ("ppm", np.frombuffer(b, np.uint8, w * h * 3, off).reshape(h, w, 3))
@@ -916,10 +941,11 @@ def decode_pixels(
     """REAL pixel decode, pure Python + numpy — no image codec.
 
     Supports the formats a codec-free environment can fully read:
-    24-bit BI_RGB BMP (4-byte row stride padding honored; positive
-    height = bottom-up rows, negative = top-down), binary PPM (P6,
-    maxval < 256), and PNG in all five color types at bit depth 8 or
-    16, interlaced (Adam7) or not (stdlib zlib inflate + spec filter
+    BI_RGB BMP at 8 (palette), 24, and 32 bits (4-byte row stride
+    padding honored; positive height = bottom-up rows, negative =
+    top-down), binary PPM/PGM (P6/P5, maxval < 256), and PNG in all
+    five color types at every legal bit depth, interlaced (Adam7) or
+    not (stdlib zlib inflate + spec filter
     reversal; palette resolved through PLTE; gray reported on all
     three channels; 16-bit means are over raw 0..65535 samples), and
     JPEG — both baseline SOF0 and progressive SOF2 with successive

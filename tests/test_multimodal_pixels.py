@@ -55,7 +55,7 @@ def test_bmp_truncated_and_wrong_bpp_rejected():
     assert decode_pixels(good[:40]) is None          # truncated header
     assert decode_pixels(good[:-4]) is None          # truncated raster
     bad_bpp = bytearray(good)
-    bad_bpp[28] = 32                                 # 32bpp unsupported
+    bad_bpp[28] = 16                                 # 16bpp unsupported
     assert decode_pixels(bytes(bad_bpp)) is None
     rle = bytearray(good)
     rle[30] = 1                                      # BI_RLE8 compressed
@@ -157,7 +157,7 @@ def test_decoder_never_raises_on_arbitrary_bytes(b):
     out = decode_pixels(b)
     assert out is None or (
         len(out) == 6
-        and out[0] in ("bmp", "ppm", "png", "jpeg", "gif", "tiff")
+        and out[0] in ("bmp", "ppm", "pgm", "png", "jpeg", "gif", "tiff")
     )
 
 
@@ -865,3 +865,84 @@ def test_png_sub8_depth_validation():
     with _pytest.raises(ValueError):
         # gray sample exceeding the depth range
         encode_png(2, 2, [(9, 9, 9)] * 4, colortype=0, bitdepth=2)
+
+
+def _bmp_variant(width, height, bpp, raster_rows, palette=None,
+                 top_down=False, clr_used=0):
+    pal = b""
+    if palette is not None:
+        pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in palette)
+    off = 54 + len(pal)
+    rows = raster_rows if top_down else raster_rows[::-1]
+    raster = b"".join(rows)
+    h_field = height if not top_down else -height
+    hdr = b"BM" + struct.pack(
+        "<IHHI", off + len(raster), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, h_field, 1, bpp, 0, len(raster),
+        0, 0, clr_used, 0,
+    )
+    return hdr + pal + raster
+
+
+def test_bmp_32bit_and_8bit_palette_variants():
+    """BMP beyond 24-bit: 32-bit BGRA (alpha dropped) and 8-bit
+    palette (BGRA color quads after the info header, biClrUsed
+    honored, index bound enforced, stride padding ignored)."""
+    import random
+
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import decode_raster
+
+    rng = random.Random(8)
+    for _ in range(15):
+        w, h = rng.randint(1, 6), rng.randint(1, 5)
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        rows = [
+            b"".join(
+                bytes([p[2], p[1], p[0], 0xCC]) for p in px[r * w : (r + 1) * w]
+            )
+            for r in range(h)
+        ]
+        exp = np.array(px, np.uint8).reshape(h, w, 3)
+        for td in (False, True):
+            f, ras = decode_raster(_bmp_variant(w, h, 32, rows, top_down=td))
+            assert f == "bmp" and np.array_equal(ras, exp)
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(rng.randint(1, 9))
+        ]
+        idx = [rng.randrange(len(pal)) for _ in range(w * h)]
+        stride = (w + 3) // 4 * 4
+        prows = [
+            bytes(idx[r * w : (r + 1) * w]).ljust(stride, b"\xAA")
+            for r in range(h)
+        ]
+        f, ras = decode_raster(
+            _bmp_variant(w, h, 8, prows, palette=pal, clr_used=len(pal))
+        )
+        pexp = np.array([pal[i] for i in idx], np.uint8).reshape(h, w, 3)
+        assert f == "bmp" and np.array_equal(ras, pexp)
+    # index past the declared palette is a hard reject
+    bad = _bmp_variant(
+        2, 1, 8, [bytes([5, 0]).ljust(4, b"\x00")],
+        palette=[(1, 2, 3)], clr_used=1,
+    )
+    assert decode_raster(bad) is None
+
+
+def test_pgm_gray_sibling():
+    from synthea_etl_spark.operators.multimodal import decode_raster
+
+    g = bytes([10, 200, 30, 40, 55, 66])
+    p5 = b"P5\n3 2\n255\n" + g
+    f, ras = decode_raster(p5)
+    assert f == "pgm" and ras.shape == (2, 3, 3)
+    assert ras[0, 0].tolist() == [10, 10, 10]
+    st = decode_pixels(p5)
+    assert st[0] == "pgm" and st[3] == st[4] == st[5] == sum(g) / 6
+    assert decode_raster(b"P5\n3 2\n255\n" + g[:-1]) is None
