@@ -90,6 +90,7 @@ HEADLINE_OPT = [
     "q151_incremental_dedup",
     "q152_png_sub8_stats",
     "q153_wav_deep_stats",
+    "q154_jpeg_subsampled_stats",
 ]
 
 

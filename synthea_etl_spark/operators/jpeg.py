@@ -13,13 +13,14 @@ algorithm).
 Scope:
 
 - decode: sequential DCT (SOF0) AND progressive DCT (SOF2), 8-bit
-  precision, 1 or 3 components, NO chroma subsampling (all sampling
-  factors 1x1 — a 4:2:0 file returns None rather than silently wrong
-  means), restart markers (DRI/RSTn), byte stuffing, multi-table
-  DQT/DHT, multi-scan progressive refinement with DC/AC successive
-  approximation and EOB runs. Arithmetic coding and
-  hierarchical/lossless modes return None — the remaining stub scope
-  together with compressed video codecs.
+  precision, 1 or 3 components, chroma subsampling up to 2x2 on the
+  sequential path (4:4:4 / 4:2:2 / 4:2:0 — interleaved MCUs with
+  per-component sampling factors, chroma upsampled by sample
+  replication; progressive stays 1x1), restart markers (DRI/RSTn),
+  byte stuffing, multi-table DQT/DHT, multi-scan progressive
+  refinement with DC/AC successive approximation and EOB runs.
+  Arithmetic coding and hierarchical/lossless modes return None —
+  the remaining stub scope together with inter-frame video codecs.
 - encode: exact twins used to synthesize valid payloads for tests
   and oracles (same spirit as multimodal.encode_png):
   ``encode_jpeg`` emits baseline SOF0 streams;
@@ -300,6 +301,7 @@ def encode_jpeg(
     gray: bool = False,
     quant: int = 8,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Minimal REAL baseline-JPEG encoder, twin of decode_jpeg_pixels —
     synthesizes valid SOF0 payloads for tests/oracles without a codec.
@@ -309,12 +311,20 @@ def encode_jpeg(
     quantization table is uniform ``quant`` for every coefficient —
     with the default 8, a CONSTANT 8x8 block round-trips exactly
     (DC = 8(v-128) quantizes to v-128 losslessly; see ORACLE_Q127).
-    Dimensions must be multiples of 8 (no edge padding — keeps the
-    mean arithmetic exact for oracles; real corpora pad, a test
-    generator need not). Components are interleaved one 8x8 block per
-    MCU (all sampling factors 1x1, i.e. 4:4:4)."""
-    if width <= 0 or height <= 0 or width % 8 or height % 8:
-        raise ValueError("dimensions must be positive multiples of 8")
+    ``subsampling`` selects the luma sampling factors: '444' (1x1,
+    byte-identical streams to the pre-subsampling encoder), '422'
+    (2x1), or '420' (2x2 — what real photos use); chroma is
+    box-averaged with floor(x+0.5) and the decoder upsamples by
+    sample replication, so constant 2x2 color patches round-trip
+    exactly. Dimensions must be multiples of the MCU size (8 x the
+    sampling factor per axis — no edge padding, keeps the mean
+    arithmetic exact for oracles)."""
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"bad subsampling {subsampling}")
+    hs, vs = (1, 1) if gray else factors[subsampling]
+    if width <= 0 or height <= 0 or width % (8 * hs) or height % (8 * vs):
+        raise ValueError("dimensions must be positive MCU multiples")
     if len(pixels_rgb) != width * height:
         raise ValueError("pixel count mismatch")
     if not 1 <= quant <= 255:
@@ -322,9 +332,20 @@ def encode_jpeg(
     px = np.asarray(pixels_rgb, dtype=np.int64).reshape(height, width, 3)
     if gray:
         planes = [px[:, :, 0]]
+        samps = [(1, 1)]
     else:
         y, cb, cr = rgb_to_ycc(px[:, :, 0], px[:, :, 1], px[:, :, 2])
+        if (hs, vs) != (1, 1):
+
+            def down(p):
+                boxes = p.astype(np.float64).reshape(
+                    height // vs, vs, width // hs, hs
+                )
+                return _floor_half(boxes.mean(axis=(1, 3))).astype(np.int64)
+
+            cb, cr = down(cb), down(cr)
         planes = [y, cb, cr]
+        samps = [(hs, vs), (1, 1), (1, 1)]
 
     qtable = np.full((8, 8), float(quant))
     qzz = bytes([quant] * 64)  # uniform, so zigzag order is trivial
@@ -336,7 +357,8 @@ def encode_jpeg(
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
     sof += bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        shi, svi = samps[ci]
+        sof += bytes([ci + 1, (shi << 4) | svi, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)  # SOF0: baseline sequential
 
     def dht(tc: int, th: int, spec) -> bytes:
@@ -362,9 +384,9 @@ def encode_jpeg(
 
     wr = _BitWriter()
     preds = [0] * ncomp
-    mx, my = width // 8, height // 8
+    mcux, mcuy = width // (8 * hs), height // (8 * vs)
     rst = 0
-    for mcu in range(mx * my):
+    for mcu in range(mcux * mcuy):
         if restart_interval and mcu and mcu % restart_interval == 0:
             wr.flush()
             out += wr.out
@@ -372,12 +394,20 @@ def encode_jpeg(
             rst = (rst + 1) % 8
             wr = _BitWriter()
             preds = [0] * ncomp
-        by, bx = divmod(mcu, mx)
+        my_, mx_ = divmod(mcu, mcux)
         for ci in range(ncomp):
-            block = planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            preds[ci] = _encode_block(
-                wr, block, qtable, tables[ci][0], tables[ci][1], preds[ci]
-            )
+            shi, svi = samps[ci]
+            for v in range(svi):
+                for u in range(shi):
+                    by = my_ * svi + v
+                    bx = mx_ * shi + u
+                    block = planes[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    preds[ci] = _encode_block(
+                        wr, block, qtable, tables[ci][0], tables[ci][1],
+                        preds[ci],
+                    )
     wr.flush()
     out += wr.out
     out += b"\xff\xd9"  # EOI
@@ -970,9 +1000,14 @@ def _decode_jpeg_inner(b: bytes):
             comps = []
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    return None  # subsampling out of scope, explicitly
-                comps.append((cid, tq))
+                hi, vi = hv >> 4, hv & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    return None  # sampling factors beyond 2 are exotic
+                comps.append((cid, tq, hi, vi))
+            if nf == 1 and comps[0][2:] != (1, 1):
+                return None  # single-component frames are never sampled
+            if marker == 0xC2 and any(c[2:] != (1, 1) for c in comps):
+                return None  # progressive + subsampling: out of scope
             frame = (w, h, comps, marker == 0xC2)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -1015,62 +1050,92 @@ def _decode_scan(b, pos, seg, frame, qtables, htables, restart_interval):
         return None
     if tuple(seg[1 + 2 * ns :]) != (0, 63, 0):
         return None  # non-baseline spectral selection / successive approx
-    selectors = []  # (dc_table, ac_table, qtable) per component
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    selectors = []  # (dc_table, ac_table, qtable, hi, vi) per component
     for ci in range(ns):
         cs, tda = seg[1 + 2 * ci], seg[2 + 2 * ci]
-        match = [tq for cid, tq in comps if cid == cs]
+        match = [c for c in comps if c[0] == cs]
         if not match:
             return None
+        _cid, tq, hi, vi = match[0]
         dc = htables.get((0, tda >> 4))
         ac = htables.get((1, tda & 0xF))
-        qt = qtables.get(match[0])
+        qt = qtables.get(tq)
         if dc is None or ac is None or qt is None:
             return None
-        selectors.append((dc, ac, qt))
+        selectors.append((dc, ac, qt, hi, vi))
 
-    mx, my = (w + 7) // 8, (h + 7) // 8
-    n_mcu = mx * my
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    blocks_per_mcu = sum(s[3] * s[4] for s in selectors)
     # anti-bomb, before any allocation: every block costs >= 2 entropy
     # bits (one DC code + one EOB/AC code, each >= 1 bit even under a
     # degenerate custom DHT), so a tiny file cannot justify a huge
     # declared raster's coefficient buffer
-    if n_mcu * len(comps) * 2 > (len(b) - pos) * 8:
+    if n_mcu * blocks_per_mcu * 2 > (len(b) - pos) * 8:
         return None
-    coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in comps]
+    # per component: a (mcuy*vi) x (mcux*hi) grid of blocks, flattened
+    coefs = [
+        np.zeros((mcuy * vi * mcux * hi, 64), dtype=np.float64)
+        for (_d, _a, _q, hi, vi) in selectors
+    ]
     rd = _BitReader(b, pos)
-    preds = [0] * len(comps)
+    preds = [0] * len(selectors)
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
             marker = rd.align_to_marker()
             if marker is None or not 0xD0 <= marker <= 0xD7:
                 return None
             rd.pos += 2
-            preds = [0] * len(comps)
-        for ci, (dc_tab, ac_tab, qt) in enumerate(selectors):
-            zz = coefs[ci][mcu]
-            cat = _huff_decode(rd, dc_tab)
-            if cat > 15:
-                return None
-            preds[ci] += _extend(rd.bits(cat), cat)
-            zz[0] = preds[ci] * qt[0]
-            k = 1
-            while k < 64:
-                sym = _huff_decode(rd, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0xF
-                if cat == 0:
-                    if run != 15:
+            preds = [0] * len(selectors)
+        my_, mx_ = divmod(mcu, mcux)
+        for ci, (dc_tab, ac_tab, qt, hi, vi) in enumerate(selectors):
+            for v in range(vi):
+                for u in range(hi):
+                    brow = my_ * vi + v
+                    bcol = mx_ * hi + u
+                    zz = coefs[ci][brow * (mcux * hi) + bcol]
+                    cat = _huff_decode(rd, dc_tab)
+                    if cat > 15:
                         return None
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                zz[k] = _extend(rd.bits(cat), cat) * qt[k]
-                k += 1
+                    preds[ci] += _extend(rd.bits(cat), cat)
+                    zz[0] = preds[ci] * qt[0]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(rd, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, cat = sym >> 4, sym & 0xF
+                        if cat == 0:
+                            if run != 15:
+                                return None
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(rd.bits(cat), cat) * qt[k]
+                        k += 1
 
-    return (w, h, _finish_planes(coefs, w, h, mx, my))
+    planes = []
+    for ci, (_d, _a, _q, hi, vi) in enumerate(selectors):
+        cols_b = mcux * hi
+        rows_b = mcuy * vi
+        plane_w = -(-w * hi // hmax)  # ceil: component's sample dims
+        plane_h = -(-h * vi // vmax)
+        (plane,) = _finish_planes(
+            [coefs[ci]], plane_w, plane_h, cols_b, rows_b
+        )
+        if (hi, vi) != (hmax, vmax):
+            # chroma upsampling by sample replication (nearest,
+            # co-sited top-left) — the encoder twin mirrors this
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        planes.append(plane)
+    return (w, h, planes)
 
 
 def _finish_planes(coefs, w, h, mx, my):
@@ -1102,7 +1167,7 @@ def _finalize_progressive(frame, prog, qtables):
     w, h, comps, _ = frame
     mx, my = (w + 7) // 8, (h + 7) // 8
     deq = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, tq, _hi, _vi) in enumerate(comps):
         qt = qtables.get(tq)
         if qt is None:
             return None
@@ -1147,7 +1212,7 @@ def _decode_scan_progressive(b, pos, seg, frame, prog, htables, restart_interval
     sel = []
     for ci in range(ns):
         cs, tda = seg[1 + 2 * ci], seg[2 + 2 * ci]
-        idxs = [i for i, (cid, _tq) in enumerate(comps) if cid == cs]
+        idxs = [i for i, c in enumerate(comps) if c[0] == cs]
         if not idxs:
             return None
         if dc_scan and ah == 0:

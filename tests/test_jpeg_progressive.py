@@ -214,3 +214,90 @@ def test_pure_spectral_selection_no_approximation(gray):
         24, 8, px, gray=gray, quant=4, dc_al=0, ac_al=0, band_split=6
     )
     _assert_same(base, prog)
+
+
+# ---------------------------------------------------------------------------
+# chroma subsampling (sequential path)
+# ---------------------------------------------------------------------------
+
+
+def test_subsampled_constant_color_roundtrips_exactly():
+    """4:2:0 / 4:2:2: constant-color images survive the box-average
+    downsample + replication upsample bit-for-bit (the q154 oracle
+    argument)."""
+    for sub, w, h in (("420", 16, 16), ("422", 16, 8), ("420", 32, 16)):
+        rgb = (200, 35, 90)
+        got = decode_jpeg_pixels(
+            encode_jpeg(w, h, [rgb] * (w * h), subsampling=sub)
+        )
+        y, cb, cr = rgb_to_ycc(*(np.array([c]) for c in rgb))
+        er, eg, eb = ycc_to_rgb(y, cb, cr)
+        assert got == (w, h, float(er[0]), float(eg[0]), float(eb[0]))
+
+
+def test_subsampled_planes_match_reference_pipeline():
+    """Random images at quant=1: decoded Y tracks the source within
+    DCT rounding, and decoded chroma equals an independently computed
+    replicate(floor_half(boxmean(chroma))) within the same bound —
+    pins MCU interleave geometry, per-component DC predictors, and
+    the upsampling convention."""
+    from synthea_etl_spark.operators.jpeg import _floor_half
+
+    rng = random.Random(51)
+    for sub, hs, vs in (("420", 2, 2), ("422", 2, 1)):
+        w, h = 16, 16
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(w * h)
+        ]
+        arr = np.array(px, np.int64).reshape(h, w, 3)
+        y, cb, cr = rgb_to_ycc(arr[:, :, 0], arr[:, :, 1], arr[:, :, 2])
+        dec = decode_jpeg_samples(encode_jpeg(w, h, px, quant=1, subsampling=sub))
+        assert dec is not None and dec[:2] == (w, h)
+        planes = dec[2]
+        assert all(p.shape == (h, w) for p in planes)
+
+        def expect_chroma(p):
+            d = _floor_half(
+                p.astype(np.float64)
+                .reshape(h // vs, vs, w // hs, hs)
+                .mean(axis=(1, 3))
+            ).astype(np.int64)
+            return np.repeat(np.repeat(d, vs, axis=0), hs, axis=1)
+
+        assert np.abs(planes[0] - y).max() <= 1
+        assert np.abs(planes[1] - expect_chroma(cb)).max() <= 1
+        assert np.abs(planes[2] - expect_chroma(cr)).max() <= 1
+
+
+def test_subsampled_with_restarts_and_fuzz():
+    rng = random.Random(7)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(32 * 32)
+    ]
+    base = encode_jpeg(32, 32, px, subsampling="420", restart_interval=2)
+    assert decode_jpeg_pixels(base) is not None
+    for _ in range(200):
+        ba = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] = rng.randrange(256)
+        r = decode_jpeg_samples(bytes(ba))
+        assert r is None or isinstance(r, tuple)
+    for cut in range(0, len(base), 17):
+        r = decode_jpeg_samples(base[:cut])
+        assert r is None or isinstance(r, tuple)
+
+
+def test_444_streams_unchanged_by_subsampling_support():
+    """subsampling='444' must emit byte-identical streams to the
+    historical encoder (the progressive differential and all prior
+    oracles depend on it)."""
+    rng = random.Random(3)
+    px = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(64)
+    ]
+    a = encode_jpeg(8, 8, px)
+    b = encode_jpeg(8, 8, px, subsampling="444")
+    assert a == b

@@ -657,17 +657,18 @@ def test_jpeg_byte_stuffing_roundtrip():
     assert dec[2][0].tolist() == _loop_reference_block(block, 1)
 
 
-def test_jpeg_subsampled_and_marker_flip_rejected():
-    """4:2:0 sampling factors return None (documented out-of-scope,
-    refused rather than silently mis-decoded). A baseline stream with
-    its SOF marker flipped to SOF2 is ALSO refused — progressive mode
-    is supported (tests/test_jpeg_progressive.py), but this stream's
-    single interleaved full-band scan is malformed for it."""
+def test_jpeg_degenerate_sampling_and_marker_flip_rejected():
+    """Color 4:2:0/4:2:2 decode for real now (see the subsampling
+    tests), but degenerate shapes stay rejected: a SINGLE-component
+    frame declaring 2x2 sampling (meaningless — nothing to subsample
+    against), and a baseline stream with its SOF marker flipped to
+    SOF2, whose single interleaved full-band scan is malformed for
+    progressive mode."""
     good = bytearray(encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
     i = good.find(b"\xff\xc0")
     assert i >= 0
     subsampled = bytearray(good)
-    subsampled[i + 11] = 0x22  # component 1 sampling 2x2
+    subsampled[i + 11] = 0x22  # 1-component frame claiming 2x2
     assert decode_jpeg_pixels(bytes(subsampled)) is None
     flipped = bytearray(good)
     flipped[i + 1] = 0xC2
