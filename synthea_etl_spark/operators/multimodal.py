@@ -949,7 +949,8 @@ def decode_pixels(
     reversal; palette resolved through PLTE; gray reported on all
     three channels; 16-bit means are over raw 0..65535 samples), and
     JPEG — both baseline SOF0 and progressive SOF2 with successive
-    approximation (1x1 sampling; operators/jpeg.py).
+    approximation, chroma subsampling 4:4:4/4:2:2/4:2:0 on the
+    sequential path (operators/jpeg.py).
     Returns (format, width,
     height, mean_r, mean_g, mean_b) with channel means computed as
     exact int64 sums over the pixel array divided by the pixel
