@@ -804,6 +804,120 @@ def _decode_tiff(b: bytes) -> tuple[int, int, np.ndarray] | None:
     return (w, h, px)
 
 
+def encode_ico(images: list[tuple[np.ndarray, str]]) -> bytes:
+    """Encoder twin for the ICO favicon container: each entry is an
+    (h x w x 3 uint8 raster, kind) pair with kind 'png' (embedded
+    PNG stream) or 'bmp' (the ICO-style headerless BMP: info header
+    with DOUBLED height, bottom-up 24-bit XOR rows, then an all-zero
+    AND mask)."""
+    import struct
+
+    members = []
+    for raster, kind in images:
+        h, w = raster.shape[:2]
+        if not (0 < w <= 256 and 0 < h <= 256):
+            raise ValueError("ICO images are at most 256x256")
+        if kind == "png":
+            members.append(
+                encode_png(w, h, [tuple(p) for p in raster.reshape(-1, 3)])
+            )
+        elif kind == "bmp":
+            stride = (w * 3 + 3) // 4 * 4
+            rows = bytearray()
+            for r in range(h - 1, -1, -1):  # bottom-up
+                row = bytearray()
+                for x in range(w):
+                    pr, pg, pb = raster[r, x]
+                    row += bytes([pb, pg, pr])
+                rows += row.ljust(stride, b"\x00")
+            and_stride = (w + 31) // 32 * 4
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                len(rows) + and_stride * h, 0, 0, 0, 0,
+            )
+            members.append(bytes(info) + bytes(rows) + b"\x00" * (and_stride * h))
+        else:
+            raise ValueError(f"bad ICO member kind {kind}")
+    out = struct.pack("<HHH", 0, 1, len(images))
+    off = 6 + 16 * len(images)
+    for (raster, _kind), m in zip(images, members):
+        h, w = raster.shape[:2]
+        out += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24, len(m), off
+        )
+        off += len(m)
+    return out + b"".join(members)
+
+
+def decode_ico_raster(b: bytes) -> tuple[int, int, np.ndarray] | None:
+    """ICO favicon container -> the LARGEST member's spatial raster
+    (the standard consumer choice). Members are either embedded PNG
+    streams (decoded via the PNG path) or headerless ICO-BMPs (info
+    header with doubled height covering the XOR + AND masks; decoded
+    by synthesizing the missing file header, halving the height, and
+    reusing the audited BMP branch — alpha/AND mask dropped)."""
+    import struct
+
+    b = bytes(b)
+    if len(b) < 6 or b[:4] != b"\x00\x00\x01\x00":
+        return None
+    count = int.from_bytes(b[4:6], "little")
+    if not 0 < count <= 64:
+        return None
+    if len(b) < 6 + 16 * count:
+        return None
+    best = None
+    for i in range(count):
+        e = b[6 + 16 * i : 6 + 16 * (i + 1)]
+        size = int.from_bytes(e[8:12], "little")
+        off = int.from_bytes(e[12:16], "little")
+        if off + size > len(b) or size < 16:
+            return None
+        member = b[off : off + size]
+        if member[:8] == b"\x89PNG\r\n\x1a\n":
+            dec = decode_raster(member)
+            if dec is None:
+                return None
+            raster = dec[1]
+        else:  # headerless BMP with doubled height
+            if len(member) < 40:
+                return None
+            w = int.from_bytes(member[4:8], "little", signed=True)
+            h2 = int.from_bytes(member[8:12], "little", signed=True)
+            if w <= 0 or h2 <= 0 or h2 % 2:
+                return None
+            h = h2 // 2
+            bpp = int.from_bytes(member[14:16], "little")
+            n_colors = int.from_bytes(member[32:36], "little")
+            pal_bytes = 4 * (n_colors or (256 if bpp == 8 else 0))
+            stride = (w * (bpp // 8) + 3) // 4 * 4 if bpp >= 8 else 0
+            body_off = 40 + pal_bytes
+            # keep only the XOR rows; the trailing AND mask is cut so
+            # the reconstructed height-h BMP is exactly consistent
+            xor_len = stride * h
+            if bpp not in (8, 24, 32) or len(member) < body_off + xor_len:
+                return None
+            fixed_info = (
+                member[:8]
+                + struct.pack("<i", h)
+                + member[12:40]
+            )
+            fake = (
+                b"BM"
+                + struct.pack("<IHHI", 54 + pal_bytes + xor_len, 0, 0,
+                              54 + pal_bytes)
+                + fixed_info
+                + member[40 : body_off + xor_len]
+            )
+            dec = decode_raster(fake)
+            if dec is None:
+                return None
+            raster = dec[1]
+        if best is None or raster.shape[0] * raster.shape[1] > best[2].shape[0] * best[2].shape[1]:
+            best = (raster.shape[1], raster.shape[0], raster)
+    return best
+
+
 def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
     """Decode a payload to its full spatial raster: (format, h×w×3
     uint8 RGB array in top-down row order) for 24-bit BI_RGB BMP
@@ -909,6 +1023,12 @@ def decode_raster(b: bytes) -> tuple[str, np.ndarray] | None:
             return ("jpeg", np.repeat(g[:, :, None], 3, axis=2))
         r, g, bl = ycc_to_rgb(planes[0], planes[1], planes[2])
         return ("jpeg", np.stack([r, g, bl], axis=2).astype(np.uint8))
+    if b[:4] == b"\x00\x00\x01\x00":
+        ico = decode_ico_raster(b)
+        if ico is None:
+            return None
+        _w, _h, px = ico
+        return ("ico", px.astype(np.uint8))
     hdr = _ppm_header(b)
     if hdr is not None:
         w, h, maxval, off = hdr

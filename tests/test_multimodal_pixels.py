@@ -157,7 +157,8 @@ def test_decoder_never_raises_on_arbitrary_bytes(b):
     out = decode_pixels(b)
     assert out is None or (
         len(out) == 6
-        and out[0] in ("bmp", "ppm", "pgm", "png", "jpeg", "gif", "tiff")
+        and out[0]
+        in ("bmp", "ppm", "pgm", "png", "jpeg", "gif", "tiff", "ico")
     )
 
 
@@ -947,3 +948,49 @@ def test_pgm_gray_sibling():
     st = decode_pixels(p5)
     assert st[0] == "pgm" and st[3] == st[4] == st[5] == sum(g) / 6
     assert decode_raster(b"P5\n3 2\n255\n" + g[:-1]) is None
+
+
+def test_ico_container_largest_member_wins():
+    """ICO favicons: PNG and headerless-BMP members (doubled-height
+    info header, XOR rows + AND mask) both decode; the consumer
+    picks the largest member, per standard behavior; corruption and
+    truncation never raise."""
+    import random
+
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import (
+        decode_ico_raster,
+        decode_raster,
+        encode_ico,
+    )
+
+    rng = random.Random(61)
+    for trial in range(15):
+        n = rng.randint(1, 3)
+        imgs = []
+        for _ in range(n):
+            w, h = rng.randint(1, 12), rng.randint(1, 12)
+            ras = np.random.default_rng(trial).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            imgs.append((ras, rng.choice(["png", "bmp"])))
+        ico = encode_ico(imgs)
+        best = max(imgs, key=lambda im: im[0].shape[0] * im[0].shape[1])[0]
+        got = decode_ico_raster(ico)
+        assert got is not None and np.array_equal(got[2], best)
+        fmt, ras2 = decode_raster(ico)
+        assert fmt == "ico" and np.array_equal(ras2, best)
+    base = encode_ico(
+        [
+            (np.zeros((4, 4, 3), np.uint8), "bmp"),
+            (np.full((8, 8, 3), 7, np.uint8), "png"),
+        ]
+    )
+    assert decode_ico_raster(base[:10]) is None
+    for _ in range(150):
+        ba = bytearray(base)
+        for _k in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] = rng.randrange(256)
+        r = decode_ico_raster(bytes(ba))
+        assert r is None or isinstance(r, tuple)
