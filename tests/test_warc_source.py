@@ -1,0 +1,72 @@
+"""Custom Spark DataSource for WARC.gz (the Spark 4 Python Data
+Source API): spark.read.format('warc') with one partition per shard
+file, executor-side parsing, and the null-degradation contract for
+corrupt shards.
+
+Reference scope note: the reference reads only CSV/parquet via Glue;
+this is builder's-brief crawl-ingestion surface
+(sources/warc_source.py over operators/warc.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from synthea_etl_spark.operators.warc import encode_warc_gz
+from synthea_etl_spark.sources.warc_source import WarcDataSource
+
+
+def test_warc_data_source_reads_shards_with_file_parallelism(
+    spark, tmp_path
+):
+    spark.dataSource.register(WarcDataSource)
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for shard in range(3):
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://s{shard}/r{k}",
+                "payload": f"shard {shard} rec {k}".encode(),
+            }
+            for k in range(shard + 1)
+        ]
+        (d / f"shard{shard}.warc.gz").write_bytes(encode_warc_gz(recs))
+    (d / "bad.warc.gz").write_bytes(b"not gzip at all")
+
+    df = spark.read.format("warc").load(str(d))
+    assert df.rdd.getNumPartitions() == 4  # one partition per file
+    rows = df.collect()
+    good = [r for r in rows if r.record_idx is not None]
+    bad = [r for r in rows if r.record_idx is None]
+    assert len(good) == 6 and len(bad) == 1
+    assert {r.target_uri for r in good} == {
+        f"http://s{s}/r{k}" for s in range(3) for k in range(s + 1)
+    }
+    assert bad[0].path.endswith("bad.warc.gz")
+
+    # a registered table: plain SQL over the crawl
+    df.createOrReplaceTempView("crawl_src")
+    agg = spark.sql(
+        "SELECT count(*) c FROM crawl_src WHERE warc_type = 'response'"
+    ).collect()[0]
+    assert agg.c == 6
+
+
+def test_warc_data_source_single_file_and_empty_dir(spark, tmp_path):
+    spark.dataSource.register(WarcDataSource)
+    f = tmp_path / "one.warc.gz"
+    f.write_bytes(
+        encode_warc_gz([{"uri": "http://x", "payload": b"p"}])
+    )
+    rows = spark.read.format("warc").load(str(f)).collect()
+    assert len(rows) == 1 and rows[0].target_uri == "http://x"
+
+    empty = tmp_path / "none"
+    empty.mkdir()
+    try:
+        spark.read.format("warc").load(str(empty)).collect()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised  # no shards is a loud error, not an empty frame
