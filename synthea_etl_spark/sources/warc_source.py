@@ -95,9 +95,75 @@ class WarcDataSourceReader(DataSourceReader):
             )
 
 
+class WarcStreamReader:
+    """Streaming half (SimpleDataSourceStreamReader): the offset is
+    the sorted list of shard filenames already ingested — each
+    micro-batch reads exactly the files that appeared since the last
+    committed offset, giving incremental exactly-once crawl
+    ingestion with checkpoint replay (the engine persists offsets;
+    readBetweenOffsets re-serves a prefetched batch after restart)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source needs a path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _list(self) -> list[str]:
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.path)
+            if f.endswith((".warc.gz", ".warc"))
+        )
+
+    def _rows_for(self, names: list[str]):
+        import os
+
+        from synthea_etl_spark.operators.warc import parse_warc_gz
+
+        for name in names:
+            full = os.path.join(self.path, name)
+            with open(full, "rb") as fh:
+                recs = parse_warc_gz(fh.read())
+            if recs is None:
+                yield (full, None, None, None, None, None, None)
+                continue
+            for i, rec in enumerate(recs):
+                try:
+                    text = rec["payload"].decode("utf-8")
+                except UnicodeDecodeError:
+                    text = None
+                yield (
+                    full, i, len(recs), rec["type"], rec["uri"],
+                    rec["content_length"], text,
+                )
+
+    def read(self, start: dict):
+        # the engine contract wants an ITERATOR (it prefetches lazily
+        # and caches per offset range), plus the new end offset
+        seen = set(start.get("seen", []))
+        now = self._list()
+        new = [n for n in now if n not in seen]
+        end = {"seen": now}
+        return (iter(list(self._rows_for(new))), end)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("seen", []))
+        names = [n for n in end.get("seen", []) if n not in seen]
+        return iter(list(self._rows_for(names)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are checkpointed by the engine; nothing to clean
+
+
 class WarcDataSource(DataSource):
     """``spark.dataSource.register(WarcDataSource)`` then
-    ``spark.read.format("warc").load(path)``."""
+    ``spark.read.format("warc").load(path)`` for batch or
+    ``spark.readStream.format("warc").load(path)`` for incremental
+    micro-batch ingestion of a landing directory."""
 
     @classmethod
     def name(cls) -> str:
@@ -108,3 +174,6 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WarcDataSourceReader:
         return WarcDataSourceReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> WarcStreamReader:
+        return WarcStreamReader(self.options)

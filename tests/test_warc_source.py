@@ -70,3 +70,53 @@ def test_warc_data_source_single_file_and_empty_dir(spark, tmp_path):
     except Exception:
         raised = True
     assert raised  # no shards is a loud error, not an empty frame
+
+
+def test_warc_stream_reader_incremental_exactly_once(spark, tmp_path):
+    """The streaming half (SimpleDataSourceStreamReader): the offset
+    is the ingested-shard list, so each micro-batch reads exactly the
+    files that landed since the committed offset. Idle reruns append
+    nothing; new shards append exactly their records."""
+    spark.dataSource.register(WarcDataSource)
+    d = tmp_path / "landing"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    d.mkdir()
+
+    def land(shard, nrec):
+        recs = [
+            {
+                "type": "response",
+                "uri": f"http://s{shard}/r{k}",
+                "payload": f"{shard}-{k}".encode(),
+            }
+            for k in range(nrec)
+        ]
+        (d / f"s{shard}.warc.gz").write_bytes(encode_warc_gz(recs))
+
+    def run_once():
+        q = (
+            spark.readStream.format("warc")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land(0, 2)
+    land(1, 1)
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 3
+    run_once()  # no new shards -> nothing appended
+    assert spark.read.parquet(str(out)).count() == 3
+    land(2, 3)
+    run_once()
+    df = spark.read.parquet(str(out))
+    assert df.count() == 6
+    assert {r.target_uri for r in df.collect()} == {
+        f"http://s{s}/r{k}" for s, n in ((0, 2), (1, 1), (2, 3))
+        for k in range(n)
+    }
