@@ -20,7 +20,15 @@ payload_text).
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     IntegerType,
     StringType,
@@ -159,11 +167,83 @@ class WarcStreamReader:
         pass  # offsets are checkpointed by the engine; nothing to clean
 
 
+@dataclass
+class _WarcWriteCommit(WriterCommitMessage):
+    path: str
+    n_records: int
+
+
+class WarcDataSourceWriter(DataSourceWriter):
+    """Writer half: each task writes its partition as ONE .warc.gz
+    shard (a temp file renamed into place on task success — the usual
+    task-level atomicity), and the driver-side commit writes a
+    _MANIFEST listing every shard with its record count — the
+    job-level all-or-nothing marker readers key on. Input rows need
+    (target_uri, payload_text | payload binary, warc_type?)."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink needs a path")
+
+    def write(self, iterator) -> _WarcWriteCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        from synthea_etl_spark.operators.warc import encode_warc_gz
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for row in iterator:
+            d = row.asDict()
+            payload = d.get("payload")
+            if payload is None:
+                payload = (d.get("payload_text") or "").encode("utf-8")
+            recs.append(
+                {
+                    "type": d.get("warc_type") or "response",
+                    "uri": d.get("target_uri"),
+                    "payload": bytes(payload),
+                }
+            )
+        os.makedirs(self.path, exist_ok=True)
+        final = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(encode_warc_gz(recs))
+        os.replace(tmp, final)  # task-level atomic publish
+        return _WarcWriteCommit(path=final, n_records=len(recs))
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = [
+            {"path": os.path.basename(m.path), "n_records": m.n_records}
+            for m in messages
+        ]
+        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(manifest, key=lambda e: e["path"]), fh)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class WarcDataSource(DataSource):
     """``spark.dataSource.register(WarcDataSource)`` then
-    ``spark.read.format("warc").load(path)`` for batch or
+    ``spark.read.format("warc").load(path)`` for batch,
     ``spark.readStream.format("warc").load(path)`` for incremental
-    micro-batch ingestion of a landing directory."""
+    micro-batch ingestion of a landing directory, or
+    ``df.write.format("warc").mode(...).save(path)`` to re-shard a
+    corpus back into WARC."""
 
     @classmethod
     def name(cls) -> str:
@@ -177,3 +257,6 @@ class WarcDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> WarcStreamReader:
         return WarcStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> WarcDataSourceWriter:
+        return WarcDataSourceWriter(self.options)
