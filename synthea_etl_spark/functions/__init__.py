@@ -15,6 +15,7 @@ from synthea_etl_spark.operators.similarity import (  # noqa: F401
 from synthea_etl_spark.operators.text import (  # noqa: F401
     bpe_ish_token_count,
     fingerprint,
+    html_to_text,
     lang_guess,
     lang_scores,
     quality_features,
@@ -28,6 +29,7 @@ __all__ = [
     "bpe_ish_token_count",
     "cosine",
     "fingerprint",
+    "html_to_text",
     "lang_guess",
     "lang_scores",
     "make_assign_udf",
