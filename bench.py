@@ -91,6 +91,7 @@ HEADLINE_OPT = [
     "q152_png_sub8_stats",
     "q153_wav_deep_stats",
     "q154_jpeg_subsampled_stats",
+    "q155_dataset_mixture",
 ]
 
 

@@ -478,3 +478,39 @@ def test_dataset_fingerprint_is_partitioning_invariant(spark):
         )
     )
     assert mutated != base
+
+
+def test_dataset_mixture_weights_and_determinism(spark):
+    """q155's contract: whole epochs replicate exactly floor(w) times,
+    the fractional epoch is a deterministic hash subsample whose
+    realized rate over many docs approaches frac(w), and reruns are
+    bit-identical."""
+    from synthea_etl_spark.plans.llm import q155_dataset_mixture
+
+    sf = "/root/testdata/sf0.01"
+    a = q155_dataset_mixture(spark, sf)
+    rows = a.collect()
+    again = {tuple(r) for r in q155_dataset_mixture(spark, sf).collect()}
+    assert {tuple(r) for r in rows} == again  # deterministic rerun
+
+    from collections import defaultdict
+
+    per_source = defaultdict(list)
+    for r in rows:
+        per_source[r.source].append(r)
+    for source, rs in per_source.items():
+        k = int(source[3:]) % 4
+        w = 0.5 + k * 0.75
+        whole = int(w)
+        docs = defaultdict(int)
+        for r in rs:
+            docs[r.id] += 1
+        # every included doc has floor(w) or floor(w)+1 copies
+        assert set(docs.values()) <= {max(whole, 1), whole + 1}
+        # realized fractional rate within a loose band of frac(w)
+        n_docs_total = 25  # 500 docs / 20 sources at sf0.01
+        extra = sum(1 for v in docs.values() if v == whole + 1)
+        if whole == 0:
+            extra = len(docs)  # only the fractional draw includes them
+        frac = w - whole
+        assert abs(extra / n_docs_total - frac) < 0.35
