@@ -301,3 +301,22 @@ def test_444_streams_unchanged_by_subsampling_support():
     a = encode_jpeg(8, 8, px)
     b = encode_jpeg(8, 8, px, subsampling="444")
     assert a == b
+
+
+def test_subsampled_odd_dims_crop():
+    """Real photos are rarely MCU multiples: a 4:2:0 stream whose SOF
+    declares 20x18 inside a 2x2-MCU grid must crop every plane to the
+    declared dims (the encoder twin can't emit this shape, so the
+    stream is synthesized by patching a 32x32 stream's SOF)."""
+    b = bytearray(
+        encode_jpeg(32, 32, [(100, 50, 200)] * 1024, subsampling="420")
+    )
+    i = b.find(b"\xff\xc0")
+    b[i + 5 : i + 7] = (18).to_bytes(2, "big")
+    b[i + 7 : i + 9] = (20).to_bytes(2, "big")
+    d = decode_jpeg_samples(bytes(b))
+    assert d is not None and (d[0], d[1]) == (20, 18)
+    assert all(p.shape == (18, 20) for p in d[2])
+    # solid color: every cropped sample still the exact round trip
+    y, cb, cr = rgb_to_ycc(*(np.array([c]) for c in (100, 50, 200)))
+    assert set(d[2][0].flat) == {int(y[0])}
