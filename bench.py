@@ -92,6 +92,7 @@ HEADLINE_OPT = [
     "q153_wav_deep_stats",
     "q154_jpeg_subsampled_stats",
     "q155_dataset_mixture",
+    "q156_ico_stats",
 ]
 
 
