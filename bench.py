@@ -93,6 +93,7 @@ HEADLINE_OPT = [
     "q154_jpeg_subsampled_stats",
     "q155_dataset_mixture",
     "q156_ico_stats",
+    "q157_domain_quota",
 ]
 
 
