@@ -324,6 +324,23 @@ DRIVER_CERTIFIED = frozenset({
     "q99_embed_quantize", "q104_tpch_q2", "q105_tpch_q9",
     "q106_tpch_q11", "q107_tpch_q12", "q108_tpch_q16",
     "q109_tpch_q20", "q110_tpch_q21",
+    # r6 (31; CORRECTNESS_r06.json all green -- certification at
+    # 152/152 declared queries)
+    "q127_jpeg_pixel_stats", "q128_y4m_frame_stats",
+    "q129_wav_audio_stats", "q130_resize_pixel_stats",
+    "q131_media_census", "q132_wav_dominant_freq",
+    "q133_webdataset_shards", "q134_gif_pixel_stats",
+    "q135_wav_rms_windows", "q136_gif_frame_stats",
+    "q137_progressive_jpeg_stats", "q138_g711_audio_stats",
+    "q139_adpcm_audio_stats", "q140_chunk_overlap",
+    "q141_mjpeg_frame_stats", "q142_flac_audio_stats",
+    "q143_warc_ingest", "q144_tiff_pixel_stats", "q145_html_extract",
+    "q146_bigram_familiarity", "q147_url_domain_stats",
+    "q148_crawl_pipeline", "q149_bpe_tokenize",
+    "q150_dataset_fingerprint", "q151_incremental_dedup",
+    "q152_png_sub8_stats", "q153_wav_deep_stats",
+    "q154_jpeg_subsampled_stats", "q155_dataset_mixture",
+    "q156_ico_stats", "q157_domain_quota",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -331,7 +348,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 6
+GATE_ROUND = 7
 
 
 def all_queries() -> dict[str, QuerySpec]:
