@@ -61,6 +61,7 @@ class WarcDataSourceReader(DataSourceReader):
             raise ValueError("warc source needs a path")
 
     def partitions(self):
+        import json
         import os
 
         if os.path.isdir(self.path):
@@ -69,6 +70,19 @@ class WarcDataSourceReader(DataSourceReader):
                 for f in os.listdir(self.path)
                 if f.endswith((".warc.gz", ".warc"))
             )
+            # When the directory was produced by the WARC writer, its
+            # _MANIFEST is the job-level commit marker: only shards it
+            # lists are committed data. Task files published before a
+            # driver death, or leftovers of an earlier job, are on disk
+            # but NOT in the manifest — skip them instead of silently
+            # reading them back as valid records.
+            mpath = os.path.join(self.path, "_MANIFEST")
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    committed = {e["path"] for e in json.load(fh)}
+                files = [
+                    p for p in files if os.path.basename(p) in committed
+                ]
         else:
             files = [self.path]
         if not files:
@@ -115,6 +129,14 @@ class WarcStreamReader:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source needs a path")
+        # Bound how many shard files one micro-batch may ingest (0 =
+        # unbounded). Without this, a backlog of 10^6 shards on first
+        # start would land in a single giant batch; with it, a drain
+        # (e.g. Trigger.AvailableNow) walks the backlog in bounded
+        # batches, each with its own committed offset.
+        self.max_shards = int(options.get("maxShardsPerBatch", 0) or 0)
+        if self.max_shards < 0:
+            raise ValueError("maxShardsPerBatch must be >= 0")
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -155,7 +177,12 @@ class WarcStreamReader:
         seen = set(start.get("seen", []))
         now = self._list()
         new = [n for n in now if n not in seen]
-        end = {"seen": now}
+        if self.max_shards and len(new) > self.max_shards:
+            new = new[: self.max_shards]
+        # the end offset advances ONLY past the shards this batch
+        # actually takes, so a bounded batch leaves the rest for the
+        # next read() instead of silently skipping them
+        end = {"seen": sorted(seen | set(new))}
         return (iter(list(self._rows_for(new))), end)
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -178,13 +205,25 @@ class WarcDataSourceWriter(DataSourceWriter):
     shard (a temp file renamed into place on task success — the usual
     task-level atomicity), and the driver-side commit writes a
     _MANIFEST listing every shard with its record count — the
-    job-level all-or-nothing marker readers key on. Input rows need
-    (target_uri, payload_text | payload binary, warc_type?)."""
+    job-level all-or-nothing marker the batch reader keys on (shards
+    on disk but absent from the manifest are uncommitted and skipped
+    on read). Shard names carry a per-job token so append jobs never
+    collide; overwrite commits additionally delete every shard the
+    new manifest doesn't list, append commits merge the old manifest
+    into the new one. Input rows need (target_uri, payload_text |
+    payload binary, warc_type?)."""
 
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc sink needs a path")
+        self.overwrite = overwrite
+        # one token per job, minted on the driver and shipped in the
+        # pickled writer, so concurrent/successive appends can't
+        # publish over each other's part files
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _WarcWriteCommit:
         import os
@@ -209,7 +248,9 @@ class WarcDataSourceWriter(DataSourceWriter):
                 }
             )
         os.makedirs(self.path, exist_ok=True)
-        final = os.path.join(self.path, f"part-{pid:05d}.warc.gz")
+        final = os.path.join(
+            self.path, f"part-{self.job_token}-{pid:05d}.warc.gz"
+        )
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "wb") as fh:
             fh.write(encode_warc_gz(recs))
@@ -224,10 +265,24 @@ class WarcDataSourceWriter(DataSourceWriter):
             {"path": os.path.basename(m.path), "n_records": m.n_records}
             for m in messages
         ]
-        tmp = os.path.join(self.path, "_MANIFEST.tmp")
+        mpath = os.path.join(self.path, "_MANIFEST")
+        if not self.overwrite and os.path.exists(mpath):
+            # append: this job's shards join the already-committed set
+            with open(mpath) as fh:
+                prior = json.load(fh)
+            mine = {e["path"] for e in manifest}
+            manifest.extend(e for e in prior if e["path"] not in mine)
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(sorted(manifest, key=lambda e: e["path"]), fh)
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+        os.replace(tmp, mpath)  # manifest swap = the commit point
+        if self.overwrite:
+            # now safe: readers already key on the new manifest, so
+            # stale shards (prior jobs, dead-driver leftovers) can go
+            keep = {e["path"] for e in manifest}
+            for f in os.listdir(self.path):
+                if f.endswith((".warc.gz", ".warc")) and f not in keep:
+                    os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:
         import os
@@ -259,4 +314,4 @@ class WarcDataSource(DataSource):
         return WarcStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> WarcDataSourceWriter:
-        return WarcDataSourceWriter(self.options)
+        return WarcDataSourceWriter(self.options, overwrite)
