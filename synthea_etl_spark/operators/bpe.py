@@ -28,6 +28,20 @@ Scale design:
   the published merge order), so encoding 100 TB is narrow
   codegen work; DuckDB's replace() has identical semantics, which
   is what q149's oracle exploits.
+
+DOCUMENTED DIVERGENCE — runs of a repeated symbol: the literal
+' l r ' -> ' lr ' replace consumes the shared boundary space, so a
+run of the same symbol merges fewer pairs per pass than canonical
+Sennrich BPE. With merge (a, a): 'aaaa' -> ' aa a a </w> ' (one
+merge) where canonical greedy pairing yields 'aa aa'. Iterating the
+replace to a fixpoint would NOT recover canonical semantics either
+(on 'aaaaa' it converges to 'aa a aa' vs canonical 'aa aa a'), so we
+keep the single-pass replace, which training (_pair_counts +
+vocabulary collapse), application, the q149 DuckDB oracle, and the
+single-node reference implementation in tests/test_bpe.py all share
+— the tokenizer is internally consistent and reproducible; only
+learned merges on repeated-character words differ from canonical
+BPE. Pinned by test_bpe.py::test_repeated_symbol_run_divergence.
 """
 
 from __future__ import annotations

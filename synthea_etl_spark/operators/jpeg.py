@@ -1023,12 +1023,19 @@ def _decode_jpeg_inner(b: bytes):
                 w, h = frame[0], frame[1]
                 mx, my = (w + 7) // 8, (h + 7) // 8
                 # anti-bomb before allocation: even a 1-bit-per-block DC
-                # scan cannot be shorter than n_blocks bits
-                if mx * my > (n - pos) * 8:
+                # scan cannot be shorter than one bit per block of EVERY
+                # component (the first scan must cover all blocks of at
+                # least one; bound by the full frame so a tiny file
+                # can't force the all-component buffer allocation)
+                if mx * my * len(frame[2]) > (n - pos) * 8:
                     return None
+                # int32: T.81 coefficient magnitudes fit 16 bits even
+                # after successive-approximation shifts; halving the
+                # buffer width caps the worst-case crafted-SOF2
+                # allocation at ~200 MB instead of ~400 MB
                 prog = {
                     "coefs": [
-                        np.zeros((mx * my, 64), dtype=np.int64)
+                        np.zeros((mx * my, 64), dtype=np.int32)
                         for _ in frame[2]
                     ],
                     "scans": 0,

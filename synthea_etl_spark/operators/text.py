@@ -119,9 +119,12 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
+    # &amp; must decode LAST: decoding it first would turn escaped
+    # entities like '&amp;lt;' into '&lt;' and then a second pass into
+    # '<', double-decoding text the HTML encodes as a literal '&lt;'
     for ent, ch in (
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -114,3 +114,22 @@ def test_apply_respects_merge_order(spark):
     assert ordered.bpe_tokens == 1
     assert ordered.first_word_segmentation == "the</w>"
     assert reversed_.bpe_tokens == 2  # -> th e</w>
+
+
+def test_repeated_symbol_run_divergence(spark):
+    """Documented divergence (see operators/bpe.py docstring): the
+    boundary-space-consuming replace merges a run of a repeated
+    symbol once per non-overlapping occurrence, not with canonical
+    Sennrich greedy pairing — 'aaaa' under merge (a, a) becomes
+    ' aa a a </w>' (3 tokens + marker) rather than canonical 'aa aa'.
+    Training, application, and the in-test reference all share the
+    semantics, so the pinned behavior is internally consistent."""
+    df = spark.createDataFrame([(0, "aaaa aaaa")], "doc_id long, text string")
+    merges = train_bpe(df, "text", n_merges=1)
+    assert merges == [("a", "a")]
+    out = apply_bpe(df, "text", merges).collect()[0]
+    # per word: 'aa', 'a', 'a', '</w>' -> 4 symbols (canonical would be 3)
+    assert out.first_word_segmentation == "aa a a </w>"
+    assert out.bpe_tokens == 8
+    # the single-node reference trainer agrees symbol-for-symbol
+    assert _ref_train(["aaaa aaaa"], 1) == merges

@@ -423,6 +423,9 @@ def test_html_to_text_extraction(spark):
         ("<!-- secret -->visible<!-- more\nlines -->", "visible"),
         ("&lt;b&gt;not a tag&lt;/b&gt; &amp; &quot;q&#39;s&quot;",
          "<b>not a tag</b> & \"q's\""),
+        # escaped entity: '&amp;lt;' encodes the LITERAL '&lt;' — a
+        # chain that decodes &amp; first would double-decode it to '<'
+        ("&amp;lt;stay&amp;gt; &amp;amp;", "&lt;stay&gt; &amp;"),
         ("plain text untouched", "plain text untouched"),
         ("<div\nclass='x'>multi\nline</div>", "multi line"),
     ]
