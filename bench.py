@@ -94,6 +94,9 @@ HEADLINE_OPT = [
     "q155_dataset_mixture",
     "q156_ico_stats",
     "q157_domain_quota",
+    "q158_incremental_minhash",
+    "q159_perceptual_near_dup",
+    "q160_knn_ann_ivf_seeded",
 ]
 
 

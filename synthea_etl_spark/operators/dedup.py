@@ -162,6 +162,68 @@ def minhash_signature(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def banded_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash signature frame -> its banded LSH form: one row per
+    (id, band, bh) where bh = md5 of the band's rows_per_band
+    signature slots. This IS the persistable near-dedup index: write
+    it bucketed by (band, bh) once per ingested corpus slice and every
+    future batch probes it with an equi-join on those keys — no
+    historical text rescan, no signature recompute (the incremental
+    analog q151 provides for exact dedup). Pure unpivot: no shuffle
+    of its own."""
+    r = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bh"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band", "b.bh")
+
+
+def incremental_lsh_candidates(
+    new_bands: DataFrame,
+    history_bands: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """New-batch-vs-history near-dup candidates from banded MinHash
+    signatures: equi-join on (band, bh), distinct (new_id, hist_id)
+    pairs. Feed ``banded_signatures`` of the incoming batch as
+    ``new_bands`` and the PERSISTED index table as ``history_bands``.
+
+    Scale shape: the only data touched on the history side is the
+    (id, band, bh) index — at 100 TB that is bands × n_docs rows of
+    ~50 bytes, orders of magnitude smaller than the corpus, and when
+    the index table is bucketed by (band, bh) the sort-merge join
+    needs no history-side shuffle at all (a typical daily batch is
+    broadcast-joined outright). An empty batch is a no-op by
+    construction (inner join against zero rows)."""
+    a = new_bands.alias("a")
+    b = history_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("hist_id"),
+        )
+        .dropDuplicates()
+    )
+
+
 def lsh_candidates(
     sig: DataFrame,
     id_col: str,
@@ -183,16 +245,7 @@ def lsh_candidates(
     also materializes a per-bucket id array; if the corpus can
     produce one, cap it upstream by salting the boilerplate signature
     or pre-deduping exact duplicates first (q30)."""
-    r = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * r + j}") for j in range(r)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bh"))
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, "b.band", "b.bh")
+    banded = banded_signatures(sig, id_col, num_hashes, bands)
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
@@ -486,18 +539,44 @@ def simhash_near_pairs(
     the 4 15-bit bands is identical, so band-bucket joins find EVERY
     qualifying pair (exact, not approximate) while only comparing
     within buckets."""
-    nbands = 4
-    width = SIMHASH_BITS // nbands
+    return hamming_near_pairs(
+        sim, id_col, "simhash", SIMHASH_BITS, max_hamming, nbands=4
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int,
+    nbands: int | None = None,
+) -> DataFrame:
+    """Generic banded hamming-distance pair search over ANY integer
+    fingerprint column (SimHash, perceptual dHash, ...): split the
+    ``bits``-bit fingerprint into ``nbands`` contiguous bands
+    (default max_hamming + 1 — the pigeonhole minimum: k differing
+    bits can dirty at most k bands, so every qualifying pair shares a
+    clean band), bucket-join on (band, band value), then verify with
+    exact bit_count(xor). Exact result, per-bucket join cost."""
+    if nbands is None:
+        nbands = max_hamming + 1
+    if nbands <= max_hamming:
+        raise ValueError("need nbands > max_hamming for exactness")
+    if bits % nbands:
+        raise ValueError(f"{bits}-bit fingerprint not divisible into {nbands} bands")
+    width = bits // nbands
     mask = (1 << width) - 1
-    bands = sim.select(
+    fp = F.col(fp_col)
+    bands = df.select(
         F.col(id_col),
-        F.col("simhash"),
+        fp.alias("simhash"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
+                        F.shiftright(fp, b * width)
                         .bitwiseAND(F.lit(mask))
                         .alias("bh"),
                     )

@@ -1148,6 +1148,72 @@ def pixel_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=PIXEL_STATS_SCHEMA)
 
 
+DHASH_SCHEMA = "id long, format string, dhash long"
+
+DHASH_BITS_TOTAL = 60  # == DHASH_W * DHASH_H below
+
+# Perceptual-hash grid: DHASH_W x DHASH_H gradient comparisons = 60
+# bits. The published dHash recipe uses a free grid parameter
+# (9x8 -> 64 bits is the blog-classic); 60 bits keeps the fingerprint
+# exactly representable in a SIGNED 64-bit integer on BOTH engines
+# (DuckDB's 15-hex-char md5 slice trick, q150) and divides evenly
+# into the pigeonhole bands hamming search needs (dedup.py).
+DHASH_W, DHASH_H = 10, 6
+
+
+def dhash_bits(px: "np.ndarray") -> int:
+    """dHash of an h×w×3 uint8 RGB raster: integer-mean grayscale,
+    nearest-neighbor downsample to (DHASH_W+1) × DHASH_H with the
+    SAME exact index arithmetic as resize_payloads (source pixel
+    (x*sw//W, y*sh//H)), then bit (y*DHASH_W + x) = 1 iff
+    gray[y, x] < gray[y, x+1] — each bit is a horizontal gradient
+    sign, which survives brightness/contrast shifts and re-encoding,
+    the property that makes dHash a NEAR-duplicate key where md5 is
+    an exact one. All-integer: bit-reproducible anywhere."""
+    sh, sw = px.shape[:2]
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    ys = np.arange(DHASH_H) * sh // DHASH_H
+    xs = np.arange(DHASH_W + 1) * sw // (DHASH_W + 1)
+    g = gray[ys][:, xs]
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)  # (H, W) bit grid
+    weights = np.int64(1) << (
+        np.arange(DHASH_H * DHASH_W, dtype=np.int64).reshape(DHASH_H, DHASH_W)
+    )
+    return int((bits * weights).sum())
+
+
+def dhash_fingerprints(df: DataFrame) -> DataFrame:
+    """Distributed perceptual fingerprinting: (id, payload) ->
+    (id, format, dhash) via ``decode_raster`` + ``dhash_bits`` in
+    Arrow-batched mapInPandas — the decoder↔dedup bridge. Payloads
+    decode_raster can't read degrade to null format/dhash rows (the
+    standard mixed-corpus contract). Feed the result to
+    ``dedup.hamming_near_pairs(out, "id", "dhash", 60, k)`` for exact
+    hamming≤k near-dup pairs via pigeonhole banding — no all-pairs
+    compare, no Python past this stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, hashes = [], []
+            for b in pdf["payload"]:
+                dec = decode_raster(b)
+                if dec is None:
+                    fmts.append(None)
+                    hashes.append(None)
+                else:
+                    fmts.append(dec[0])
+                    hashes.append(dhash_bits(dec[1]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": fmts,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=DHASH_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "id long, payload binary, "
     "meta struct<n_bytes: long, content_type: string, width: int, height: int>"

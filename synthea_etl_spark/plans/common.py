@@ -368,6 +368,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch2,
         tpch3,
         llm2,
+        llm3,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -383,6 +384,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch2,
         tpch3,
         llm2,
+        llm3,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -1,0 +1,262 @@
+"""Training-data pipeline operators, third batch (round 7):
+
+- q158: INCREMENTAL near-dedup — a new batch's MinHash band
+  signatures probed against the persisted band index of everything
+  already ingested (the MinHash analog of q151's exact anti-join;
+  no historical text rescan, no retrain).
+- q159: PERCEPTUAL image near-dup — dHash fingerprints over decoded
+  rasters + banded hamming pair search (the decoder↔dedup bridge an
+  image-corpus pipeline actually runs).
+- q160: IVF ANN with ZERO Lloyd iterations — centroids are the
+  deterministic md5-min seeds, so assignment/probe/score collapse to
+  closed-form SQL and the IVF *machinery* gets an exact DuckDB twin
+  (the Lloyd-refined q43 stays recall-tested).
+
+Beyond-reference surface (BASELINE.json north star); all reference
+citations for the shared machinery live in operators/{dedup,
+multimodal,similarity}.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.dedup as D
+import synthea_etl_spark.operators.similarity as S
+from synthea_etl_spark.operators.util import rebalance_by_key
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm import (
+    BANDS,
+    HEX8,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    SQL_SHINGLES,
+    SQL_TOKS,
+)
+
+
+# ---------------------------------------------------------------------------
+# q158 incremental MinHash near-dedup (new batch vs persisted band index)
+# ---------------------------------------------------------------------------
+
+
+def q158_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-ingest NEAR-dedup shape: docs with doc_id%5 < 3
+    were 'previously ingested' and only their banded MinHash
+    signatures survive as the history INDEX (in production a table
+    bucketed by (band, bh) — see tests/test_llm3.py for the persisted
+    round trip); the new batch (doc_id%5 >= 3) computes its own
+    signatures and candidate near-dups fall out of an equi-join on
+    (band, bh) — at 100 TB the history side is the ~50-byte-per-row
+    index, never the corpus, and a bucketed index table makes the
+    join shuffle-free on the big side. Output: distinct
+    (new_id, hist_id) candidate pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 5 >= 3)
+    history = docs.filter(F.col("doc_id") % 5 < 3)
+    hist_index = D.banded_signatures(
+        D.minhash_signature(history, "text", "doc_id", NUM_HASHES, 3),
+        "doc_id", NUM_HASHES, BANDS,
+    )
+    new_bands = D.banded_signatures(
+        D.minhash_signature(new_batch, "text", "doc_id", NUM_HASHES, 3),
+        "doc_id", NUM_HASHES, BANDS,
+    )
+    return D.incremental_lsh_candidates(new_bands, hist_index, "doc_id")
+
+
+def _sql_incremental_minhash_oracle() -> str:
+    h = HEX8.format(x="s")
+    mins = ",\n    ".join(
+        f"MIN(({2 * i + 1} * h + {(1000000007 * (i + 1)) % D.MINHASH_P})"
+        f" % {D.MINHASH_P}) AS sig_{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(
+            f"sig_{b * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND)
+        )
+        + ")) AS bh FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+hashed AS (SELECT doc_id, {h} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS (
+{band_rows}
+)
+SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS hist_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id % 5 >= 3 AND b.doc_id % 5 < 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q159 perceptual image near-dup (dHash over decoded rasters)
+# ---------------------------------------------------------------------------
+
+# Fixture: clusters of 4 consecutive doc_ids share an md5-derived
+# 60-bit target dHash; members p=1..3 flip bit p (hamming 1 from the
+# base, 2 between flipped siblings), so with max_hamming=2 every
+# intra-cluster pair qualifies while cross-cluster md5 hashes sit ~30
+# bits apart. Each doc's raster ENCODES its target hash as horizontal
+# gradient signs: an 11×6 gray PPM where stepping right adds +1 for a
+# set bit and -1 for a clear one — so gray(x, y) is the closed form
+#   128 + 2*popcount(hash & prefix_mask(y, x)) - x
+# and a hash match proves decode → grayscale → NN grid → gradient
+# extraction end to end.
+_DH = (
+    "CAST(conv(substr(md5(concat('dh', CAST(doc_id div 4 AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT)"
+)
+_DH_DOC = (
+    f"({_DH} ^ CASE WHEN doc_id % 4 = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT)) END)"
+)
+_DHASH_PPM_HEX = (
+    "concat('50360A313120360A3235350A', "  # 'P6\n11 6\n255\n'
+    "array_join(transform(sequence(0, 65), j -> "
+    "  repeat(lpad(hex(128 + 2 * bit_count({hd} & shiftleft("
+    "    shiftleft(CAST(1 AS BIGINT), CAST(j % 11 AS INT)) - 1,"
+    "    CAST(10 * (j div 11) AS INT))) - j % 11), 2, '0'), 3)"
+    "), ''))"
+).format(hd=_DH_DOC)
+
+
+def q159_perceptual_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup, decoder→dedup end to end: synthesize
+    gradient-coded PPM rasters JVM-side, fingerprint them with the
+    REAL raster path (decode_raster → integer grayscale → NN grid →
+    dHash bits, operators/multimodal.dhash_fingerprints), then find
+    every hamming≤2 pair with the exact pigeonhole band join
+    (operators/dedup.hamming_near_pairs — 3 bands of 20 bits, never
+    all-pairs). Plan shape: narrow-scan rebalance → one Arrow decode
+    stage → banded self-join on (band, bh) → bit_count verify."""
+    from synthea_etl_spark.operators.multimodal import (
+        DHASH_BITS_TOTAL,
+        dhash_fingerprints,
+    )
+
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    shaped = d.select(
+        F.col("doc_id").alias("id"),
+        F.unhex(F.expr(_DHASH_PPM_HEX)).alias("payload"),
+    )
+    fps = dhash_fingerprints(shaped)
+    return D.hamming_near_pairs(fps, "id", "dhash", DHASH_BITS_TOTAL, 2)
+
+
+# DuckDB twin: the target hash is closed-form in doc_id, so the
+# oracle skips the raster entirely — brute-force bit_count(xor) <= 2
+# over the planned hashes. A match therefore certifies that the
+# engine's decode→dHash pipeline recovered EXACTLY the planned bits.
+ORACLE_Q159 = """
+WITH h AS (
+  SELECT doc_id,
+         xor(CAST(concat('0x', substr(md5('dh' || CAST(doc_id // 4 AS VARCHAR)), 1, 15)) AS BIGINT),
+             CASE WHEN doc_id % 4 = 0 THEN 0
+                  ELSE (CAST(1 AS BIGINT) << (doc_id % 4)) END) AS dh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dh, b.dh)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q160 IVF ANN, seed-only quantizer (exact SQL twin of the IVF machinery)
+# ---------------------------------------------------------------------------
+
+
+def q160_knn_ann_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q43 IVF path with lloyd_iters=0: centroids are the 16
+    corpus vectors of smallest md5(vec_id) (similarity.
+    ivf_train_centroids seeds — deterministic, no RNG), so corpus
+    assignment (first-max cosine), query probing (top-4 cells by
+    9dp-rounded cosine, stable ties) and in-cell scoring are all
+    closed-form — the whole IVF *machinery* gets an exact DuckDB twin
+    while q43 keeps the Lloyd-refined quantizer under its recall
+    test. Same 100 TB shape as q43: UDF assignment is one matmul per
+    Arrow batch, candidates come from an equi-join on the cell id."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.knn_ann_ivf(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        lloyd_iters=0,
+    )
+
+
+ORACLE_Q160 = """
+WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+seeds AS (
+  SELECT cv AS sv,
+         row_number() OVER (ORDER BY md5(CAST(neighbor_id AS VARCHAR))) - 1
+           AS cid
+  FROM c
+  ORDER BY md5(CAST(neighbor_id AS VARCHAR))
+  LIMIT 16
+),
+asg AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT neighbor_id, cv, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+               ORDER BY list_cosine_similarity(cv, sv) DESC, cid ASC) AS rn
+    FROM c CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, sv), 9) DESC,
+                        cid ASC) AS rn
+    FROM q CROSS JOIN seeds
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.cv), 6) AS sim
+  FROM probe p JOIN asg a USING (cid)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q158_incremental_minhash": QuerySpec(
+        q158_incremental_minhash,
+        _sql_incremental_minhash_oracle(),
+        "incremental MinHash near-dedup: new batch vs persisted band index",
+        ("llm", "dedup"),
+    ),
+    "q159_perceptual_near_dup": QuerySpec(
+        q159_perceptual_near_dup,
+        ORACLE_Q159,
+        "perceptual dHash near-dup over decoded rasters",
+        ("llm", "dedup", "multimodal"),
+    ),
+    "q160_knn_ann_ivf_seeded": QuerySpec(
+        q160_knn_ann_ivf_seeded,
+        ORACLE_Q160,
+        "IVF ANN with seed-only quantizer (exact SQL twin)",
+        ("llm", "similarity"),
+    ),
+}

@@ -1,0 +1,201 @@
+"""Round-7 LLM-pipeline operators: the persisted incremental MinHash
+index, perceptual dHash near-dup, generic hamming pair search, and
+the seed-only IVF path (plans/llm3.py over operators/{dedup,
+multimodal,similarity}.py).
+
+Reference scope note: the reference has no dedup/similarity surface;
+this is builder's-brief training-data-pipeline scope.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import synthea_etl_spark.operators.dedup as D
+from synthea_etl_spark.operators.multimodal import (
+    DHASH_BITS_TOTAL,
+    dhash_bits,
+    dhash_fingerprints,
+    encode_ppm,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+NEAR_A = "the quick brown fox jumps over the lazy dog again and again ok"
+NEAR_B = "the quick brown fox jumps over the lazy dog again and again yes"
+OTHER = "completely different content about spark shuffles and parquet files"
+
+
+def test_incremental_minhash_index_persisted_roundtrip(spark, tmp_path):
+    """The production shape: band signatures of ingested history are
+    PERSISTED as a bucketed table keyed by (band, bh); a later batch
+    computes only its own signatures and probes the stored index —
+    candidates match computing both sides fresh."""
+    hist = _docs(spark, [(0, NEAR_A), (1, OTHER)])
+    index = D.banded_signatures(
+        D.minhash_signature(hist, "text", "doc_id", 32, 3), "doc_id", 32, 8
+    )
+    spark.sql("DROP TABLE IF EXISTS mh_index")
+    (
+        index.write.mode("overwrite")
+        .bucketBy(4, "band", "bh")
+        .option("path", str(tmp_path / "mh_index"))
+        .saveAsTable("mh_index")
+    )
+
+    batch = _docs(spark, [(10, NEAR_B), (11, "nothing like anything here at all")])
+    new_bands = D.banded_signatures(
+        D.minhash_signature(batch, "text", "doc_id", 32, 3), "doc_id", 32, 8
+    )
+    stored = spark.table("mh_index")
+    got = D.incremental_lsh_candidates(new_bands, stored, "doc_id").collect()
+    fresh = D.incremental_lsh_candidates(new_bands, index, "doc_id").collect()
+    assert sorted((r.new_id, r.hist_id) for r in got) == sorted(
+        (r.new_id, r.hist_id) for r in fresh
+    )
+    # the near-dup batch doc found its historical twin; the novel one
+    # matched nothing
+    assert {(r.new_id, r.hist_id) for r in got} == {(10, 0)}
+    spark.sql("DROP TABLE IF EXISTS mh_index")
+
+
+def test_incremental_minhash_empty_batch_and_reingest(spark):
+    """An empty new batch is a no-op; re-ingesting the very same batch
+    yields zero surviving (unmatched) docs — every doc collides with
+    its own historical signature in every band."""
+    hist = _docs(spark, [(0, NEAR_A), (1, OTHER)])
+    index = D.banded_signatures(
+        D.minhash_signature(hist, "text", "doc_id", 32, 3), "doc_id", 32, 8
+    )
+
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL")
+    empty_bands = D.banded_signatures(
+        D.minhash_signature(empty, "text", "doc_id", 32, 3), "doc_id", 32, 8
+    )
+    assert D.incremental_lsh_candidates(empty_bands, index, "doc_id").count() == 0
+
+    # re-ingest history itself under shifted ids: all matched, so the
+    # anti-join keeper set is empty
+    re_batch = _docs(spark, [(100, NEAR_A), (101, OTHER)])
+    re_bands = D.banded_signatures(
+        D.minhash_signature(re_batch, "text", "doc_id", 32, 3), "doc_id", 32, 8
+    )
+    cands = D.incremental_lsh_candidates(re_bands, index, "doc_id")
+    survivors = re_batch.join(
+        cands.select("new_id").distinct().withColumnRenamed("new_id", "doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    assert survivors.count() == 0
+
+
+def _gradient_raster(h_bits: int, w: int = 11, rows: int = 6) -> np.ndarray:
+    """Raster whose dHash is exactly ``h_bits`` (the q159 fixture
+    construction, in numpy)."""
+    px = np.zeros((rows, w, 3), dtype=np.uint8)
+    for y in range(rows):
+        g = 128
+        px[y, 0] = g
+        for x in range(w - 1):
+            bit = (h_bits >> (y * 10 + x)) & 1
+            g += 1 if bit else -1
+            px[y, x + 1] = g
+    return px
+
+
+def test_dhash_bits_recovers_planned_bits_and_survives_brightness():
+    target = 0x0AB54A98CEB1F0AD & ((1 << 60) - 1)
+    px = _gradient_raster(target)
+    assert dhash_bits(px) == target
+    # global brightness shift flips no gradient signs: same hash —
+    # the perceptual property that distinguishes dHash from md5
+    brighter = np.clip(px.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    assert dhash_bits(brighter) == target
+    # contrast stretch (x2) preserves order too
+    stretched = np.clip((px.astype(np.int32) - 100) * 2 + 100, 0, 255).astype(
+        np.uint8
+    )
+    assert dhash_bits(stretched) == target
+
+
+def test_dhash_downsample_matches_direct_grid():
+    """A raster at 4x the grid size downsamples with the exact
+    resize_payloads index arithmetic: scaling each fixture pixel to a
+    4x4 block must yield the identical hash."""
+    target = (1 << 59) | 0x5555
+    small = _gradient_raster(target)
+    big = np.repeat(np.repeat(small, 4, axis=0), 4, axis=1)
+    assert dhash_bits(big) == target
+
+
+def test_dhash_fingerprints_null_degradation(spark):
+    rows = [
+        (0, bytearray(encode_ppm(_gradient_raster(123456789)))),
+        (1, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.dhash) for r in dhash_fingerprints(df).collect()}
+    assert got[0] == ("ppm", 123456789)
+    assert got[1] == (None, None)
+
+
+def test_hamming_near_pairs_exact_vs_bruteforce(spark):
+    """The banded search is EXACT: against 200 structured fingerprints
+    (clusters + random), its pairs equal brute-force bit_count(xor)
+    <= k for k = 2 and 3."""
+    import hashlib
+
+    fps = []
+    for i in range(200):
+        base = int.from_bytes(
+            hashlib.md5(str(i // 5).encode()).digest()[:8], "big"
+        ) & ((1 << 60) - 1)
+        flip = 0 if i % 5 == 0 else 1 << (i % 5 * 7)
+        fps.append((i, base ^ flip))
+    df = spark.createDataFrame(fps, "id long, fp long")
+    for k in (2, 3):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in D.hamming_near_pairs(df, "id", "fp", 60, k).collect()
+        }
+        want = {
+            (a, b, bin(fa ^ fb).count("1"))
+            for a, fa in fps
+            for b, fb in fps
+            if a < b and bin(fa ^ fb).count("1") <= k
+        }
+        assert got == want
+        assert got  # non-vacuous: the clusters do produce pairs
+
+
+def test_hamming_near_pairs_validation(spark):
+    df = spark.createDataFrame([(0, 1)], "id long, fp long")
+    with pytest.raises(ValueError):
+        D.hamming_near_pairs(df, "id", "fp", 60, 3, nbands=3)
+    with pytest.raises(ValueError):
+        D.hamming_near_pairs(df, "id", "fp", 60, 2, nbands=7)
+
+
+def test_ivf_seeded_matches_bruteforce_on_probed_cells(spark):
+    """lloyd_iters=0 recall sanity on a small corpus: every returned
+    neighbor must be a true member of a probed cell, and top-1
+    self-similar structure (duplicate vectors) is always found."""
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    vecs.append((100, vecs[3][1]))  # exact duplicate of vec 3
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = S.knn_ann_ivf(
+        df,
+        df.filter("vec_id = 100"),
+        k=3,
+        n_centroids=4,
+        n_probe=2,
+        lloyd_iters=0,
+    ).collect()
+    assert out and out[0].neighbor_id == 3 and out[0].sim == 1.0
