@@ -517,3 +517,26 @@ def test_dataset_mixture_weights_and_determinism(spark):
             extra = len(docs)  # only the fractional draw includes them
         frac = w - whole
         assert abs(extra / n_docs_total - frac) < 0.35
+
+
+def test_q146_preagg_runs_without_extra_shuffle(spark):
+    """q146's per-(doc_id, bigram) collapse must ride the existing
+    doc_id partitioning: the only ENSURE_REQUIREMENTS exchange in the
+    plan is the corpus bigram-count shuffle of per-partition partials
+    — no exchange keyed on (doc_id, bigram), and the final per-doc
+    aggregate needs none either."""
+    import re
+
+    from synthea_etl_spark.plans.llm import q146_bigram_familiarity
+
+    plan = (
+        q146_bigram_familiarity(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L, bigram", plan)
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    # the probe side of the broadcast join is the COLLAPSED frame: its
+    # per-pair count feeds the final sums
+    assert re.search(r"BroadcastHashJoin \[bigram", plan)
