@@ -85,28 +85,47 @@ def attach_payload(df: DataFrame, text_col: str, id_col: str, content_type: str 
 
 
 def decode_features(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Distributed decode/feature-extract over payload bytes via
-    mapInPandas (Arrow batches). With fake=True computes deterministic
-    byte-level stand-in features; otherwise raises NotImplementedError
-    at task level (no media codecs in this environment)."""
+    """BYTE-level feature extraction over payloads via mapInPandas —
+    the payload-plumbing smoke path (binaryFile source contract,
+    batch shape). For real media decode use ``pixel_stats`` /
+    ``image_metadata`` / ``dhash_fingerprints`` / the audio+video
+    stats operators, which decode PNG/JPEG/GIF/BMP/TIFF/WAV/FLAC/...
+    from scratch; ``fake=False`` here is the historical guard for the
+    codec-library decode this engine never took a dependency on and
+    raises. Features are vectorized per Arrow batch: payload bytes
+    concatenate once (C-speed) and per-row sums come from one
+    ``np.add.reduceat`` — no per-row Python arithmetic."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
-                    "media decode requires image/audio codecs not present in "
-                    "this environment; pass fake=True for the deterministic stub"
+                    "library-backed media decode was never added; use the "
+                    "from-scratch decoders (pixel_stats et al.) or fake=True "
+                    "for the byte-level stand-in"
                 )
-            payloads = pdf["payload"]
+            blobs = [bytes(b) for b in pdf["payload"]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            starts = np.zeros(len(blobs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.zeros(len(blobs), dtype=np.int64)
+            nz = lens > 0
+            if cat.size:
+                # reduceat needs strictly valid offsets: compute only
+                # for non-empty rows (empty rows keep sum 0)
+                sums[nz] = np.add.reduceat(cat, starts[nz])
+                # reduceat sums run to the NEXT offset; trailing empty
+                # rows collapse to the same start, already excluded
+            mean = np.where(nz, sums / np.maximum(lens, 1), 0.0)
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "mean_byte": payloads.map(
-                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
-                    ),
-                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
-                    "content_type": pdf["meta"].map(lambda m: m["content_type"]),
+                    "n_bytes": lens,
+                    "mean_byte": mean,
+                    "head_hex": [b[:8].hex() for b in blobs],
+                    "content_type": [m["content_type"] for m in pdf["meta"]],
                 }
             )
 
