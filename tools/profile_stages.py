@@ -77,14 +77,25 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/tmp/sparkgraft_sf1")
     ap.add_argument("--out", default="bench_artifacts/stage_profile.json")
     ap.add_argument("--runs", type=int, default=1, help="warm runs before the measured one")
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="override master, e.g. local-cluster[4,8,8192] for "
+        "multi-process profiling (default: env/local[*])",
+    )
     ap.add_argument("queries", nargs="*", default=None)
     args = ap.parse_args()
     names = args.queries or DEFAULT_QUERIES
 
     registry = all_queries()
-    spark = get_session(
-        "profile", extra_conf={"spark.ui.enabled": "true"}
-    )
+    extra = {"spark.ui.enabled": "true"}
+    if args.master and args.master.startswith("local-cluster"):
+        # executor JVMs are separate processes: their python workers
+        # need the repo on PYTHONPATH to unpickle engine closures
+        extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+    spark = get_session("profile", master=args.master, extra_conf=extra)
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
 
