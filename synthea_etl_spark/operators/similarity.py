@@ -424,6 +424,80 @@ def knn_ann_ivf(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE half of IVF: (cluster, id, vector) assignments
+    under a FIXED quantizer. Write this bucketed by ``cluster`` once
+    per ingested corpus slice; queries then probe the stored table
+    (``knn_ann_ivf_probe``) with no retrain and no corpus rescan —
+    the ANN analog of q151/q158's incremental dedup indexes. A new
+    batch appends ``ivf_index(batch, same_centroids)``: assignment is
+    per-row under a frozen quantizer, so index(A) ∪ index(B) ==
+    index(A ∪ B) exactly (tested), which is what makes the index
+    incrementally maintainable. Periodic re-training (drifted
+    centroids) rebuilds the table — a rollover, not a merge."""
+    assign = make_assign_udf(centroids)
+    return corpus.select(
+        assign(F.col(vec_col)).alias("cluster"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+    )
+
+
+def knn_ann_ivf_probe(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Query a persisted ``ivf_index`` table: probe each query's
+    ``n_probe`` nearest cells, equi-join the index on the cell id,
+    exact-score inside probed cells, window top-k. Identical results
+    to ``knn_ann_ivf`` under the same centroids (tested) — but the
+    corpus side is the stored index: no training scan, no assignment
+    pass, and with the table bucketed by ``cluster`` the join needs
+    no index-side shuffle (a query batch is broadcast anyway)."""
+    from pyspark.sql import Window
+
+    probe = make_probe_udf(centroids, n_probe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("cluster", F.explode(probe(F.col("qv"))))
+    )
+    scored = (
+        index.join(F.broadcast(q), on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                make_cosine_udf()(F.col("qv"), F.col("cv")), sim_decimals
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

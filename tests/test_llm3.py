@@ -199,3 +199,53 @@ def test_ivf_seeded_matches_bruteforce_on_probed_cells(spark):
         lloyd_iters=0,
     ).collect()
     assert out and out[0].neighbor_id == 3 and out[0].sim == 1.0
+
+
+def test_ivf_index_persisted_probe_matches_fresh(spark, tmp_path):
+    """The persisted-index ANN path: ivf_index written as a bucketed
+    table and probed must return EXACTLY what knn_ann_ivf computes
+    fresh under the same (seed-only) centroids; and the index is
+    incrementally maintainable — index(A) ∪ index(B) == index(A∪B)
+    under a frozen quantizer."""
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = S.ivf_train_centroids(
+        df.selectExpr("vec_id as neighbor_id", "embedding as cv"),
+        "neighbor_id", "cv", n_centroids=4, lloyd_iters=0,
+    )
+    queries = df.filter("vec_id < 3")
+
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
+    (
+        S.ivf_index(df, cents).write.mode("overwrite")
+        .bucketBy(4, "cluster")
+        .option("path", str(tmp_path / "ivf_idx"))
+        .saveAsTable("ivf_idx")
+    )
+    got = sorted(
+        tuple(r)
+        for r in S.knn_ann_ivf_probe(
+            spark.table("ivf_idx"), cents, queries, k=3, n_probe=2
+        ).collect()
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in S.knn_ann_ivf(
+            df, queries, k=3, n_centroids=4, n_probe=2, lloyd_iters=0
+        ).collect()
+    )
+    assert got == fresh and got
+
+    # incremental maintenance: assignments of two halves union to the
+    # full index exactly (frozen quantizer => per-row assignment)
+    a = S.ivf_index(df.filter("vec_id < 30"), cents)
+    b = S.ivf_index(df.filter("vec_id >= 30"), cents)
+    full = S.ivf_index(df, cents)
+    key = lambda r: (r.cluster, r.neighbor_id)  # noqa: E731
+    assert sorted(map(key, a.unionByName(b).collect())) == sorted(
+        map(key, full.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS ivf_idx")
