@@ -97,6 +97,8 @@ HEADLINE_OPT = [
     "q158_incremental_minhash",
     "q159_perceptual_near_dup",
     "q160_knn_ann_ivf_seeded",
+    "q161_quality_model",
+    "q162_bm25_topk",
 ]
 
 

@@ -1,0 +1,177 @@
+"""Retrieval + model-based filtering operators for LLM data
+pipelines: hashed-linear quality scoring (the fastText/CCNet-style
+classifier filter every pretraining corpus passes through) and BM25
+top-k retrieval (the lexical retriever of RAG/eval pipelines).
+
+Beyond-reference surface (BASELINE.json north star; the reference
+has no text models). Public knowledge only: the hashing-trick linear
+classifier (Weinberger et al. 2009) and the published BM25 ranking
+function (Robertson/Sparck Jones).
+
+Scale design (100 TB):
+- quality scoring: one explode + one per-doc aggregate — weights are
+  an expression on the hashed bucket here (a deterministic stand-in
+  for trained weights); a REAL weight vector is a broadcast map
+  lookup in the same plan shape. All-integer accumulation, one final
+  division: scores are bit-identical at any parallelism.
+- BM25: document frequencies and lengths are two narrow aggregates;
+  query terms broadcast; per-term float64 scores are each a fixed
+  IEEE expression (deterministic), then quantized to integer
+  micro-units BEFORE the per-doc sum so the reduction is
+  order-independent — the same exact-aggregation discipline as
+  plans/common.exact_agg. Ratio-form idf ((N-df+.5)/(df+.5), no
+  log) keeps both engines bit-identical; it is a monotone transform
+  of the classic log idf, so rankings match the textbook scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.operators.text import tokens
+from synthea_etl_spark.operators.util import rebalance_by_key
+
+QUALITY_DIM = 4096  # hashed feature space
+WEIGHT_SPAN = 1000  # weights are integers in [-WEIGHT_SPAN, WEIGHT_SPAN]
+
+
+def _bucket(col: Column) -> Column:
+    """Token -> feature bucket via the engine-portable md5 hash."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("q"), col)), 1, 8), 16, 10)
+        .cast("long")
+        % QUALITY_DIM
+    )
+
+
+def _weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight per bucket (stand-in for a trained
+    vector; integer in [-1000, 1000])."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (2 * WEIGHT_SPAN + 1)
+        - WEIGHT_SPAN
+    )
+
+
+def quality_model_score(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Score every document with a hashed-bag-of-words linear model:
+    margin = sum over tokens of w[h(token)] / (SPAN * n_tokens) —
+    a normalized score in [-1, 1]; keep = margin > 0. The sum is
+    exact int64 (bounded by SPAN * n_tokens << 2^63), so the score is
+    one deterministic division — hash-stable at any parallelism."""
+    tok = rebalance_by_key(
+        df.select(id_col, text_col), id_col
+    ).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    scored = tok.select(
+        F.col(id_col), _weight(_bucket(F.col("t"))).alias("w")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.sum("w").alias("raw_margin"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "raw_margin",
+            (
+                F.col("raw_margin")
+                / (F.lit(float(WEIGHT_SPAN)) * F.col("n_tokens"))
+            ).alias("margin"),
+            (F.col("raw_margin") > 0).alias("keep"),
+        )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+MICRO = 1_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+) -> DataFrame:
+    """BM25 lexical retrieval: top-``k`` docs per query.
+
+    Plan shape: (1) per-doc term frequencies + doc length (one
+    explode + one agg on the doc-partitioned frame — no extra
+    shuffle), (2) document frequencies (one agg on the term key),
+    (3) the tiny (query_id, term) frame broadcast against the
+    postings, (4) per-(query, doc) accumulation of micro-quantized
+    term scores, (5) window top-k. Each per-term score is a fixed
+    IEEE-double expression on integers (deterministic on any
+    engine); quantizing to int64 micro-units BEFORE the sum makes
+    the per-doc reduction order-independent, so results hash
+    identically at any parallelism — and in DuckDB."""
+    toks = rebalance_by_key(
+        docs.select(id_col, text_col), id_col
+    ).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    # per-doc postings: tf rides the id partitioning (no new shuffle)
+    tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = docs.select(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        dl.select(F.sum("dl").cast("long").alias("total_len"))
+    )
+    df_t = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+
+    q_terms = queries.select(
+        F.col(query_id_col), F.explode(tokens(query_text_col)).alias("t")
+    ).distinct()
+
+    joined = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(df_t.join(F.broadcast(q_terms), "t")), "t")
+        .crossJoin(F.broadcast(stats))
+    )
+    # avgdl = total_len / n_docs: one exact division; the full term
+    # score is written as ONE expression so both engines evaluate
+    # the identical IEEE operation tree
+    avgdl = F.col("total_len") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    tscore = idf * (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    micro = F.floor(tscore * MICRO + F.lit(0.5)).cast("long")
+    per_doc = (
+        joined.select(F.col(query_id_col), F.col(id_col), micro.alias("m"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("m").alias("micro_score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("micro_score"), F.asc(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            (F.col("micro_score") / MICRO).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -240,6 +240,119 @@ SELECT query_id, neighbor_id, sim, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q161 model-based quality filtering (hashed linear classifier)
+# ---------------------------------------------------------------------------
+
+
+def q161_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fastText/CCNet-style classifier filter every pretraining
+    corpus passes through, in its at-scale plan shape: hash each
+    token into a 4096-bucket feature space, sum the bucket weights
+    (here a deterministic md5-derived stand-in for a trained vector;
+    production swaps in a broadcast weight lookup — same plan),
+    normalize once. One explode + one per-doc aggregate riding the
+    doc partitioning; exact int64 accumulation makes the margin
+    bit-stable at any parallelism (operators/retrieval.py)."""
+    from synthea_etl_spark.operators.retrieval import quality_model_score
+
+    return quality_model_score(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+ORACLE_Q161 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, UNNEST(w) AS t FROM toks),
+wt AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('w' || CAST(
+             CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT) % 4096
+           AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+  FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS raw_margin,
+       CAST(SUM(w) AS BIGINT) / (1000.0 * count(*)) AS margin,
+       SUM(w) > 0 AS keep
+FROM wt GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q162 BM25 top-k retrieval
+# ---------------------------------------------------------------------------
+
+
+def q162_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75, ratio-form idf): the
+    texts of docs 0-2 serve as queries over the whole corpus, top-5
+    each. Per-term scores are fixed IEEE expressions quantized to
+    int64 micro-units BEFORE the per-doc sum, so the reduction is
+    order-independent and hashes identically on both engines
+    (operators/retrieval.bm25_topk)."""
+    from synthea_etl_spark.operators.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+def _sql_bm25_oracle() -> str:
+    from synthea_etl_spark.operators.retrieval import BM25_B, BM25_K1, MICRO
+
+    # interpolate the EXACT Python float literals the engine uses so
+    # both expression trees are the same IEEE computation
+    k1p1, k1 = repr(BM25_K1 + 1.0), repr(BM25_K1)
+    omb, b = repr(1.0 - BM25_B), repr(BM25_B)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, UNNEST(w) AS t FROM toks),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT SUM(dl) FROM dl) AS total_len
+),
+dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+qt AS (SELECT DISTINCT doc_id AS query_id, t FROM tok WHERE doc_id < 3),
+term_scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(floor(
+           ((n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * {k1p1}) / (tf + {k1} * ({omb} + ({b} * dl)
+               / (CAST(total_len AS DOUBLE) / n_docs))))
+           * {MICRO} + 0.5) AS BIGINT) AS m
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dft USING (t)
+  JOIN qt USING (t)
+  CROSS JOIN stats
+),
+per_doc AS (
+  SELECT query_id, doc_id, SUM(m) AS micro_score
+  FROM term_scores GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       CAST(micro_score AS BIGINT) / {MICRO} AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY micro_score DESC, doc_id) AS rank
+  FROM per_doc
+) WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q158_incremental_minhash": QuerySpec(
         q158_incremental_minhash,
@@ -258,5 +371,17 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q160,
         "IVF ANN with seed-only quantizer (exact SQL twin)",
         ("llm", "similarity"),
+    ),
+    "q161_quality_model": QuerySpec(
+        q161_quality_model,
+        ORACLE_Q161,
+        "hashed-linear quality classifier scoring",
+        ("llm", "quality"),
+    ),
+    "q162_bm25_topk": QuerySpec(
+        q162_bm25_topk,
+        _sql_bm25_oracle(),
+        "BM25 top-k lexical retrieval (micro-quantized exact sums)",
+        ("llm", "retrieval"),
     ),
 }

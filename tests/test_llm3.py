@@ -249,3 +249,120 @@ def test_ivf_index_persisted_probe_matches_fresh(spark, tmp_path):
         map(key, full.collect())
     )
     spark.sql("DROP TABLE IF EXISTS ivf_idx")
+
+
+def test_quality_model_score_matches_reference(spark):
+    """Hand-computed hashing-trick margins on a tiny corpus match the
+    distributed operator exactly (same md5 bucket/weight scheme)."""
+    import hashlib
+
+    from synthea_etl_spark.operators.retrieval import (
+        QUALITY_DIM,
+        WEIGHT_SPAN,
+        quality_model_score,
+    )
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(("q" + tok).encode()).hexdigest()[:8], 16) % QUALITY_DIM
+
+    def weight(bk: int) -> int:
+        return (
+            int(hashlib.md5(("w" + str(bk)).encode()).hexdigest()[:8], 16)
+            % (2 * WEIGHT_SPAN + 1)
+            - WEIGHT_SPAN
+        )
+
+    rows = [(0, "alpha beta gamma"), (1, "alpha alpha"), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_model_score(df, "text", "doc_id").collect()}
+    assert set(got) == {0, 1}  # blank doc has no tokens -> no row
+    for did, text in rows[:2]:
+        toks = text.split()
+        raw = sum(weight(bucket(t)) for t in toks)
+        assert got[did].n_tokens == len(toks)
+        assert got[did].raw_margin == raw
+        assert abs(got[did].margin - raw / (1000.0 * len(toks))) < 1e-15
+        assert got[did].keep == (raw > 0)
+
+
+def _bm25_reference(docs, queries, k1=1.2, b=0.75):
+    """Pure-Python BM25 twin (ratio idf, micro-quantized sums)."""
+    tok = {i: t.split() for i, t in docs}
+    tf = {i: {} for i, _ in docs}
+    for i, ts in tok.items():
+        for t in ts:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    dl = {i: len(ts) for i, ts in tok.items()}
+    n_docs = len(docs)
+    total = sum(dl.values())
+    avgdl = total / n_docs
+    df = {}
+    for i in tf:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for t in set(qtext.split()):
+            if t not in df:
+                continue
+            idf = (n_docs - df[t] + 0.5) / (df[t] + 0.5)
+            for i in tf:
+                if t in tf[i]:
+                    s = idf * (
+                        tf[i][t] * (k1 + 1.0)
+                        / (tf[i][t] + k1 * ((1.0 - b) + (b * dl[i]) / avgdl))
+                    )
+                    scores[i] = scores.get(i, 0) + int(s * 1_000_000 + 0.5)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[qid] = [(i, m / 1_000_000) for i, m in ranked]
+    return out
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    from synthea_etl_spark.operators.retrieval import bm25_topk
+
+    docs = [
+        (0, "spark shuffles data between executors"),
+        (1, "spark spark spark shuffle tuning guide"),
+        (2, "gardening tips for tomato plants"),
+        (3, "executors run tasks and report to the driver"),
+        (4, "tomato tomato soup recipe"),
+    ]
+    queries = [(100, "spark executors"), (101, "tomato")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, query_text string"
+    )
+    got = {}
+    for r in bm25_topk(ddf, qdf, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    ref = _bm25_reference(docs, queries)
+    for qid, ranked in ref.items():
+        want = [(j + 1, i, s) for j, (i, s) in enumerate(ranked[:3])]
+        assert sorted(got[qid]) == want, (qid, sorted(got[qid]), want)
+    # relevance sanity: the spark-heavy doc tops the spark query, the
+    # tomato docs top the tomato query
+    assert sorted(got[100])[0][1] in (0, 1, 3)
+    assert sorted(got[101])[0][1] in (2, 4)
+
+
+def test_bm25_deterministic_across_partitionings(spark):
+    """Micro-quantized sums make the score exactly reproducible at
+    any parallelism — 1-partition and 16-partition runs are equal."""
+    from synthea_etl_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} common word{i % 11}") for i in range(60)]
+    qdf = spark.createDataFrame(
+        [(0, "tok1 common"), (1, "word7 tok2")],
+        "query_id long, query_text string",
+    )
+    outs = []
+    for parts in (1, 16):
+        ddf = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).repartition(parts)
+        outs.append(
+            sorted(tuple(r) for r in bm25_topk(ddf, qdf, k=5).collect())
+        )
+    assert outs[0] == outs[1]
