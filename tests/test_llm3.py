@@ -366,3 +366,72 @@ def test_bm25_deterministic_across_partitionings(spark):
             sorted(tuple(r) for r in bm25_topk(ddf, qdf, k=5).collect())
         )
     assert outs[0] == outs[1]
+
+
+def test_near_dedup_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming incremental near-dedup: batches of documents land as
+    JSON; each micro-batch drops intra-batch near-dups and docs
+    near-duplicating ANY prior batch (probing only the accumulated
+    band index), then appends survivors + their bands partitioned by
+    batch_id. Re-landing the same content adds nothing; a replayed
+    batch overwrites its own partition (idempotent publication)."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from synthea_etl_spark.pipeline import near_dedup_ingest_stream
+
+    landing = tmp_path / "landing"
+    corpus = tmp_path / "corpus"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        near_dedup_ingest_stream(
+            spark, str(landing), str(corpus), str(index), str(ckpt), schema
+        ).awaitTermination(120)
+
+    def corpus_ids():
+        return sorted(r.doc_id for r in spark.read.parquet(str(corpus)).collect())
+
+    # batch 0: one near-dup pair inside the batch + one distinct doc
+    land("b0.json", [(0, NEAR_A), (1, NEAR_B), (2, OTHER)])
+    run()
+    assert corpus_ids() == [0, 2]  # 1 lost to intra-batch near-dup
+
+    # batch 1: near-dup of history (drop), brand-new doc (keep)
+    land("b1.json", [(10, NEAR_A + " extra"), (11, "genuinely novel content here ok")])
+    run()
+    assert corpus_ids() == [0, 2, 11]
+
+    # re-land identical content under new ids: all near-dup history
+    land("b2.json", [(20, NEAR_A), (21, OTHER)])
+    run()
+    assert corpus_ids() == [0, 2, 11]
+    # the index accumulated bands only for survivors
+    idx = spark.read.parquet(str(index))
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [0, 2, 11]
+
+    # replay simulation: batch partitions are overwrite-idempotent —
+    # rerunning batch 1's publication must not duplicate rows
+    # (materialize before writing: never read-overwrite the same path)
+    b1_rows = spark.read.parquet(str(corpus)).filter("batch_id = 1").collect()
+    b1 = spark.createDataFrame(b1_rows)
+    (
+        b1.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(corpus))
+    )
+    assert corpus_ids() == [0, 2, 11]
