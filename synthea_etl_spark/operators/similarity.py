@@ -613,6 +613,83 @@ def embedding_near_dup_lsh(
     )
 
 
+def lsh_bucket_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The PERSISTABLE half of embedding near-dedup: (bucket, id,
+    vector) rows under the deterministic md5-derived hyperplanes.
+    Write bucketed by ``bucket`` once per ingested slice; new batches
+    probe it with ``incremental_embedding_near_dups`` — no historical
+    vector rescan. Bucketing is per-row under fixed planes, so
+    index(A) ∪ index(B) == index(A ∪ B) exactly (same incremental
+    invariant as ``ivf_index``; tested). Completes the incremental
+    index triad: exact fingerprints (q151), MinHash bands (q158),
+    embedding buckets (here)."""
+    planes = _hyperplanes(n_planes, dim)
+    bucket_of = make_bucket_udf(planes)
+    return df.select(
+        bucket_of(F.col(vec_col)).alias("bucket"),
+        F.col(id_col).alias("hist_id"),
+        F.col(vec_col).alias("hv"),
+    )
+
+
+def incremental_embedding_near_dups(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    sim_decimals: int = 6,
+    n_planes: int = 8,
+    dim: int = 64,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """New-batch-vs-history embedding near-dups from a persisted
+    ``lsh_bucket_index``: bucket the batch under the SAME planes,
+    multiprobe (bit flips up to ``multiprobe``) against the stored
+    buckets, exact-cosine verify >= threshold. Same
+    no-false-positives / bounded-recall contract as
+    ``embedding_near_dup_lsh``, but the history side is the index
+    table — a daily batch broadcasts, history never shuffles or
+    rescans. Returns (new_id, hist_id, sim)."""
+    planes = _hyperplanes(n_planes, dim)
+    bucket_of = make_bucket_udf(planes)
+    hashed = batch.select(
+        F.col(id_col).alias("new_id"), F.col(vec_col).alias("nv")
+    ).withColumn("b0", bucket_of(F.col("nv")))
+    probe_cols = [F.col("b0")]
+    if multiprobe >= 1:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    if multiprobe >= 2:
+        probe_cols += [
+            F.col("b0").bitwiseXOR(F.lit((1 << p) | (1 << r)))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    probes = hashed.withColumn(
+        "bucket", F.explode(F.array(*probe_cols))
+    ).select("new_id", "nv", "bucket")
+    return (
+        index.join(F.broadcast(probes), "bucket")
+        .dropDuplicates(["new_id", "hist_id"])
+        .select(
+            "new_id",
+            "hist_id",
+            F.round(
+                make_cosine_udf()(F.col("nv"), F.col("hv")), sim_decimals
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -435,3 +435,49 @@ def test_near_dedup_ingest_stream_end_to_end(spark, tmp_path):
         .parquet(str(corpus))
     )
     assert corpus_ids() == [0, 2, 11]
+
+
+def test_embedding_bucket_index_incremental_probe(spark, tmp_path):
+    """The embedding half of the incremental-index triad: a persisted
+    LSH bucket table probed by a new batch finds planted near-dups of
+    history with exact verified sims, never false positives; the
+    union invariant holds; re-probing the batch's own twin finds it."""
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 16)
+    hist_vecs = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    hist = spark.createDataFrame(
+        hist_vecs, "vec_id long, embedding array<double>"
+    )
+    idx = S.lsh_bucket_index(hist, n_planes=6, dim=16)
+
+    spark.sql("DROP TABLE IF EXISTS emb_idx")
+    (
+        idx.write.mode("overwrite").bucketBy(4, "bucket")
+        .option("path", str(tmp_path / "emb_idx")).saveAsTable("emb_idx")
+    )
+
+    # batch: a near-copy of hist vec 7 (tiny perturbation) + a far vector
+    near = base[7] + rng.randn(16) * 1e-3
+    batch = spark.createDataFrame(
+        [(100, [float(x) for x in near]),
+         (101, [float(x) for x in rng.randn(16) * 5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = S.incremental_embedding_near_dups(
+        batch, spark.table("emb_idx"), threshold=0.99,
+        n_planes=6, dim=16, multiprobe=2,
+    ).collect()
+    assert {(r.new_id, r.hist_id) for r in got} == {(100, 7)}
+    assert all(r.sim >= 0.99 for r in got)
+
+    # union invariant: bucketing is per-row under fixed planes
+    a = S.lsh_bucket_index(hist.filter("vec_id < 15"), n_planes=6, dim=16)
+    b = S.lsh_bucket_index(hist.filter("vec_id >= 15"), n_planes=6, dim=16)
+    full = S.lsh_bucket_index(hist, n_planes=6, dim=16)
+    key = lambda r: (r.bucket, r.hist_id)  # noqa: E731
+    assert sorted(map(key, a.unionByName(b).collect())) == sorted(
+        map(key, full.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS emb_idx")
