@@ -1201,6 +1201,80 @@ def dhash_bits(px: "np.ndarray") -> int:
     return int((bits * weights).sum())
 
 
+_PHASH_N = 32  # pHash analysis grid (32x32 gray, standard choice)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal n-point DCT-II basis — the n=32 generalization of
+    the 8x8 matrix jpeg.py uses for encode/decode."""
+    import math
+
+    return np.array(
+        [
+            [
+                (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
+                * math.cos((2 * x + 1) * u * math.pi / (2 * n))
+                for x in range(n)
+            ]
+            for u in range(n)
+        ],
+        dtype=np.float64,
+    )
+
+
+def phash_bits(px: "np.ndarray") -> int:
+    """60-bit DCT perceptual hash: integer-mean grayscale, NN resample
+    to 32x32 (same exact index arithmetic as dHash/resize), 2D DCT-II
+    (the jpeg.py basis generalized to n=32), keep the low-frequency
+    8x8 block, take its first 60 AC coefficients in JPEG zigzag
+    order, threshold each against their median. Brightness shifts
+    land only in DC and positive contrast scaling multiplies ACs and
+    median alike, so both leave the hash unchanged; unlike dHash the
+    signature keys on global spectral shape, surviving high-frequency
+    noise. 60 bits feed ``dedup.hamming_near_pairs`` directly."""
+    from synthea_etl_spark.operators.jpeg import _ZZ
+
+    sh, sw = px.shape[:2]
+    gray = px.astype(np.float64).sum(axis=2) / 3.0
+    ys = np.arange(_PHASH_N) * sh // _PHASH_N
+    xs = np.arange(_PHASH_N) * sw // _PHASH_N
+    g = gray[ys][:, xs]
+    A = _dct_matrix(_PHASH_N)
+    low = (A @ g @ A.T)[:8, :8]
+    flat = low.flatten()
+    coefs = np.array([flat[p] for p in _ZZ[1:61]])  # skip DC
+    med = np.median(coefs)
+    bits = (coefs > med).astype(np.int64)
+    return int((bits * (np.int64(1) << np.arange(60, dtype=np.int64))).sum())
+
+
+def phash_fingerprints(df: DataFrame) -> DataFrame:
+    """Distributed pHash over decoded rasters — same contract and
+    schema as ``dhash_fingerprints`` (null degradation for
+    undecodable payloads); Arrow-batched mapInPandas."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, hashes = [], []
+            for b in pdf["payload"]:
+                dec = decode_raster(b)
+                if dec is None:
+                    fmts.append(None)
+                    hashes.append(None)
+                else:
+                    fmts.append(dec[0])
+                    hashes.append(phash_bits(dec[1]))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": fmts,
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=DHASH_SCHEMA)
+
+
 def dhash_fingerprints(df: DataFrame) -> DataFrame:
     """Distributed perceptual fingerprinting: (id, payload) ->
     (id, format, dhash) via ``decode_raster`` + ``dhash_bits`` in

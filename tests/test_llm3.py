@@ -481,3 +481,90 @@ def test_embedding_bucket_index_incremental_probe(spark, tmp_path):
         map(key, full.collect())
     )
     spark.sql("DROP TABLE IF EXISTS emb_idx")
+
+
+def test_phash_invariances_and_noise_robustness(spark):
+    """pHash (DCT perceptual hash): brightness shift lands only in DC
+    and contrast scaling multiplies ACs and median alike — hash
+    unchanged; mild high-frequency noise flips few bits (the property
+    dHash lacks); distinct images are far apart; the distributed path
+    degrades nulls like dhash_fingerprints."""
+    from synthea_etl_spark.operators.multimodal import (
+        phash_bits,
+        phash_fingerprints,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    # smooth it so the signal has real low-frequency structure
+    smooth = base.astype(np.float64)
+    for _ in range(3):
+        smooth = (
+            smooth
+            + np.roll(smooth, 1, 0)
+            + np.roll(smooth, -1, 0)
+            + np.roll(smooth, 1, 1)
+            + np.roll(smooth, -1, 1)
+        ) / 5.0
+    img = np.clip(smooth, 0, 255).astype(np.uint8)
+    h0 = phash_bits(img)
+
+    brighter = np.clip(img.astype(np.int32) + 35, 0, 255).astype(np.uint8)
+    assert phash_bits(brighter) == h0
+
+    contrast = np.clip((img.astype(np.float64) - 128) * 1.5 + 128, 0, 255)
+    hc = phash_bits(contrast.astype(np.uint8))
+    assert bin(hc ^ h0).count("1") <= 6  # uint8 rounding may nudge ties
+
+    noisy = np.clip(
+        img.astype(np.int32) + rng.randint(-8, 9, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert bin(phash_bits(noisy) ^ h0).count("1") <= 10
+
+    other = np.clip(
+        (smooth[::-1, ::-1] * 0.7 + 40), 0, 255
+    ).astype(np.uint8)
+    assert bin(phash_bits(other) ^ h0).count("1") >= 15
+
+    rows = [
+        (0, bytearray(encode_ppm(img))),
+        (1, bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: (r.format, r.dhash) for r in phash_fingerprints(df).collect()}
+    assert got[0] == ("ppm", h0)
+    assert got[1] == (None, None)
+
+
+def test_phash_pairs_via_hamming_band_join(spark):
+    """pHash output feeds the generic banded hamming search: planted
+    noisy copies of the same base image pair up at hamming<=10, the
+    unrelated image pairs with nothing."""
+    from synthea_etl_spark.operators.multimodal import phash_fingerprints
+
+    rng = np.random.RandomState(9)
+    smooth = rng.randint(0, 256, size=(32, 32, 3)).astype(np.float64)
+    for _ in range(4):
+        smooth = (
+            smooth + np.roll(smooth, 1, 0) + np.roll(smooth, 1, 1)
+        ) / 3.0
+    img = np.clip(smooth * 2.0, 0, 255).astype(np.uint8)
+    noisy = np.clip(
+        img.astype(np.int32) + rng.randint(-5, 6, img.shape), 0, 255
+    ).astype(np.uint8)
+    other = np.clip(255 - smooth, 0, 255).astype(np.uint8)
+    rows = [
+        (0, bytearray(encode_ppm(img))),
+        (1, bytearray(encode_ppm(noisy))),
+        (2, bytearray(encode_ppm(other))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    fps = phash_fingerprints(df)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.hamming_near_pairs(
+            fps, "id", "dhash", 60, 10, nbands=12
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
