@@ -99,6 +99,7 @@ HEADLINE_OPT = [
     "q160_knn_ann_ivf_seeded",
     "q161_quality_model",
     "q162_bm25_topk",
+    "q163_duplicated_spans",
 ]
 
 

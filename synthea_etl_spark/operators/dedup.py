@@ -264,6 +264,87 @@ def lsh_candidates(
     ).dropDuplicates()
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_n: int = 8,
+) -> DataFrame:
+    """Substring-level exact dedup analysis (the published
+    duplicated-passage removal design: find every maximal token span
+    whose ``window_n``-gram windows ALL occur elsewhere in the
+    corpus — boilerplate footers, licenses, templated text that
+    doc-level dedup never catches).
+
+    Plan: (1) one windowed explode to (id, pos, window) rows
+    (exploded_shingles — codegen lead-chain, pre-partitioned by id),
+    (2) the corpus-wide duplicate-window set via ONE groupBy on the
+    60-bit md5 slice of the window (hashing first cuts the shuffle
+    to 8-byte keys; a 60-bit collision would need ~2^30 distinct
+    windows per BUCKET to matter, and the differential oracle hashes
+    identically), (3) mark duplicated positions with an equi-join on
+    the hash, (4) merge overlapping/adjacent marks into maximal
+    spans with the classic gaps-and-islands window (positions within
+    ``window_n`` of the previous mark extend the span), (5) per-doc
+    rollup joined back to every doc (docs with no duplicated span
+    report zeros). Three shuffles total — window-hash aggregate,
+    mark join, island re-partition — each on compact keyed rows,
+    never the raw text."""
+    from pyspark.sql import Window
+
+    docs = df.select(id_col, text_col)
+    win = exploded_shingles(docs, text_col, id_col, window_n).select(
+        id_col, "pos", _hex_int(F.col("s"), 15).alias("h")
+    )
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    marks = win.join(dup_h, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marks.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > window_n, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = flagged.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(window_n)).alias("e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
+    )
+    from synthea_etl_spark.operators.text import token_count
+
+    base = docs.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= window_n)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce("dup_tokens", F.lit(0).cast("long"))
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str,

@@ -353,6 +353,98 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q163 duplicated-span detection (substring-level exact dedup)
+# ---------------------------------------------------------------------------
+
+_FOOTER = (
+    " standard legal footer text follows here every single time verbatim"
+)
+_SPAN_N = 8
+
+
+def q163_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup — the published duplicated-passage
+    removal shape: docs with doc_id%3 == 0 carry a shared 10-token
+    boilerplate footer (synthesized in-query, like every fixture
+    family), and the operator must recover, per doc, the maximal
+    token spans whose 8-gram windows all repeat somewhere in the
+    corpus (operators/dedup.duplicated_spans: windowed explode →
+    60-bit window-hash duplicate set → mark join → gaps-and-islands
+    span merge → per-doc rollup with zeros preserved). Catches the
+    boilerplate document-level dedup never sees."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.duplicated_spans(docs, "text", "doc_id", _SPAN_N)
+
+
+ORACLE_Q163 = rf"""
+WITH doc2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{_FOOTER}' ELSE text END
+           AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM doc2 WHERE length(trim(text)) > 0
+),
+win AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         CAST(concat('0x', substr(md5(
+           array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')
+         ), 1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, len(w) - {_SPAN_N})) AS i
+  ) u
+  WHERE len(w) >= {_SPAN_N}
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+marks AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {_SPAN_N} THEN 1 ELSE 0 END AS ni
+  FROM marks
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_N} AS e
+  FROM isl GROUP BY doc_id, island
+),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS INTEGER) AS n_tokens
+  FROM doc2
+)
+SELECT base.doc_id, n_tokens,
+       COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       COALESCE(dup_tokens, 0) / CAST(n_tokens AS DOUBLE) AS dup_frac
+FROM base LEFT JOIN perdoc ON base.doc_id = perdoc.doc_id
+WHERE n_tokens >= {_SPAN_N}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q158_incremental_minhash": QuerySpec(
         q158_incremental_minhash,
@@ -383,5 +475,11 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_bm25_oracle(),
         "BM25 top-k lexical retrieval (micro-quantized exact sums)",
         ("llm", "retrieval"),
+    ),
+    "q163_duplicated_spans": QuerySpec(
+        q163_duplicated_spans,
+        ORACLE_Q163,
+        "substring-level exact dedup: maximal duplicated token spans",
+        ("llm", "dedup"),
     ),
 }

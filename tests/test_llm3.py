@@ -568,3 +568,55 @@ def test_phash_pairs_via_hamming_band_join(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_duplicated_spans_finds_planted_boilerplate(spark):
+    """Substring dedup semantics on a constructed corpus: a shared
+    footer is recovered as one maximal span per carrier doc with
+    exact boundaries; within-doc repetition also counts; clean docs
+    report zeros; sub-window docs are excluded."""
+    footer = "aa bb cc dd ee ff gg hh"  # exactly 8 tokens
+    rows = [
+        (0, "unique one text " + footer),            # footer at tail
+        (1, "other words entirely " + footer + " trailing bits here"),
+        (2, "completely clean document with no repeats at all ok"),
+        (3, "tiny doc"),                              # < 8 tokens: excluded
+        (4, footer + " " + footer),                   # self-repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in D.duplicated_spans(df, "text", "doc_id", 8).collect()
+    }
+    assert set(got) == {0, 1, 2, 4}
+    # doc 0: footer tokens 3..10 -> one span, 8 tokens
+    assert (got[0].n_dup_spans, got[0].dup_tokens) == (1, 8)
+    # doc 1: footer tokens 3..10 inside the doc -> one 8-token span
+    assert (got[1].n_dup_spans, got[1].dup_tokens) == (1, 8)
+    assert got[2].n_dup_spans == 0 and got[2].dup_frac == 0.0
+    # doc 4: every window of 'footer footer' duplicates (the repeated
+    # half makes all 9 windows repeat corpus-wide) -> one 16-token span
+    assert (got[4].n_dup_spans, got[4].dup_tokens) == (1, 16)
+    assert got[4].dup_frac == 1.0
+
+
+def test_duplicated_spans_merges_adjacent_and_splits_distant(spark):
+    """Two duplicated regions separated by more than window_n unique
+    tokens form TWO spans; within window_n they merge into one."""
+    dup_a = "p q r s t u v w"
+    dup_b = "k l m n o x y z"
+    gap_far = " ".join(f"u{i}" for i in range(12))
+    rows = [
+        (0, dup_a), (1, dup_b),  # make both regions corpus-duplicated
+        (10, f"{dup_a} {gap_far} {dup_b}"),
+        (11, f"{dup_a} {dup_b}"),  # touching: marks at pos 0 and 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in D.duplicated_spans(df, "text", "doc_id", 8).collect()
+    }
+    # a 12-token unique gap separates the marks by > window_n: 2 spans
+    assert got[10].n_dup_spans == 2 and got[10].dup_tokens == 16
+    # touching spans (mark distance == window_n) merge into one
+    assert got[11].n_dup_spans == 1 and got[11].dup_tokens == 16
