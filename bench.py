@@ -100,6 +100,7 @@ HEADLINE_OPT = [
     "q161_quality_model",
     "q162_bm25_topk",
     "q163_duplicated_spans",
+    "q164_remove_dup_spans",
 ]
 
 

@@ -264,6 +264,96 @@ def lsh_candidates(
     ).dropDuplicates()
 
 
+def dup_span_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_n: int = 8,
+) -> DataFrame:
+    """(id, s, e) maximal duplicated-span frame — the shared core of
+    ``duplicated_spans`` (analysis rollup) and
+    ``remove_duplicated_spans`` (the actual cut). Token span [s, e)
+    is maximal: every ``window_n``-gram window inside it occurs
+    elsewhere in the corpus, and it cannot extend. See
+    ``duplicated_spans`` for the plan-shape discussion."""
+    from pyspark.sql import Window
+
+    docs = df.select(id_col, text_col)
+    win = exploded_shingles(docs, text_col, id_col, window_n).select(
+        id_col, "pos", _hex_int(F.col("s"), 15).alias("h")
+    )
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    marks = win.join(dup_h, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = marks.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) > window_n, F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return flagged.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(window_n)).alias("e"),
+    ).drop("island")
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_n: int = 8,
+) -> DataFrame:
+    """Apply the cut ``duplicated_spans`` only reports: drop every
+    token inside a duplicated span and re-join the survivors. This
+    removes ALL occurrences of duplicated passages (including the
+    'first' one) — a deliberate, documented divergence from the
+    keep-one-copy variant, because keep-one needs a global occurrence
+    ordering (an extra corpus-wide sort per window) that buys nothing
+    for boilerplate/license text, the dominant real-world case.
+
+    Plan: the span frame aggregates per doc into an array (rides the
+    island window's partitioning), broadcast-free left join back to
+    the docs, and the cut itself is a single JVM higher-order
+    ``filter`` over the token array with a positional exists() test
+    against the (few) spans — no Python, no extra shuffle."""
+    spans = (
+        dup_span_frame(df, text_col, id_col, window_n)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("_spans")
+        )
+    )
+    toks = tokens(F.col(text_col))
+    joined = df.join(spans, id_col, "left")
+    # filter's index lambda is 0-based, matching the span positions
+    kept = F.expr(
+        "CASE WHEN _spans IS NULL THEN tks ELSE "
+        "filter(tks, (tk, i) -> NOT "
+        "exists(_spans, sp -> i >= sp.s AND i < sp.e)) END"
+    )
+    out = (
+        joined.withColumn("tks", toks)
+        .withColumn("kept", kept)
+        .select(
+            F.col(id_col),
+            F.size("tks").alias("n_tokens"),
+            F.size("kept").alias("kept_tokens"),
+            F.array_join("kept", " ").alias("clean_text"),
+        )
+    )
+    return out
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str,
@@ -290,42 +380,14 @@ def duplicated_spans(
     report zeros). Three shuffles total — window-hash aggregate,
     mark join, island re-partition — each on compact keyed rows,
     never the raw text."""
-    from pyspark.sql import Window
-
-    docs = df.select(id_col, text_col)
-    win = exploded_shingles(docs, text_col, id_col, window_n).select(
-        id_col, "pos", _hex_int(F.col("s"), 15).alias("h")
-    )
-    dup_h = (
-        win.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h")
-    )
-    marks = win.join(dup_h, "h").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    flagged = marks.withColumn(
-        "new_island",
-        F.when(
-            F.col("pos") - F.lag("pos").over(w) > window_n, F.lit(1)
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    spans = flagged.groupBy(id_col, "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + F.lit(window_n)).alias("e"),
-    )
+    spans = dup_span_frame(df, text_col, id_col, window_n)
     per_doc = spans.groupBy(id_col).agg(
         F.count("*").cast("int").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
     )
     from synthea_etl_spark.operators.text import token_count
 
-    base = docs.select(
+    base = df.select(
         F.col(id_col), token_count(text_col).alias("n_tokens")
     ).filter(F.col("n_tokens") >= window_n)
     return (

@@ -445,6 +445,105 @@ WHERE n_tokens >= {_SPAN_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# q164 duplicated-span REMOVAL (the cut q163 reports)
+# ---------------------------------------------------------------------------
+
+
+def q164_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the substring-dedup cut on the q163 fixture corpus:
+    every token inside a duplicated span is dropped and the
+    survivors re-join (operators/dedup.remove_duplicated_spans — a
+    JVM higher-order filter with a positional exists() test; all
+    occurrences removed, the documented divergence from keep-one).
+    The cleaned corpus is what a training pipeline actually feeds
+    downstream; hash-matching text + counts certifies the span
+    arithmetic AND the cut."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(_FOOTER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.remove_duplicated_spans(docs, "text", "doc_id", _SPAN_N)
+
+
+ORACLE_Q164 = rf"""
+WITH doc2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || '{_FOOTER}' ELSE text END
+           AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM doc2 WHERE length(trim(text)) > 0
+),
+win AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         CAST(concat('0x', substr(md5(
+           array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')
+         ), 1, 15)) AS BIGINT) AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(0, len(w) - {_SPAN_N})) AS i
+  ) u
+  WHERE len(w) >= {_SPAN_N}
+),
+dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
+marks AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
+flag AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                > {_SPAN_N} THEN 1 ELSE 0 END AS ni
+  FROM marks
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+  FROM flag
+),
+spans AS (
+  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_N} AS e
+  FROM isl GROUP BY doc_id, island
+),
+tokpos AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS t
+  FROM toks, LATERAL (
+    SELECT UNNEST(generate_series(1, len(w))) AS i
+  ) u
+),
+kept AS (
+  SELECT tp.doc_id, tp.pos, tp.t
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = tp.doc_id AND tp.pos >= sp.s AND tp.pos < sp.e
+  )
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS INTEGER) AS kept_tokens,
+         string_agg(t, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           AS INTEGER) AS n_tokens
+  FROM doc2
+)
+SELECT base.doc_id, n_tokens,
+       COALESCE(kept_tokens, 0) AS kept_tokens,
+       COALESCE(clean_text, '') AS clean_text
+FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q158_incremental_minhash": QuerySpec(
         q158_incremental_minhash,
@@ -480,6 +579,12 @@ QUERIES: dict[str, QuerySpec] = {
         q163_duplicated_spans,
         ORACLE_Q163,
         "substring-level exact dedup: maximal duplicated token spans",
+        ("llm", "dedup"),
+    ),
+    "q164_remove_dup_spans": QuerySpec(
+        q164_remove_dup_spans,
+        ORACLE_Q164,
+        "duplicated-span removal: the cleaned corpus",
         ("llm", "dedup"),
     ),
 }

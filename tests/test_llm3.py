@@ -620,3 +620,34 @@ def test_duplicated_spans_merges_adjacent_and_splits_distant(spark):
     assert got[10].n_dup_spans == 2 and got[10].dup_tokens == 16
     # touching spans (mark distance == window_n) merge into one
     assert got[11].n_dup_spans == 1 and got[11].dup_tokens == 16
+
+
+def test_remove_duplicated_spans_cut_semantics(spark):
+    """The cut drops exactly the span tokens (ALL occurrences — the
+    documented divergence from keep-one), preserves clean docs
+    verbatim, and kept_tokens + span tokens == n_tokens."""
+    footer = "aa bb cc dd ee ff gg hh"
+    rows = [
+        (0, "unique one text " + footer),
+        (1, "pre words here " + footer + " tail"),
+        (2, "clean document with no repeats whatsoever right here"),
+        (3, footer),  # the span IS the whole doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in D.remove_duplicated_spans(df, "text", "doc_id", 8).collect()
+    }
+    assert got[0].clean_text == "unique one text"
+    assert got[1].clean_text == "pre words here tail"
+    assert got[2].clean_text == rows[2][1]
+    assert got[3].clean_text == "" and got[3].kept_tokens == 0
+    spans = {
+        r.doc_id: r
+        for r in D.duplicated_spans(df, "text", "doc_id", 8).collect()
+    }
+    for did in (0, 1, 3):
+        assert (
+            got[did].kept_tokens + spans[did].dup_tokens
+            == got[did].n_tokens
+        )
