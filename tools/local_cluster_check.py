@@ -54,6 +54,9 @@ BENCH_SET = [
     "q127_jpeg_pixel_stats",
     "q146_bigram_familiarity",
     "q159_perceptual_near_dup",
+    "q162_bm25_topk",
+    "q163_duplicated_spans",
+    "q164_remove_dup_spans",
 ]
 
 
