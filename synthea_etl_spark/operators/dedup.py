@@ -272,10 +272,13 @@ def dup_span_frame(
 ) -> DataFrame:
     """(id, s, e) maximal duplicated-span frame — the shared core of
     ``duplicated_spans`` (analysis rollup) and
-    ``remove_duplicated_spans`` (the actual cut). Token span [s, e)
-    is maximal: every ``window_n``-gram window inside it occurs
-    elsewhere in the corpus, and it cannot extend. See
-    ``duplicated_spans`` for the plan-shape discussion."""
+    ``remove_duplicated_spans`` (the actual cut). Contract: every
+    TOKEN in [s, e) is covered by at least one corpus-duplicated
+    ``window_n``-gram window, spans cannot extend, and duplicated
+    windows within ``window_n`` positions of each other merge (so a
+    merged span may contain interior windows that are NOT themselves
+    duplicated — the guarantee is token coverage, not per-window
+    duplication). See ``duplicated_spans`` for the plan shape."""
     from pyspark.sql import Window
 
     docs = df.select(id_col, text_col)
@@ -361,10 +364,11 @@ def duplicated_spans(
     window_n: int = 8,
 ) -> DataFrame:
     """Substring-level exact dedup analysis (the published
-    duplicated-passage removal design: find every maximal token span
-    whose ``window_n``-gram windows ALL occur elsewhere in the
-    corpus — boilerplate footers, licenses, templated text that
-    doc-level dedup never catches).
+    duplicated-passage removal design): find every maximal token span
+    covered by corpus-duplicated ``window_n``-gram windows —
+    boilerplate footers, licenses, templated text that doc-level
+    dedup never catches. (Coverage contract: see ``dup_span_frame``;
+    nearby duplicated windows merge across gaps up to ``window_n``.)
 
     Plan: (1) one windowed explode to (id, pos, window) rows
     (exploded_shingles — codegen lead-chain, pre-partitioned by id),

@@ -912,7 +912,10 @@ def decode_jpeg_samples(
     decode_jpeg_pixels reduces it to channel means."""
     try:
         return _decode_jpeg_inner(bytes(b))
-    except (EOFError, IndexError, KeyError, ValueError):
+    except (EOFError, IndexError, KeyError, ValueError, OverflowError):
+        # OverflowError: defense in depth for any out-of-range numpy
+        # element assignment a crafted stream might still reach — the
+        # degradation contract is null, never a task crash
         return None
 
 
@@ -1257,6 +1260,13 @@ def _decode_scan_progressive(b, pos, seg, frame, prog, htables, restart_interval
                     if cat > 15:
                         return None
                     preds[si] += _extend(rd.bits(cat), cat)
+                    # strict-reject: a valid 8-bit-precision stream's
+                    # accumulated DC fits 11 bits; 2^15 is a generous
+                    # bound that keeps (pred << al<=13) inside the
+                    # int32 coefficient buffer — without it a crafted
+                    # DPCM walk overflows the assignment below
+                    if not -32768 <= preds[si] <= 32767:
+                        return None
                     coefs[idx][mcu, 0] = preds[si] << al
                 else:  # DC refinement: one raw bit ORed into bit al
                     if rd.bit():

@@ -1169,8 +1169,6 @@ def pixel_stats(df: DataFrame) -> DataFrame:
 
 DHASH_SCHEMA = "id long, format string, dhash long"
 
-DHASH_BITS_TOTAL = 60  # == DHASH_W * DHASH_H below
-
 # Perceptual-hash grid: DHASH_W x DHASH_H gradient comparisons = 60
 # bits. The published dHash recipe uses a free grid parameter
 # (9x8 -> 64 bits is the blog-classic); 60 bits keeps the fingerprint
@@ -1178,6 +1176,7 @@ DHASH_BITS_TOTAL = 60  # == DHASH_W * DHASH_H below
 # (DuckDB's 15-hex-char md5 slice trick, q150) and divides evenly
 # into the pigeonhole bands hamming search needs (dedup.py).
 DHASH_W, DHASH_H = 10, 6
+DHASH_BITS_TOTAL = DHASH_W * DHASH_H
 
 
 def dhash_bits(px: "np.ndarray") -> int:
@@ -1202,14 +1201,22 @@ def dhash_bits(px: "np.ndarray") -> int:
 
 
 _PHASH_N = 32  # pHash analysis grid (32x32 gray, standard choice)
+_DCT_CACHE: dict[int, "np.ndarray"] = {}
 
 
 def _dct_matrix(n: int) -> "np.ndarray":
     """Orthonormal n-point DCT-II basis — the n=32 generalization of
-    the 8x8 matrix jpeg.py uses for encode/decode."""
+    the 8x8 matrix jpeg.py uses for encode/decode. Cached: phash_bits
+    runs per image inside the Arrow hot loop, and the basis is a
+    deterministic constant (2048 cos() calls otherwise paid per
+    row)."""
     import math
 
-    return np.array(
+    cached = _DCT_CACHE.get(n)
+    if cached is not None:
+        return cached
+
+    out = np.array(
         [
             [
                 (math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n))
@@ -1220,6 +1227,8 @@ def _dct_matrix(n: int) -> "np.ndarray":
         ],
         dtype=np.float64,
     )
+    _DCT_CACHE[n] = out
+    return out
 
 
 def phash_bits(px: "np.ndarray") -> int:
@@ -1249,30 +1258,12 @@ def phash_bits(px: "np.ndarray") -> int:
 
 
 def phash_fingerprints(df: DataFrame) -> DataFrame:
-    """Distributed pHash over decoded rasters — same contract and
-    schema as ``dhash_fingerprints`` (null degradation for
-    undecodable payloads); Arrow-batched mapInPandas."""
-
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fmts, hashes = [], []
-            for b in pdf["payload"]:
-                dec = decode_raster(b)
-                if dec is None:
-                    fmts.append(None)
-                    hashes.append(None)
-                else:
-                    fmts.append(dec[0])
-                    hashes.append(phash_bits(dec[1]))
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "format": fmts,
-                    "dhash": pd.array(hashes, dtype="Int64"),
-                }
-            )
-
-    return df.mapInPandas(extract, schema=DHASH_SCHEMA)
+    """Distributed pHash over decoded rasters — same contract as
+    ``dhash_fingerprints`` (null degradation for undecodable
+    payloads) with its own ``phash`` column, so a frame of pHashes
+    can never be silently joined/unioned against the incomparable
+    dHash space."""
+    return _raster_fingerprints(df, phash_bits, "phash")
 
 
 def dhash_fingerprints(df: DataFrame) -> DataFrame:
@@ -1284,6 +1275,11 @@ def dhash_fingerprints(df: DataFrame) -> DataFrame:
     ``dedup.hamming_near_pairs(out, "id", "dhash", 60, k)`` for exact
     hamming≤k near-dup pairs via pigeonhole banding — no all-pairs
     compare, no Python past this stage."""
+    return _raster_fingerprints(df, dhash_bits, "dhash")
+
+
+def _raster_fingerprints(df: DataFrame, bits_fn, col_name: str) -> DataFrame:
+    """Shared decode→hash runner for the perceptual fingerprints."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1295,16 +1291,18 @@ def dhash_fingerprints(df: DataFrame) -> DataFrame:
                     hashes.append(None)
                 else:
                     fmts.append(dec[0])
-                    hashes.append(dhash_bits(dec[1]))
+                    hashes.append(bits_fn(dec[1]))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "format": fmts,
-                    "dhash": pd.array(hashes, dtype="Int64"),
+                    col_name: pd.array(hashes, dtype="Int64"),
                 }
             )
 
-    return df.mapInPandas(extract, schema=DHASH_SCHEMA)
+    return df.mapInPandas(
+        extract, schema=f"id long, format string, {col_name} long"
+    )
 
 
 RESIZED_SCHEMA = (

@@ -158,6 +158,7 @@ def near_dedup_ingest_stream(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    verify_threshold: float = 0.5,
 ):
     """Streaming incremental NEAR-dedup ingestion — q158's persisted
     MinHash band index maintained by a restartable stream. Each
@@ -166,9 +167,15 @@ def near_dedup_ingest_stream(
     1. computes its own MinHash band signatures (one explode + one
        aggregate; operators/dedup),
     2. probes the ACCUMULATED index (all prior batches' bands) for
-       near-dup candidates and drops matched docs, plus the higher
-       id of any intra-batch candidate pair,
-    3. appends survivors to the corpus and their bands to the index.
+       near-dup candidates — and VERIFIES every candidate with exact
+       shingle Jaccard >= ``verify_threshold`` before dropping
+       anything (band buckets are probabilistic: a raw band collision
+       between genuinely dissimilar docs must not delete data; the
+       verify reads only the candidate docs' text, a set the size of
+       the collisions, never the corpus),
+    3. drops verified history near-dups plus the higher id of each
+       verified intra-batch pair, appends survivors to the corpus
+       and their bands to the index.
 
     Exactly-once under every crash/replay window WITHOUT a
     transactional store: both sinks are partitioned by batch_id and
@@ -181,15 +188,52 @@ def near_dedup_ingest_stream(
     certifies, plus idempotent publication."""
     from synthea_etl_spark.operators.dedup import (
         banded_signatures,
+        exploded_shingles,
         incremental_lsh_candidates,
+        lsh_candidates,
         minhash_signature,
     )
 
-    from synthea_etl_spark.operators.dedup import lsh_candidates
+    def shingle_sets(docs: DataFrame, out_key: str) -> DataFrame:
+        return (
+            exploded_shingles(docs, "text", "doc_id", shingle_n)
+            .select(F.col("doc_id").alias(out_key), "s")
+            .distinct()
+        )
+
+    def verified_pairs(
+        pairs: DataFrame, a_docs: DataFrame, b_docs: DataFrame,
+        a_key: str, b_key: str,
+    ) -> DataFrame:
+        """Exact shingle-Jaccard >= verify_threshold filter over
+        candidate pairs — only candidate docs' text is shingled."""
+        sa = shingle_sets(a_docs, a_key)
+        sb = shingle_sets(b_docs, b_key)
+        na = sa.groupBy(a_key).agg(F.count("*").alias("_na"))
+        nb = sb.groupBy(b_key).agg(F.count("*").alias("_nb"))
+        inter = (
+            pairs.join(sa, a_key)
+            .join(sb, [b_key, "s"])
+            .groupBy(a_key, b_key)
+            .agg(F.count("*").alias("_i"))
+        )
+        return (
+            pairs.join(inter, [a_key, b_key], "left")
+            .join(na, a_key)
+            .join(nb, b_key)
+            .withColumn("_i", F.coalesce("_i", F.lit(0)))
+            .filter(
+                F.col("_i")
+                / (F.col("_na") + F.col("_nb") - F.col("_i"))
+                >= verify_threshold
+            )
+            .select(a_key, b_key)
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        batch_df = batch_df.localCheckpoint()  # read many times below
         sig = minhash_signature(
             batch_df, "text", "doc_id", num_hashes, shingle_n
         ).localCheckpoint()  # two consumers below: compute once
@@ -200,14 +244,42 @@ def near_dedup_ingest_stream(
             history = spark.read.parquet(index_dir).filter(
                 F.col("batch_id") < batch_id
             ).select("doc_id", "band", "bh")
-            matched = incremental_lsh_candidates(
-                bands_df, history, "doc_id"
-            ).select(F.col("new_id").alias("doc_id")).distinct()
+            cands = incremental_lsh_candidates(bands_df, history, "doc_id")
+            # verify against the candidates' HISTORICAL TEXT (persisted
+            # survivors in the corpus) — band collisions alone never
+            # delete data
+            hist_ids = cands.select(
+                F.col("hist_id").alias("doc_id")
+            ).distinct()
+            hist_docs = (
+                spark.read.parquet(corpus_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("doc_id", "text")
+                .join(hist_ids, "doc_id")
+            )
+            new_docs = batch_df.join(
+                cands.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+            ).select("doc_id", "text")
+            matched = (
+                verified_pairs(
+                    cands, new_docs, hist_docs, "new_id", "hist_id"
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
         else:
             matched = None
-        # intra-batch near-dups: min id of each candidate pair wins
+        # intra-batch near-dups: min id of each VERIFIED pair wins
+        intra_cands = lsh_candidates(sig, "doc_id", num_hashes, bands)
         intra = (
-            lsh_candidates(sig, "doc_id", num_hashes, bands)
+            verified_pairs(
+                intra_cands,
+                batch_df.select("doc_id", "text"),
+                batch_df.select("doc_id", "text"),
+                "id_a",
+                "id_b",
+            )
             .select(F.greatest("id_a", "id_b").alias("doc_id"))
             .distinct()
         )

@@ -363,17 +363,10 @@ _FOOTER = (
 _SPAN_N = 8
 
 
-def q163_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Substring-level exact dedup — the published duplicated-passage
-    removal shape: docs with doc_id%3 == 0 carry a shared 10-token
-    boilerplate footer (synthesized in-query, like every fixture
-    family), and the operator must recover, per doc, the maximal
-    token spans whose 8-gram windows all repeat somewhere in the
-    corpus (operators/dedup.duplicated_spans: windowed explode →
-    60-bit window-hash duplicate set → mark join → gaps-and-islands
-    span merge → per-doc rollup with zeros preserved). Catches the
-    boilerplate document-level dedup never sees."""
-    docs = load(spark, sf_dir, "documents").select(
+def _footer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q163/q164 fixture corpus: docs with doc_id%3 == 0 carry a
+    shared 10-token boilerplate footer (synthesized in-query)."""
+    return load(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,
@@ -382,11 +375,15 @@ def q163_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return D.duplicated_spans(docs, "text", "doc_id", _SPAN_N)
 
 
-ORACLE_Q163 = rf"""
-WITH doc2 AS (
+# the shared oracle CTE chain: fixture corpus -> token windows ->
+# corpus-duplicated window set -> gaps-and-islands span merge -> the
+# (doc_id, s, e) span list + per-doc token counts. q163 rolls the
+# spans up; q164 applies the cut. ONE definition so the two gates can
+# never drift apart.
+_SQL_SPAN_CTES = rf"""
+doc2 AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN text || '{_FOOTER}' ELSE text END
            AS text
@@ -424,17 +421,37 @@ spans AS (
   SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_N} AS e
   FROM isl GROUP BY doc_id, island
 ),
-perdoc AS (
-  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
-         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
-  FROM spans GROUP BY doc_id
-),
 base AS (
   SELECT doc_id,
          CAST(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END
            AS INTEGER) AS n_tokens
   FROM doc2
+)
+"""
+
+
+def q163_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup — the published duplicated-passage
+    removal shape: docs with doc_id%3 == 0 carry a shared 10-token
+    boilerplate footer (synthesized in-query, like every fixture
+    family), and the operator must recover, per doc, the maximal
+    token spans whose 8-gram windows all repeat somewhere in the
+    corpus (operators/dedup.duplicated_spans: windowed explode →
+    60-bit window-hash duplicate set → mark join → gaps-and-islands
+    span merge → per-doc rollup with zeros preserved). Catches the
+    boilerplate document-level dedup never sees."""
+    return D.duplicated_spans(
+        _footer_docs(spark, sf_dir), "text", "doc_id", _SPAN_N
+    )
+
+
+ORACLE_Q163 = f"""
+WITH {_SQL_SPAN_CTES.strip()},
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
 )
 SELECT base.doc_id, n_tokens,
        COALESCE(n_dup_spans, 0) AS n_dup_spans,
@@ -459,57 +476,13 @@ def q164_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cleaned corpus is what a training pipeline actually feeds
     downstream; hash-matching text + counts certifies the span
     arithmetic AND the cut."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(F.col("text"), F.lit(_FOOTER)),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    return D.remove_duplicated_spans(
+        _footer_docs(spark, sf_dir), "text", "doc_id", _SPAN_N
     )
-    return D.remove_duplicated_spans(docs, "text", "doc_id", _SPAN_N)
 
 
-ORACLE_Q164 = rf"""
-WITH doc2 AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN text || '{_FOOTER}' ELSE text END
-           AS text
-  FROM documents
-),
-toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-  FROM doc2 WHERE length(trim(text)) > 0
-),
-win AS (
-  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         CAST(concat('0x', substr(md5(
-           array_to_string(list_slice(w, i + 1, i + {_SPAN_N}), ' ')
-         ), 1, 15)) AS BIGINT) AS h
-  FROM toks, LATERAL (
-    SELECT UNNEST(generate_series(0, len(w) - {_SPAN_N})) AS i
-  ) u
-  WHERE len(w) >= {_SPAN_N}
-),
-dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1),
-marks AS (SELECT doc_id, pos FROM win JOIN dup USING (h)),
-flag AS (
-  SELECT doc_id, pos,
-         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                > {_SPAN_N} THEN 1 ELSE 0 END AS ni
-  FROM marks
-),
-isl AS (
-  SELECT doc_id, pos,
-         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS UNBOUNDED PRECEDING) AS island
-  FROM flag
-),
-spans AS (
-  SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_N} AS e
-  FROM isl GROUP BY doc_id, island
-),
+ORACLE_Q164 = f"""
+WITH {_SQL_SPAN_CTES.strip()},
 tokpos AS (
   SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS t
   FROM toks, LATERAL (
@@ -529,13 +502,6 @@ agg AS (
          CAST(count(*) AS INTEGER) AS kept_tokens,
          string_agg(t, ' ' ORDER BY pos) AS clean_text
   FROM kept GROUP BY doc_id
-),
-base AS (
-  SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(string_split_regex(trim(text), '\s+')) END
-           AS INTEGER) AS n_tokens
-  FROM doc2
 )
 SELECT base.doc_id, n_tokens,
        COALESCE(kept_tokens, 0) AS kept_tokens,

@@ -54,6 +54,34 @@ class _WarcPartition(InputPartition):
         self.path = path
 
 
+def _committed_shards(dirpath: str) -> set[str] | None:
+    """Union of shard basenames across every manifest in ``dirpath``
+    (per-job ``_MANIFEST-<token>`` files plus the legacy single
+    ``_MANIFEST``), or None when no manifest exists (a foreign-written
+    landing directory has no commit protocol — read everything).
+    Per-job manifests make appends race-free: each job publishes its
+    own file with one atomic rename, no read-modify-write."""
+    import json
+    import os
+
+    names = [
+        f
+        for f in os.listdir(dirpath)
+        if (f == "_MANIFEST" or f.startswith("_MANIFEST-"))
+        and not f.endswith(".tmp")
+    ]
+    if not names:
+        return None
+    committed: set[str] = set()
+    for name in names:
+        try:
+            with open(os.path.join(dirpath, name)) as fh:
+                committed.update(e["path"] for e in json.load(fh))
+        except (OSError, ValueError):
+            continue  # torn concurrent replace: skip, not crash
+    return committed
+
+
 class WarcDataSourceReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.path = options.get("path")
@@ -61,7 +89,6 @@ class WarcDataSourceReader(DataSourceReader):
             raise ValueError("warc source needs a path")
 
     def partitions(self):
-        import json
         import os
 
         if os.path.isdir(self.path):
@@ -71,15 +98,13 @@ class WarcDataSourceReader(DataSourceReader):
                 if f.endswith((".warc.gz", ".warc"))
             )
             # When the directory was produced by the WARC writer, its
-            # _MANIFEST is the job-level commit marker: only shards it
-            # lists are committed data. Task files published before a
-            # driver death, or leftovers of an earlier job, are on disk
-            # but NOT in the manifest — skip them instead of silently
-            # reading them back as valid records.
-            mpath = os.path.join(self.path, "_MANIFEST")
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    committed = {e["path"] for e in json.load(fh)}
+            # per-job manifests are the commit markers: only shards
+            # some manifest lists are committed data. Task files
+            # published before a driver death, or leftovers of an
+            # earlier job, are on disk but NOT in any manifest — skip
+            # them instead of silently reading them back as records.
+            committed = _committed_shards(self.path)
+            if committed is not None:
                 files = [
                     p for p in files if os.path.basename(p) in committed
                 ]
@@ -144,10 +169,18 @@ class WarcStreamReader:
     def _list(self) -> list[str]:
         import os
 
-        return sorted(
+        names = sorted(
             f for f in os.listdir(self.path)
             if f.endswith((".warc.gz", ".warc"))
         )
+        # same commit protocol as the batch reader: when manifests
+        # exist, uncommitted task files (a writer mid-job or one that
+        # later aborts) must not be streamed; a foreign landing dir
+        # with no manifest has no protocol and streams everything
+        committed = _committed_shards(self.path)
+        if committed is not None:
+            names = [n for n in names if n in committed]
+        return names
 
     def _rows_for(self, names: list[str]):
         import os
@@ -265,23 +298,31 @@ class WarcDataSourceWriter(DataSourceWriter):
             {"path": os.path.basename(m.path), "n_records": m.n_records}
             for m in messages
         ]
-        mpath = os.path.join(self.path, "_MANIFEST")
-        if not self.overwrite and os.path.exists(mpath):
-            # append: this job's shards join the already-committed set
-            with open(mpath) as fh:
-                prior = json.load(fh)
-            mine = {e["path"] for e in manifest}
-            manifest.extend(e for e in prior if e["path"] not in mine)
+        # PER-JOB manifest, published with one atomic rename: readers
+        # union every _MANIFEST* file, so concurrent appends commit
+        # independently — no read-modify-write of a shared file to
+        # race on (two appends each publish their own manifest; both
+        # stay visible regardless of order). Overwrite-vs-concurrent-
+        # append is semantically conflicting and stays last-wins.
+        mpath = os.path.join(self.path, f"_MANIFEST-{self.job_token}")
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(sorted(manifest, key=lambda e: e["path"]), fh)
-        os.replace(tmp, mpath)  # manifest swap = the commit point
+        os.replace(tmp, mpath)  # manifest publish = the commit point
         if self.overwrite:
-            # now safe: readers already key on the new manifest, so
-            # stale shards (prior jobs, dead-driver leftovers) can go
+            # now safe: this job's manifest is live, so other jobs'
+            # manifests and every unlisted shard (prior jobs,
+            # dead-driver leftovers) can go
             keep = {e["path"] for e in manifest}
             for f in os.listdir(self.path):
-                if f.endswith((".warc.gz", ".warc")) and f not in keep:
+                stale_manifest = (
+                    f == "_MANIFEST"
+                    or (f.startswith("_MANIFEST-") and f != os.path.basename(mpath))
+                )
+                stale_shard = (
+                    f.endswith((".warc.gz", ".warc")) and f not in keep
+                )
+                if stale_manifest or stale_shard:
                     os.remove(os.path.join(self.path, f))
 
     def abort(self, messages) -> None:

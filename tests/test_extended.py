@@ -181,6 +181,7 @@ def test_no_accidental_cartesian_products(spark):
         "q72_tfidf_top_terms",     # crossJoin of a 1-row count frame
         "q106_tpch_q11",           # 1-row broadcast scalar threshold
         "q111_expectations",       # fk_check crossJoin of 1-row total
+        "q162_bm25_topk",          # crossJoin of the 1-row corpus stats
     }
     bad = []
     for name, fn in ent.queries().items():

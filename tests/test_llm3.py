@@ -531,7 +531,7 @@ def test_phash_invariances_and_noise_robustness(spark):
         (1, bytearray(b"garbage")),
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
-    got = {r.id: (r.format, r.dhash) for r in phash_fingerprints(df).collect()}
+    got = {r.id: (r.format, r.phash) for r in phash_fingerprints(df).collect()}
     assert got[0] == ("ppm", h0)
     assert got[1] == (None, None)
 
@@ -563,7 +563,7 @@ def test_phash_pairs_via_hamming_band_join(spark):
     pairs = {
         (r.id_a, r.id_b)
         for r in D.hamming_near_pairs(
-            fps, "id", "dhash", 60, 10, nbands=12
+            fps, "id", "phash", 60, 10, nbands=12
         ).collect()
     }
     assert (0, 1) in pairs
@@ -651,3 +651,49 @@ def test_remove_duplicated_spans_cut_semantics(spark):
             got[did].kept_tokens + spans[did].dup_tokens
             == got[did].n_tokens
         )
+
+
+def test_near_dedup_ingest_verifies_before_dropping(spark, tmp_path):
+    """Band collisions alone must never delete data: forge a history
+    index entry whose bands collide with an incoming doc but whose
+    persisted text is completely dissimilar — the exact-Jaccard
+    verify keeps the doc. (Without verification the anti-join on raw
+    candidates would silently drop it forever.)"""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from synthea_etl_spark.pipeline import near_dedup_ingest_stream
+
+    landing = tmp_path / "landing"
+    corpus = tmp_path / "corpus"
+    index = tmp_path / "index"
+    ck = tmp_path / "ck"
+    landing.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    # history: doc 0's TEXT is OTHER, but its index bands are forged
+    # from NEAR_A — a simulated worst-case band collision. Seeded at
+    # batch_id=-1: the stream's own first batch is 0 and the probe
+    # reads batch_id < current.
+    hist_docs = _docs(spark, [(0, OTHER)]).withColumn("batch_id", F.lit(-1))
+    hist_docs.write.partitionBy("batch_id").parquet(str(corpus))
+    forged = D.banded_signatures(
+        D.minhash_signature(_docs(spark, [(0, NEAR_A)]), "text", "doc_id", 32, 3),
+        "doc_id", 32, 8,
+    ).withColumn("batch_id", F.lit(-1))
+    forged.write.partitionBy("batch_id").parquet(str(index))
+
+    (landing / "b.json").write_text(
+        _json.dumps({"doc_id": 10, "text": NEAR_A})
+    )
+    near_dedup_ingest_stream(
+        spark, str(landing), str(corpus), str(index), str(ck), schema
+    ).awaitTermination(120)
+    ids = sorted(r.doc_id for r in spark.read.parquet(str(corpus)).collect())
+    # doc 10 survives: its band collision with doc 0 failed the exact
+    # Jaccard verify against doc 0's REAL text
+    assert ids == [0, 10]

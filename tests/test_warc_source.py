@@ -16,6 +16,18 @@ from synthea_etl_spark.operators.warc import encode_warc_gz
 from synthea_etl_spark.sources.warc_source import WarcDataSource
 
 
+def _manifest_union(out):
+    """All committed (path, n_records) entries across per-job
+    manifests — the same union the readers perform."""
+    import json
+
+    entries = []
+    for p in out.iterdir():
+        if p.name.startswith("_MANIFEST") and not p.name.endswith(".tmp"):
+            entries.extend(json.loads(p.read_text()))
+    return entries
+
+
 def test_warc_data_source_reads_shards_with_file_parallelism(
     spark, tmp_path
 ):
@@ -140,7 +152,7 @@ def test_warc_writer_reshards_with_manifest_roundtrip(spark, tmp_path):
 
     shards = sorted(p.name for p in out.iterdir() if p.suffix == ".gz")
     assert len(shards) == 4 and not any(".tmp" in s for s in shards)
-    manifest = json.loads((out / "_MANIFEST").read_text())
+    manifest = sorted(_manifest_union(out), key=lambda e: e["path"])
     assert sum(e["n_records"] for e in manifest) == 20
     assert [e["path"] for e in manifest] == shards
 
@@ -200,7 +212,7 @@ def test_warc_writer_overwrite_clears_append_merges(spark, tmp_path):
     write(range(4, 7), "append")
     after_append = {p.name for p in out.iterdir() if p.suffix == ".gz"}
     assert first < after_append and len(after_append) == 4  # no collision
-    manifest = json.loads((out / "_MANIFEST").read_text())
+    manifest = _manifest_union(out)
     assert sum(e["n_records"] for e in manifest) == 7
     back = spark.read.format("warc").load(str(out)).collect()
     assert {r.target_uri for r in back} == {f"http://x/{i}" for i in range(7)}
@@ -259,3 +271,62 @@ def test_warc_stream_bounded_batches_drain_backlog(spark, tmp_path):
     df = spark.read.parquet(str(out))
     assert df.count() == 10
     assert df.select("target_uri").distinct().count() == 10  # exactly once
+
+
+def test_warc_concurrent_appends_never_lose_each_other(spark, tmp_path):
+    """Per-job manifests make appends race-free: simulate two append
+    jobs whose commits interleave (each publishes only its own
+    _MANIFEST-<token>) — both stay visible to readers, and a later
+    overwrite replaces everything exactly once."""
+    spark.dataSource.register(WarcDataSource)
+    out = tmp_path / "lake"
+
+    def write(ids, mode):
+        spark.createDataFrame(
+            [(f"http://x/{i}", f"body {i}", "response") for i in ids],
+            "target_uri string, payload_text string, warc_type string",
+        ).repartition(1).write.format("warc").mode(mode).save(str(out))
+
+    # two independent append jobs (sequential here, but the commit
+    # protocol is order-independent: neither reads the other's state)
+    write(range(3), "append")
+    write(range(3, 5), "append")
+    manifests = [
+        p.name for p in out.iterdir() if p.name.startswith("_MANIFEST")
+    ]
+    assert len(manifests) == 2  # one per job, no shared file
+    back = spark.read.format("warc").load(str(out)).collect()
+    assert {r.target_uri for r in back} == {f"http://x/{i}" for i in range(5)}
+
+    write([9], "overwrite")
+    manifests = [
+        p.name for p in out.iterdir() if p.name.startswith("_MANIFEST")
+    ]
+    assert len(manifests) == 1  # old job manifests cleaned up
+    back = spark.read.format("warc").load(str(out)).collect()
+    assert {r.target_uri for r in back} == {"http://x/9"}
+
+
+def test_warc_stream_respects_commit_protocol(spark, tmp_path):
+    """When manifests exist, the stream reader serves only committed
+    shards (an uncommitted task file is invisible); without any
+    manifest a foreign landing dir streams everything."""
+    from synthea_etl_spark.sources.warc_source import WarcStreamReader
+
+    d = tmp_path / "lake"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(
+        encode_warc_gz([{"uri": "http://a", "payload": b"a"}])
+    )
+    rdr = WarcStreamReader({"path": str(d)})
+    assert rdr._list() == ["a.warc.gz"]  # no manifest: no protocol
+
+    import json
+
+    (d / "_MANIFEST-job1").write_text(
+        json.dumps([{"path": "a.warc.gz", "n_records": 1}])
+    )
+    (d / "uncommitted.warc.gz").write_bytes(
+        encode_warc_gz([{"uri": "http://u", "payload": b"u"}])
+    )
+    assert rdr._list() == ["a.warc.gz"]  # task file not committed
