@@ -101,6 +101,7 @@ HEADLINE_OPT = [
     "q162_bm25_topk",
     "q163_duplicated_spans",
     "q164_remove_dup_spans",
+    "q165_semantic_dedup",
 ]
 
 

@@ -613,6 +613,71 @@ def embedding_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    lloyd_iters: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (published design:
+    cluster the embedding space, then deduplicate only WITHIN each
+    cluster, which bounds the quadratic pair work to
+    sum-over-clusters |c|^2 instead of n^2): k-means-assign every
+    vector (deterministic md5-min seeds + optional Lloyd refinement,
+    ``ivf_train_centroids``), generate in-cluster pairs via an
+    equi-join on the cluster id, exact-cosine verify, and keep a
+    vector iff no LOWER-id in-cluster near-duplicate exists (the
+    deterministic keeper rule, matching exact dedup's min-id-wins).
+
+    Returns every input id with (cluster, keep) — callers filter
+    keep for the deduplicated corpus or aggregate for drop-rate
+    stats. With ``lloyd_iters=0`` the whole operator is closed-form
+    (the q165 gate's exact DuckDB twin); near-dups that land in
+    different clusters are missed by design — that recall/cost trade
+    IS the published method."""
+    centroids = ivf_train_centroids(
+        df.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+        n_centroids,
+        lloyd_iters,
+    )
+    assign = make_assign_udf(centroids)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("cluster", assign(F.col("_v")))
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster"
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn(
+            "_sim",
+            F.round(make_cosine_udf()(F.col("_va"), F.col("_vb")), sim_decimals),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def lsh_bucket_index(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -510,6 +510,57 @@ FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q165 semantic deduplication (SemDeDup shape, seed-only quantizer)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_T = 0.4  # this corpus's cosine ceiling is ~0.51: real drops
+
+
+def q165_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published SemDeDup shape over the embeddings table: 16-cell
+    seed-only quantizer (closed-form, as q160), in-cluster exact
+    cosine pairs, min-id-wins keeper rule. The cluster bound turns
+    n^2 pair work into sum-over-clusters |c|^2 — the method's whole
+    point at 100 TB — at the documented cost of missing cross-cluster
+    near-dups. Output: every vector with (cluster, keep)."""
+    return S.semantic_dedup(
+        load(spark, sf_dir, "embeddings"),
+        n_centroids=16,
+        threshold=SEMDEDUP_T,
+        lloyd_iters=0,
+    )
+
+
+ORACLE_Q165 = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+seeds AS (
+  SELECT cv AS sv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+  FROM c
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16
+),
+asg AS (
+  SELECT vec_id, cv, cid FROM (
+    SELECT vec_id, cv, cid,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(cv, sv) DESC, cid ASC) AS rn
+    FROM c CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.cv, b.cv), 6) >= {SEMDEDUP_T}
+)
+SELECT asg.vec_id, CAST(cid AS INTEGER) AS cluster,
+       dropped.vec_id IS NULL AS keep
+FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q158_incremental_minhash": QuerySpec(
         q158_incremental_minhash,
@@ -552,5 +603,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q164,
         "duplicated-span removal: the cleaned corpus",
         ("llm", "dedup"),
+    ),
+    "q165_semantic_dedup": QuerySpec(
+        q165_semantic_dedup,
+        ORACLE_Q165,
+        "SemDeDup: cluster-bounded embedding dedup (seed quantizer)",
+        ("llm", "dedup", "similarity"),
     ),
 }

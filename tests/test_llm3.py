@@ -697,3 +697,22 @@ def test_near_dedup_ingest_verifies_before_dropping(spark, tmp_path):
     # doc 10 survives: its band collision with doc 0 failed the exact
     # Jaccard verify against doc 0's REAL text
     assert ids == [0, 10]
+
+
+def test_semantic_dedup_keeps_min_id_within_cluster(spark):
+    """SemDeDup semantics: an exact duplicate pair co-clusters and the
+    higher id is dropped; dissimilar vectors all survive; the output
+    covers every input id exactly once."""
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(13)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(30)]
+    vecs.append((100, vecs[5][1]))  # exact duplicate of vec 5
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in S.semantic_dedup(
+        df, n_centroids=4, threshold=0.999, lloyd_iters=0
+    ).collect()}
+    assert len(out) == 31
+    assert out[5].keep is True and out[100].keep is False
+    assert out[5].cluster == out[100].cluster  # identical vectors co-cluster
+    assert sum(not r.keep for r in out.values()) == 1  # only the dup drops
