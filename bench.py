@@ -102,6 +102,7 @@ HEADLINE_OPT = [
     "q163_duplicated_spans",
     "q164_remove_dup_spans",
     "q165_semantic_dedup",
+    "q166_embedding_centroids",
 ]
 
 

@@ -613,6 +613,52 @@ def embedding_near_dup_lsh(
     )
 
 
+def group_embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid (mean vector) — the
+    dataset/domain-analysis aggregate (domain centroids, drift
+    monitoring, SemDeDup's cluster statistics): posexplode to
+    (group, dim, value), ONE exact decimal-sum aggregate per (group,
+    dim) — float addition is not associative, so at any parallelism
+    only a decimal accumulation makes the mean reproducible
+    (plans/common.dsum discipline, here applied inside arrays) —
+    then re-assemble the dim-ordered array with sort_array over
+    (pos, mean) structs. Two aggregates, both with map-side
+    partials; group count rides along."""
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "grp",
+        F.size("_v").alias("_dim"),
+        F.posexplode("_v").alias("pos", "x"),
+    )
+    per_dim = ex.groupBy("grp", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+            / F.count("x").cast("double")
+        ).alias("m"),
+        (F.count("x")).alias("_n"),
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.max("_n").cast("int").alias("n_vecs"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("_sm"),
+        )
+        .select(
+            "grp",
+            "n_vecs",
+            F.expr("transform(_sm, s -> s.m)").alias("centroid"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",

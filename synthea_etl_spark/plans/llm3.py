@@ -561,6 +561,43 @@ FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q166 per-group embedding centroids (exact-mean array aggregate)
+# ---------------------------------------------------------------------------
+
+
+def q166_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-centroid aggregate: vectors grouped by vec_id % 8 (a
+    deterministic stand-in for a source/domain key), per-dimension
+    EXACT decimal-sum means re-assembled into ordered arrays
+    (operators/similarity.group_embedding_centroids). The decimal
+    accumulation is what makes a float mean reproducible at any
+    parallelism — the same order-independence discipline the money
+    sums use (plans/common.dsum), demonstrated over array columns."""
+    e = load(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 8).alias("grp"), "embedding"
+    )
+    return S.group_embedding_centroids(e, "grp")
+
+
+ORACLE_Q166 = """
+WITH ex AS (
+  SELECT vec_id % 8 AS grp, i - 1 AS pos, CAST(e[i] AS DECIMAL(25,6)) AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       LATERAL (SELECT UNNEST(generate_series(1, len(e))) AS i) u
+),
+per_dim AS (
+  SELECT grp, pos,
+         CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+         count(*) AS n
+  FROM ex GROUP BY grp, pos
+)
+SELECT grp, CAST(MAX(n) AS INTEGER) AS n_vecs,
+       list(m ORDER BY pos) AS centroid
+FROM per_dim GROUP BY grp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q158_incremental_minhash": QuerySpec(
         q158_incremental_minhash,
@@ -609,5 +646,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q165,
         "SemDeDup: cluster-bounded embedding dedup (seed quantizer)",
         ("llm", "dedup", "similarity"),
+    ),
+    "q166_embedding_centroids": QuerySpec(
+        q166_embedding_centroids,
+        ORACLE_Q166,
+        "per-group embedding centroids (exact decimal-sum means)",
+        ("llm", "similarity"),
     ),
 }

@@ -716,3 +716,27 @@ def test_semantic_dedup_keeps_min_id_within_cluster(spark):
     assert out[5].keep is True and out[100].keep is False
     assert out[5].cluster == out[100].cluster  # identical vectors co-cluster
     assert sum(not r.keep for r in out.values()) == 1  # only the dup drops
+
+
+def test_group_centroids_exact_and_partition_invariant(spark):
+    """The decimal-sum centroid is bit-identical at any parallelism
+    and matches a numpy single-pass mean to the rounding grid."""
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(17)
+    vecs = [(i % 3, [float(x) for x in rng.randn(6)]) for i in range(90)]
+    outs = []
+    for parts in (1, 16):
+        df = spark.createDataFrame(
+            vecs, "grp long, embedding array<double>"
+        ).repartition(parts)
+        outs.append({
+            r.grp: (r.n_vecs, tuple(r.centroid))
+            for r in S.group_embedding_centroids(df, "grp").collect()
+        })
+    assert outs[0] == outs[1]
+    for g in range(3):
+        arr = np.array([v for k, v in vecs if k == g])
+        got = np.array(outs[0][g][1])
+        assert outs[0][g][0] == len(arr)
+        assert np.allclose(got, arr.mean(axis=0), atol=1e-6)
