@@ -103,6 +103,7 @@ HEADLINE_OPT = [
     "q164_remove_dup_spans",
     "q165_semantic_dedup",
     "q166_embedding_centroids",
+    "q167_bm25_index_topk",
 ]
 
 

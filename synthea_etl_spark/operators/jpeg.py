@@ -1025,12 +1025,17 @@ def _decode_jpeg_inner(b: bytes):
             if prog is None:
                 w, h = frame[0], frame[1]
                 mx, my = (w + 7) // 8, (h + 7) // 8
-                # anti-bomb before allocation: even a 1-bit-per-block DC
-                # scan cannot be shorter than one bit per block of EVERY
-                # component (the first scan must cover all blocks of at
-                # least one; bound by the full frame so a tiny file
-                # can't force the all-component buffer allocation)
-                if mx * my * len(frame[2]) > (n - pos) * 8:
+                # anti-bomb before allocation: the first scan must
+                # cover every block of at least ONE component, each
+                # costing >= 1 Huffman bit — so the remaining stream
+                # must hold at least one component's block count in
+                # bits. Bounding by a single component (not all of
+                # them) keeps unusually compact but VALID streams
+                # (flat-color or DC-dominated, or any future
+                # subsampled-progressive support where chroma has
+                # fewer blocks) decodable, while a tiny crafted file
+                # still can't force the all-component allocation.
+                if mx * my > (n - pos) * 8:
                     return None
                 # int32: T.81 coefficient magnitudes fit 16 bits even
                 # after successive-approximation shifts; halving the

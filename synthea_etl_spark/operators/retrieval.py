@@ -132,8 +132,9 @@ def bm25_topk(
     # while the checkpoint adds a block-manager barrier the size of
     # the posting list. Redundant narrow compute beats materialized
     # state here; revisit only if the corpus/vocab ratio changes the
-    # balance (the postings would then be persisted as a real inverted
-    # index TABLE across queries, not checkpointed within one).
+    # balance. For a STANDING corpus queried repeatedly, persist the
+    # postings as a real inverted-index table instead
+    # (``inverted_index`` + ``bm25_topk_from_index`` below).
     tf = toks.groupBy(id_col, "t").agg(F.count("*").alias("tf"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = docs.select(F.count("*").cast("long").alias("n_docs")).crossJoin(
@@ -141,6 +142,29 @@ def bm25_topk(
     )
     df_t = tf.groupBy("t").agg(F.count("*").cast("long").alias("df"))
 
+    return _bm25_score_topk(
+        tf, dl, stats, df_t, queries, id_col, query_id_col,
+        query_text_col, k,
+    )
+
+
+def _bm25_score_topk(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    df_t: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared BM25 scoring tail: broadcast the (query, term)
+    frame against the postings, micro-quantize each per-term score,
+    order-independent per-doc sum, window top-k. Both the
+    recompute-per-call path (``bm25_topk``) and the persisted-index
+    path (``bm25_topk_from_index``) end here, so their rankings can
+    never drift apart."""
     q_terms = queries.select(
         F.col(query_id_col), F.explode(tokens(query_text_col)).alias("t")
     ).distinct()
@@ -184,4 +208,65 @@ def bm25_topk(
             (F.col("micro_score") / MICRO).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The PERSISTABLE half of lexical retrieval: the postings table
+    — one (t, doc_id, tf) row per distinct term per document. Write
+    it bucketed by ``t`` once per ingested corpus slice; queries then
+    probe the stored table (``bm25_topk_from_index``) with no corpus
+    rescan and no re-tokenization — the retrieval analog of the
+    q151/q158/`ivf_index` incremental indexes.
+
+    Incremental maintenance is append-only: rows are per (doc, term)
+    under a FIXED tokenizer, so for disjoint doc batches
+    index(A) ∪ index(B) == index(A ∪ B) exactly (tested). The
+    derived statistics BM25 needs — document frequencies, doc
+    lengths, corpus totals — are all narrow aggregates OVER the
+    index itself, so there are no side tables to keep in sync: df
+    per term is `count(*)` over the term's postings, dl per doc is
+    `sum(tf)`, and both update automatically when a batch appends.
+    At 100 TB the postings table is ~tokens-sized but term-bucketed:
+    a query's probe touches only its terms' buckets."""
+    toks = rebalance_by_key(
+        docs.select(id_col, text_col), id_col
+    ).select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    return toks.groupBy("t", id_col).agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def bm25_topk_from_index(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+) -> DataFrame:
+    """BM25 top-``k`` against a persisted ``inverted_index`` table:
+    document frequencies, doc lengths, and corpus totals derive from
+    the postings by three narrow aggregates (no corpus rescan), then
+    the shared scoring tail ranks. One statistics nuance, by design:
+    ``n_docs`` here counts documents WITH at least one token (the
+    only docs the index can see); ``bm25_topk`` counts every corpus
+    row. On a corpus with no empty documents the two paths are
+    bit-identical (tested); with empty docs the index path's idf is
+    computed over the retrievable corpus — the defensible choice for
+    a standing index, and empty docs can never be retrieved either
+    way."""
+    dl = index.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    df_t = index.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    return _bm25_score_topk(
+        index, dl, stats, df_t, queries, id_col, query_id_col,
+        query_text_col, k,
     )

@@ -613,6 +613,37 @@ def embedding_near_dup_lsh(
     )
 
 
+def group_embedding_centroid_dims(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The scalar half of the per-group centroid aggregate: one row
+    per (group, dimension) with the EXACT decimal-sum mean — float
+    addition is not associative, so at any parallelism only a decimal
+    accumulation makes the mean reproducible (plans/common.dsum
+    discipline, here applied inside arrays). posexplode to (group,
+    dim, value), ONE aggregate with map-side partials. Returns
+    (grp, pos, m, n_vecs) — all scalar columns, so the frame sorts /
+    hashes cleanly in any downstream comparison harness;
+    ``group_embedding_centroids`` re-assembles the arrays for
+    library callers that want vector-shaped output."""
+    ex = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "grp",
+        F.posexplode("_v").alias("pos", "x"),
+    )
+    return ex.groupBy("grp", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+            / F.count("x").cast("double")
+        ).alias("m"),
+        F.count("x").cast("int").alias("n_vecs"),
+    )
+
+
 def group_embedding_centroids(
     df: DataFrame,
     group_col: str,
@@ -620,33 +651,16 @@ def group_embedding_centroids(
 ) -> DataFrame:
     """Per-group embedding centroid (mean vector) — the
     dataset/domain-analysis aggregate (domain centroids, drift
-    monitoring, SemDeDup's cluster statistics): posexplode to
-    (group, dim, value), ONE exact decimal-sum aggregate per (group,
-    dim) — float addition is not associative, so at any parallelism
-    only a decimal accumulation makes the mean reproducible
-    (plans/common.dsum discipline, here applied inside arrays) —
-    then re-assemble the dim-ordered array with sort_array over
-    (pos, mean) structs. Two aggregates, both with map-side
-    partials; group count rides along."""
-    ex = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(vec_col).alias("_v"),
-    ).select(
-        "grp",
-        F.size("_v").alias("_dim"),
-        F.posexplode("_v").alias("pos", "x"),
-    )
-    per_dim = ex.groupBy("grp", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
-            / F.count("x").cast("double")
-        ).alias("m"),
-        (F.count("x")).alias("_n"),
-    )
+    monitoring, SemDeDup's cluster statistics): exact per-dimension
+    means from ``group_embedding_centroid_dims``, re-assembled into
+    the dim-ordered array with sort_array over (pos, mean) structs.
+    Two aggregates, both with map-side partials; group count rides
+    along."""
+    per_dim = group_embedding_centroid_dims(df, group_col, vec_col)
     return (
         per_dim.groupBy("grp")
         .agg(
-            F.max("_n").cast("int").alias("n_vecs"),
+            F.max("n_vecs").alias("n_vecs"),
             F.sort_array(
                 F.collect_list(F.struct(F.col("pos"), F.col("m")))
             ).alias("_sm"),
@@ -667,6 +681,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     lloyd_iters: int = 1,
     sim_decimals: int = 6,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (published design:
     cluster the embedding space, then deduplicate only WITHIN each
@@ -683,7 +698,21 @@ def semantic_dedup(
     stats. With ``lloyd_iters=0`` the whole operator is closed-form
     (the q165 gate's exact DuckDB twin); near-dups that land in
     different clusters are missed by design — that recall/cost trade
-    IS the published method."""
+    IS the published method.
+
+    SIZING (100 TB): the |c|^2 bound only helps if clusters stay
+    small — pick ``n_centroids`` ~ O(sqrt(n)) so the expected
+    cluster is ~sqrt(n) and total pair work is ~n^1.5, never n^2
+    (SCALE.md "Round-8"). Because k-means offers no HARD per-cluster
+    bound (one hot cluster of a skewed corpus can still go
+    quadratic), ``max_cluster_size`` adds the guard: any cluster
+    larger than the cap is deterministically hash-split into
+    ceil(|c|/cap) sub-buckets and pairs are generated within
+    (cluster, sub-bucket) only — expected pair work per bucket is
+    capped at ~cap^2, at the cost of missing near-dups whose members
+    hash apart (the same recall-for-bound trade the cluster step
+    itself makes, one level down). ``None`` preserves the exact
+    published semantics (and the q165 gate's oracle)."""
     centroids = ivf_train_centroids(
         df.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -697,14 +726,49 @@ def semantic_dedup(
     assigned = df.select(
         F.col(id_col), F.col(vec_col).alias("_v")
     ).withColumn("cluster", assign(F.col("_v")))
+    if max_cluster_size is not None:
+        # per-cluster sizes are n_centroids rows — broadcast; the
+        # sub-bucket id is a deterministic md5 hash of the member id,
+        # so re-runs and incremental batches split identically
+        sizes = assigned.groupBy("cluster").agg(F.count("*").alias("_csz"))
+        assigned = (
+            assigned.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_nsub",
+                F.ceil(F.col("_csz") / F.lit(max_cluster_size)).cast("long"),
+            )
+            .withColumn(
+                "_sub",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("sb"), F.col(id_col).cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % F.greatest(F.lit(1).cast("long"), F.col("_nsub")),
+            )
+            .drop("_csz", "_nsub")
+        )
+    else:
+        assigned = assigned.withColumn("_sub", F.lit(0))
     a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cluster"
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+        "cluster", "_sub",
     )
     b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cluster"
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+        "cluster", "_sub",
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "_sub"])
         .filter(F.col("_ida") < F.col("_idb"))
         .withColumn(
             "_sim",

@@ -278,7 +278,11 @@ def sql_davg(expr: str, alias: str) -> str:
 # keeps rotated-out queries guarded every round. Append each new
 # round's newly-certified names so the rotation keeps advancing.
 DRIVER_CERTIFIED = frozenset({
-    # r1-r3 (52)
+    # r1-r3 (50; q39/q123 PULLED from this set in r8: their r1-r3
+    # rows predate the exact bit_count(xor)<=2 twins that landed in
+    # r6 -- the driver's last rows for them are no_oracle, so they
+    # re-enter the never-certified front block until a green
+    # hash-match row lands)
     "q01_pricing_summary", "q02_select_alias", "q03_normalize_names",
     "q04_filter_rlike", "q05_multivalue_split", "q06_regex_fix",
     "q07_null_sentinel", "q08_cast_format", "q09_trim", "q10_dedup_full",
@@ -290,11 +294,11 @@ DRIVER_CERTIFIED = frozenset({
     "q30_doc_exact_dedup", "q31_text_quality", "q32_lang_guess",
     "q33_minhash_lsh_candidates", "q34_simhash", "q35_simhash_near_pairs",
     "q36_jaccard_pairs", "q37_knn_bruteforce", "q38_embedding_near_dup",
-    "q39_knn_ann_lsh", "q40_multimodal_meta", "q41_token_stats",
+    "q40_multimodal_meta", "q41_token_stats",
     "q42_bottomk_sketch", "q43_knn_ann_ivf", "q48_winnow_fingerprints",
     "q49_corpus_filter", "q71_near_dup_clusters", "q72_tfidf_top_terms",
     "q77_sentence_udtf", "q79_repetition_signals", "q80_pii_redaction",
-    "q81_cdc_apply", "q82_scd2_asof", "q123_embedding_near_dup_lsh",
+    "q81_cdc_apply", "q82_scd2_asof",
     "q124_image_header_dims",
     # r4 (50; q101/q102 gated rows-only by design -- approximate
     # sketches, tolerance-tested in tests/test_packing.py, exact
@@ -341,6 +345,14 @@ DRIVER_CERTIFIED = frozenset({
     "q152_png_sub8_stats", "q153_wav_deep_stats",
     "q154_jpeg_subsampled_stats", "q155_dataset_mixture",
     "q156_ico_stats", "q157_domain_quota",
+    # r7 (8; CORRECTNESS_r07.json green rows -- q166 stays OUT: its
+    # array-shaped frame errored in the driver canonicalizer, and it
+    # re-enters the r8 window with the scalar (grp,pos,m,n_vecs)
+    # shape)
+    "q158_incremental_minhash", "q159_perceptual_near_dup",
+    "q160_knn_ann_ivf_seeded", "q161_quality_model", "q162_bm25_topk",
+    "q163_duplicated_spans", "q164_remove_dup_spans",
+    "q165_semantic_dedup",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -348,7 +360,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 7
+GATE_ROUND = 8
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -369,6 +381,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch3,
         llm2,
         llm3,
+        llm4,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -385,6 +398,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch3,
         llm2,
         llm3,
+        llm4,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -569,15 +569,21 @@ FROM asg LEFT JOIN dropped ON asg.vec_id = dropped.vec_id
 def q166_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-centroid aggregate: vectors grouped by vec_id % 8 (a
     deterministic stand-in for a source/domain key), per-dimension
-    EXACT decimal-sum means re-assembled into ordered arrays
-    (operators/similarity.group_embedding_centroids). The decimal
-    accumulation is what makes a float mean reproducible at any
-    parallelism — the same order-independence discipline the money
-    sums use (plans/common.dsum), demonstrated over array columns."""
+    EXACT decimal-sum means (operators/similarity
+    .group_embedding_centroid_dims). The decimal accumulation is what
+    makes a float mean reproducible at any parallelism — the same
+    order-independence discipline the money sums use
+    (plans/common.dsum), demonstrated over array columns. The gated
+    frame is the exploded scalar (grp, pos, m, n_vecs) shape — one
+    row per (group, dimension) — so every comparison harness can sort
+    and hash it; ``group_embedding_centroids`` re-assembles the
+    array-shaped centroids for library callers."""
     e = load(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 8).alias("grp"), "embedding"
     )
-    return S.group_embedding_centroids(e, "grp")
+    return S.group_embedding_centroid_dims(e, "grp").select(
+        "grp", F.col("pos").cast("int").alias("pos"), "m", "n_vecs"
+    )
 
 
 ORACLE_Q166 = """
@@ -585,16 +591,11 @@ WITH ex AS (
   SELECT vec_id % 8 AS grp, i - 1 AS pos, CAST(e[i] AS DECIMAL(25,6)) AS x
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        LATERAL (SELECT UNNEST(generate_series(1, len(e))) AS i) u
-),
-per_dim AS (
-  SELECT grp, pos,
-         CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
-         count(*) AS n
-  FROM ex GROUP BY grp, pos
 )
-SELECT grp, CAST(MAX(n) AS INTEGER) AS n_vecs,
-       list(m ORDER BY pos) AS centroid
-FROM per_dim GROUP BY grp
+SELECT grp, CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+       CAST(count(*) AS INTEGER) AS n_vecs
+FROM ex GROUP BY grp, pos
 """
 
 

@@ -105,12 +105,21 @@ class WarcDataSourceReader(DataSourceReader):
             # them instead of silently reading them back as records.
             committed = _committed_shards(self.path)
             if committed is not None:
-                files = [
-                    p for p in files if os.path.basename(p) in committed
+                # A manifest exists, so the directory IS a committed
+                # dataset: an empty committed set (a legitimately
+                # committed zero-partition write, or a directory whose
+                # only .warc files are uncommitted leftovers of a dead
+                # job) means ZERO rows, not an error.
+                return [
+                    _WarcPartition(p)
+                    for p in files
+                    if os.path.basename(p) in committed
                 ]
         else:
             files = [self.path]
         if not files:
+            # reserved for paths with no manifests AND no files — a
+            # typo'd path, not an empty committed dataset
             raise ValueError(f"no WARC files under {self.path}")
         return [_WarcPartition(p) for p in files]
 
@@ -241,12 +250,21 @@ class WarcDataSourceWriter(DataSourceWriter):
     job-level all-or-nothing marker the batch reader keys on (shards
     on disk but absent from the manifest are uncommitted and skipped
     on read). Shard names carry a per-job token so append jobs never
-    collide; overwrite commits additionally delete every shard the
-    new manifest doesn't list, append commits merge the old manifest
-    into the new one. Input rows need (target_uri, payload_text |
-    payload binary, warc_type?)."""
+    collide; readers union all per-job manifests, and append jobs
+    publish only their own (the union happens at read time in
+    ``_committed_shards`` — commit() never merges files). Overwrite
+    commits additionally delete shards and manifests of generations
+    committed BEFORE this job started (last-wins); shards/manifests
+    younger than the overwrite job's start are left alone so a
+    concurrent append that published part files but not yet its
+    manifest is not destroyed. Between an overwrite's manifest
+    publish and its cleanup, readers may transiently observe both
+    generations — the documented cost of lock-free last-wins. Input
+    rows need (target_uri, payload_text | payload binary,
+    warc_type?)."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
+        import time
         import uuid
 
         self.path = options.get("path")
@@ -257,6 +275,10 @@ class WarcDataSourceWriter(DataSourceWriter):
         # pickled writer, so concurrent/successive appends can't
         # publish over each other's part files
         self.job_token = uuid.uuid4().hex[:12]
+        # driver-side job start: overwrite cleanup only removes files
+        # older than this, so a concurrent append's freshly-published
+        # shards survive until its own manifest lands
+        self.job_start = time.time()
 
     def write(self, iterator) -> _WarcWriteCommit:
         import os
@@ -310,10 +332,22 @@ class WarcDataSourceWriter(DataSourceWriter):
             json.dump(sorted(manifest, key=lambda e: e["path"]), fh)
         os.replace(tmp, mpath)  # manifest publish = the commit point
         if self.overwrite:
-            # now safe: this job's manifest is live, so other jobs'
-            # manifests and every unlisted shard (prior jobs,
-            # dead-driver leftovers) can go
+            # now safe: this job's manifest is live. Superseded
+            # manifests (prior committed generations, the legacy
+            # shared file) and the shards they list are deleted —
+            # overwrite replaces every earlier COMMIT, last-wins.
+            # UNLISTED shards get a grace window: one younger than
+            # this job's start belongs to a job still running
+            # concurrently — deleting its published-but-not-yet-
+            # committed part files would leave its future manifest
+            # pointing at nothing (silent data loss in the
+            # overwrite-vs-append race). Old unlisted shards are
+            # dead-driver leftovers and go too. A surviving young
+            # shard whose job never commits stays invisible to
+            # readers (manifest-gated) — disk garbage, not data.
             keep = {e["path"] for e in manifest}
+            superseded = (_committed_shards(self.path) or set()) - keep
+            cutoff = self.job_start - 1.0  # fs-timestamp granularity
             for f in os.listdir(self.path):
                 stale_manifest = (
                     f == "_MANIFEST"
@@ -322,8 +356,19 @@ class WarcDataSourceWriter(DataSourceWriter):
                 stale_shard = (
                     f.endswith((".warc.gz", ".warc")) and f not in keep
                 )
-                if stale_manifest or stale_shard:
-                    os.remove(os.path.join(self.path, f))
+                if not (stale_manifest or stale_shard):
+                    continue
+                full = os.path.join(self.path, f)
+                try:
+                    if (
+                        stale_shard
+                        and f not in superseded
+                        and os.path.getmtime(full) >= cutoff
+                    ):
+                        continue  # concurrent job's in-flight shard
+                    os.remove(full)
+                except OSError:
+                    continue  # already gone (another cleaner won)
 
     def abort(self, messages) -> None:
         import os

@@ -718,6 +718,48 @@ def test_semantic_dedup_keeps_min_id_within_cluster(spark):
     assert sum(not r.keep for r in out.values()) == 1  # only the dup drops
 
 
+def test_semantic_dedup_hot_cluster_cap_bounds_pair_work(spark):
+    """The max_cluster_size guard: with ONE cluster holding every
+    vector (the |c|^2 blow-up a misconfigured n_centroids causes at
+    scale), the cap hash-splits it into ceil(|c|/cap) sub-buckets —
+    pair generation stays within buckets (bounded), dedup still fires
+    inside each bucket, and the split is deterministic across
+    re-runs. All 200 vectors are near-identical, so uncapped output
+    keeps exactly 1; capped output keeps exactly one PER sub-bucket
+    (the documented recall-for-bound trade, ~|c|/cap survivors)."""
+    import synthea_etl_spark.operators.similarity as S
+
+    base = [float(x) for x in np.random.RandomState(7).randn(8)]
+    vecs = [
+        (i, [x + 1e-9 * i for x in base]) for i in range(200)
+    ]  # all mutually near-identical -> one hot cluster
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    uncapped = S.semantic_dedup(
+        df, n_centroids=1, threshold=0.999, lloyd_iters=0
+    )
+    assert sum(r.keep for r in uncapped.collect()) == 1
+
+    capped = S.semantic_dedup(
+        df, n_centroids=1, threshold=0.999, lloyd_iters=0,
+        max_cluster_size=25,
+    ).collect()
+    kept = sorted(r.vec_id for r in capped if r.keep)
+    # ceil(200/25) = 8 sub-buckets -> exactly one survivor each
+    assert len(capped) == 200 and len(kept) == 8
+    # survivors are each bucket's min id under the md5 split: the
+    # split (and therefore the whole capped result) is deterministic
+    rerun = sorted(
+        r.vec_id
+        for r in S.semantic_dedup(
+            df, n_centroids=1, threshold=0.999, lloyd_iters=0,
+            max_cluster_size=25,
+        ).collect()
+        if r.keep
+    )
+    assert rerun == kept
+
+
 def test_group_centroids_exact_and_partition_invariant(spark):
     """The decimal-sum centroid is bit-identical at any parallelism
     and matches a numpy single-pass mean to the rounding grid."""
