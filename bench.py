@@ -104,6 +104,9 @@ HEADLINE_OPT = [
     "q165_semantic_dedup",
     "q166_embedding_centroids",
     "q167_bm25_index_topk",
+    "q168_phash_near_dup",
+    "q169_knn_label_propagation",
+    "q170_quality_binned_sample",
 ]
 
 

@@ -788,6 +788,66 @@ def semantic_dedup(
     )
 
 
+def knn_label_propagation(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """kNN label propagation — the standard semi-supervised labeling
+    / weak-supervision step of a data-curation pipeline (classify
+    unlabeled documents by their nearest labeled neighbors in
+    embedding space): IVF ANN from each unlabeled vector to its
+    ``k`` nearest labeled vectors (``knn_ann_ivf`` — every 100 TB
+    property of that path applies: per-cell candidate joins, never
+    all-pairs), then a majority vote over the neighbors' labels with
+    the deterministic tie rule (most votes, then smallest label).
+
+    Returns (id, pred_label, votes). With ``lloyd_iters=0`` the
+    whole operator is closed-form (exact DuckDB twin, q169); the
+    label side joins on the neighbor id, so a big labeled corpus
+    needs no broadcast."""
+    from pyspark.sql import Window
+
+    knn = knn_ann_ivf(
+        labeled.select(id_col, vec_col),
+        unlabeled,
+        id_col,
+        vec_col,
+        k,
+        n_centroids,
+        n_probe,
+        lloyd_iters,
+        sim_decimals,
+    )
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_lab")
+    )
+    votes = (
+        knn.join(lab, "neighbor_id")
+        .groupBy("query_id", "_lab")
+        .agg(F.count("*").cast("int").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("_lab")
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("_lab").alias("pred_label"),
+            "votes",
+        )
+    )
+
+
 def lsh_bucket_index(
     df: DataFrame,
     id_col: str = "vec_id",

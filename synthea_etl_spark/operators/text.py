@@ -301,3 +301,89 @@ def winnow_fingerprints(
     return F.when(m >= window, F.array_distinct(wins)).otherwise(
         F.array().cast("array<long>")
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-decile quality binning + curation sampling
+# ---------------------------------------------------------------------------
+
+
+def value_decile_bins(
+    df: DataFrame, score_col: str, bins: int = 10
+) -> DataFrame:
+    """Attach an exact value-decile bin to every row WITHOUT a global
+    sort: bin(score) = floor(bins * |{rows with strictly smaller
+    score}| / N), so every row with the same score lands in the same
+    bin (value-based deciles — ties never straddle a boundary, and
+    bins are uneven exactly when the distribution is).
+
+    Scale design (100 TB): the naive ntile/percent_rank window pulls
+    every row through ONE task. Here the only windowed frame is the
+    (score, count) AGGREGATE — its size is the score column's
+    cardinality (an integer heuristic score has thousands of
+    distinct values, not billions), so the single-partition window
+    over it is a rounding error and the bin map broadcasts back to
+    the full frame. Two narrow shuffles total: the score groupBy and
+    nothing else (the join is broadcast)."""
+    from pyspark.sql import Window
+
+    sc = df.groupBy(score_col).agg(F.count("*").alias("_cnt"))
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    bin_map = (
+        sc.withColumn("_cum", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+        .withColumn("_n", F.sum("_cnt").over(wall))
+        .select(
+            score_col,
+            F.floor(F.lit(bins) * F.col("_cum") / F.col("_n"))
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    return df.join(F.broadcast(bin_map), score_col)
+
+
+def quality_decile_sample(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bins: int = 10,
+) -> DataFrame:
+    """Quality-binned curation sampling — the DataComp/DCLM-style
+    curation step (score every document with a cheap heuristic, bin
+    by score decile, keep a decile-proportional sample so the
+    curated mix tilts toward high-quality strata without discarding
+    the tail entirely): integer score = n_tokens + distinct tokens −
+    punctuation marks (all codegen regex/array expressions, no UDF),
+    exact value-decile bins via ``value_decile_bins``, then a
+    deterministic md5 keep rule — decile d keeps d/bins of its docs,
+    so re-runs and engines agree doc by doc. Returns
+    (doc_id, score, decile, keep)."""
+    t = tokens(text_col)
+    score = (
+        F.size(t)
+        + F.size(F.array_distinct(t))
+        - F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    ).cast("long")
+    scored = docs.select(F.col(id_col), score.alias("score"))
+    binned = value_decile_bins(scored, "score", bins)
+    keep_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qs"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % bins
+    )
+    return binned.select(
+        id_col, "score", "decile", (keep_hash < F.col("decile")).alias("keep")
+    )

@@ -6,6 +6,10 @@
   every statistic BM25 needs (df, dl, corpus totals) derives from
   the index itself by narrow aggregates, so incremental maintenance
   is append-only with no side tables to sync.
+- q168: pHash SPECTRAL near-dup — the DCT perceptual hash driven
+  end to end (decode → 32x32 DCT-II → median threshold → banded
+  hamming join) against rasters that plant a known balanced 60-bit
+  spectrum, closing the q159 dHash gate's sibling.
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -16,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import synthea_etl_spark.operators.dedup as D
 from synthea_etl_spark.plans.common import QuerySpec, load
 
 
@@ -102,11 +107,275 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q168 pHash perceptual near-dup (DCT spectral hash over decoded rasters)
+# ---------------------------------------------------------------------------
+
+# Fixture: clusters of 4 consecutive doc_ids share a BALANCED planted
+# 60-bit pHash — positions ranked by md5('ph<cluster>|<pos>'), the 30
+# smallest hexes set. Member m=1..3 swaps the m-th smallest set
+# position with the m-th smallest clear position (stays balanced,
+# hamming 2 from the base, 4 between swapped siblings — so with
+# max_hamming=2 exactly the (base, variant) pairs qualify). Each
+# raster ENCODES its planted word spectrally: the 32x32 gray image is
+# the inverse DCT of +-A at the 60 zigzag AC positions of the
+# low-frequency 8x8 block. Balance makes the 60-coefficient median 0,
+# and amplitude A=30 dwarfs the <=0.5/pixel rounding noise (worst-case
+# coefficient error ~13, typical <2), so decode -> grayscale -> 32x32
+# DCT -> median threshold provably lands back on the planted bits —
+# validated exhaustively for 400 rasters in tests/test_llm4.py.
+_PHASH_AMP = 30.0
+
+
+def _phash_planted_set(cluster: int, m: int) -> set[int]:
+    """The planted 30-of-60 set-bit positions for cluster member m."""
+    import hashlib
+
+    order = sorted(
+        range(60),
+        key=lambda p: hashlib.md5(
+            f"ph{cluster}|{p}".encode()
+        ).hexdigest(),
+    )
+    s = set(order[:30])
+    if m:
+        set_sorted = sorted(s)
+        clear_sorted = sorted(set(range(60)) - s)
+        s = (s - {set_sorted[m - 1]}) | {clear_sorted[m - 1]}
+    return s
+
+
+def _phash_fixture_raster(doc_id: int) -> bytes:
+    """PPM payload whose pHash equals the planted word for doc_id."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.jpeg import _ZZ
+    from synthea_etl_spark.operators.multimodal import (
+        _PHASH_N,
+        _dct_matrix,
+        encode_ppm,
+    )
+
+    s = _phash_planted_set(doc_id // 4, doc_id % 4)
+    C = np.zeros((_PHASH_N, _PHASH_N))
+    for p in range(60):
+        u, v = divmod(_ZZ[p + 1], 8)
+        C[u, v] = _PHASH_AMP if p in s else -_PHASH_AMP
+    A = _dct_matrix(_PHASH_N)
+    px = np.rint(128.0 + A.T @ C @ A).astype(np.uint8)
+    return encode_ppm(np.repeat(px[:, :, None], 3, axis=2))
+
+
+def q168_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual SPECTRAL near-dup, decoder→dedup end to end — the
+    pHash sibling of q159's dHash gate: synthesize DCT-planted PPM
+    rasters (Arrow batches, see fixture note above), fingerprint them
+    with the REAL raster path (decode_raster → grayscale → 32x32
+    DCT-II → zigzag median threshold, operators/multimodal
+    .phash_fingerprints), then find every hamming<=2 pair with the
+    exact pigeonhole band join (operators/dedup.hamming_near_pairs —
+    3 bands of 20 bits, never all-pairs). Same 100 TB shape as q159:
+    narrow-scan rebalance → one Arrow decode stage → banded self-join
+    → bit_count verify."""
+    import pandas as pd
+
+    from synthea_etl_spark.operators.multimodal import phash_fingerprints
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["doc_id"],
+                    "payload": [
+                        _phash_fixture_raster(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    shaped = d.mapInPandas(gen, "id long, payload binary")
+    fps = phash_fingerprints(shaped)
+    return D.hamming_near_pairs(fps, "id", "phash", 60, 2)
+
+
+# DuckDB twin: the planted pair structure is closed-form in doc_id —
+# every cluster-of-4's base pairs with each of its three 2-bit-swap
+# variants (variant pairs sit at hamming 4 and never qualify; cross-
+# cluster words are independent balanced 60-bit draws, ~30 apart). A
+# match certifies the engine's decode→DCT→median→banding pipeline
+# recovered EXACTLY the planned spectrum for every raster.
+ORACLE_Q168 = """
+SELECT CAST((doc_id // 4) * 4 AS BIGINT) AS id_a,
+       doc_id AS id_b,
+       CAST(2 AS INTEGER) AS hamming
+FROM documents
+WHERE doc_id % 4 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q169 kNN label propagation (semi-supervised labeling via seeded IVF)
+# ---------------------------------------------------------------------------
+
+
+def q169_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeling: vectors with vec_id % 10 < 3 are
+    'labeled' (label = vec_id % 5, a deterministic stand-in for a
+    curated seed set); every other vector receives the majority label
+    of its 5 nearest labeled neighbors under the seed-only IVF
+    quantizer (operators/similarity.knn_label_propagation — q160's
+    exactly-twinned ANN machinery, composed with a vote). Tie rule:
+    most votes, then smallest label — deterministic on both
+    engines."""
+    import synthea_etl_spark.operators.similarity as S
+
+    e = load(spark, sf_dir, "embeddings")
+    labeled = e.filter(F.col("vec_id") % 10 < 3).withColumn(
+        "label", (F.col("vec_id") % 5).cast("int")
+    )
+    unlabeled = e.filter(F.col("vec_id") % 10 >= 3)
+    return S.knn_label_propagation(
+        labeled,
+        unlabeled,
+        k=5,
+        n_centroids=16,
+        n_probe=4,
+        lloyd_iters=0,
+    )
+
+
+# the q160 oracle machinery (seed quantizer, assignment, probing,
+# in-cell scoring, top-k) restricted to the labeled corpus, plus the
+# majority-vote tail
+ORACLE_Q169 = """
+WITH c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id % 10 < 3),
+seeds AS (
+  SELECT cv AS sv,
+         row_number() OVER (ORDER BY md5(CAST(neighbor_id AS VARCHAR))) - 1
+           AS cid
+  FROM c
+  ORDER BY md5(CAST(neighbor_id AS VARCHAR))
+  LIMIT 16
+),
+asg AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT neighbor_id, cv, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+               ORDER BY list_cosine_similarity(cv, sv) DESC, cid ASC) AS rn
+    FROM c CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 10 >= 3),
+probe AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT query_id, qv, cid,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, sv), 9) DESC,
+                        cid ASC) AS rn
+    FROM q CROSS JOIN seeds
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.cv), 6) AS sim
+  FROM probe p JOIN asg a USING (cid)
+  WHERE a.neighbor_id <> p.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, CAST(neighbor_id % 5 AS INTEGER) AS label,
+         CAST(count(*) AS INTEGER) AS votes
+  FROM topk GROUP BY query_id, neighbor_id % 5
+)
+SELECT query_id AS vec_id, label AS pred_label, votes
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q170 quality-binned curation sampling (value deciles, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def q170_quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataComp-style curation step: integer heuristic score per
+    document, EXACT value-decile bins computed from the (score,
+    count) aggregate — cardinality-sized, so no global-sort window
+    ever touches the full frame — and a deterministic md5 keep rule
+    sampling decile d at d/10 (operators/text.quality_decile_sample).
+    The curated mix tilts toward high-quality strata without
+    discarding the tail; every step is codegen expressions, no
+    UDF."""
+    from synthea_etl_spark.operators.text import quality_decile_sample
+
+    return quality_decile_sample(load(spark, sf_dir, "documents"))
+
+
+ORACLE_Q170 = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END
+           + CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
+             END
+           - len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS score
+  FROM documents
+),
+sc AS (SELECT score, count(*) AS cnt FROM t GROUP BY score),
+b AS (
+  SELECT score,
+         CAST(floor(10.0 * COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / (SELECT count(*) FROM t)) AS INTEGER) AS decile
+  FROM sc
+)
+SELECT t.doc_id, t.score, b.decile,
+       (CAST(concat('0x', substr(md5('qs' || CAST(t.doc_id AS VARCHAR)), 1, 8))
+          AS BIGINT) % 10) < b.decile AS keep
+FROM t JOIN b USING (score)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
         _sql_bm25_index_oracle(),
         "BM25 top-k answered from the persisted inverted index",
         ("llm", "retrieval"),
+    ),
+    "q168_phash_near_dup": QuerySpec(
+        q168_phash_near_dup,
+        ORACLE_Q168,
+        "pHash spectral near-dup over decoded rasters (DCT fixture)",
+        ("llm", "dedup", "multimodal"),
+    ),
+    "q169_knn_label_propagation": QuerySpec(
+        q169_knn_label_propagation,
+        ORACLE_Q169,
+        "kNN label propagation over the seeded IVF ANN (exact twin)",
+        ("llm", "similarity"),
+    ),
+    "q170_quality_binned_sample": QuerySpec(
+        q170_quality_binned_sample,
+        ORACLE_Q170,
+        "quality-binned curation sampling via exact value deciles",
+        ("llm", "quality"),
     ),
 }

@@ -108,3 +108,139 @@ def test_index_ignores_empty_docs_and_still_ranks(spark):
     assert _ranking(
         bm25_topk_from_index(idx, _queries(spark), k=10)
     ) == _ranking(bm25_topk_from_index(clean, _queries(spark), k=10))
+
+
+def test_phash_fixture_plants_exact_bits():
+    """The q168 fixture's whole premise, validated exhaustively: for
+    400 rasters (100 clusters x 4 members) the REAL pHash pipeline
+    (grayscale -> 32x32 DCT-II -> zigzag median threshold) recovers
+    EXACTLY the planted balanced 60-bit word — the <=0.5/pixel
+    rounding noise never flips a +-30-amplitude coefficient against
+    the zero median."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import (
+        decode_raster,
+        phash_bits,
+    )
+    from synthea_etl_spark.plans.llm4 import (
+        _phash_fixture_raster,
+        _phash_planted_set,
+    )
+
+    for cluster in range(100):
+        for m in range(4):
+            target = sum(1 << p for p in _phash_planted_set(cluster, m))
+            dec = decode_raster(_phash_fixture_raster(cluster * 4 + m))
+            assert dec is not None and dec[0] == "ppm"
+            assert phash_bits(dec[1]) == target, (cluster, m)
+
+
+def test_phash_fixture_pair_structure():
+    """Within a cluster the base sits at hamming 2 from every variant
+    and variants sit at hamming 4 from each other, so max_hamming=2
+    selects exactly the (base, variant) pairs q168's oracle plants;
+    cross-cluster words are far apart."""
+    words = {
+        (c, m): sum(1 << p for p in _planted(c, m))
+        for c in range(20)
+        for m in range(4)
+    }
+    for c in range(20):
+        for m in range(1, 4):
+            assert bin(words[(c, 0)] ^ words[(c, m)]).count("1") == 2
+            for m2 in range(m + 1, 4):
+                assert bin(words[(c, m)] ^ words[(c, m2)]).count("1") == 4
+    for c2 in range(1, 20):
+        assert bin(words[(0, 0)] ^ words[(c2, 0)]).count("1") > 10
+
+
+def _planted(c, m):
+    from synthea_etl_spark.plans.llm4 import _phash_planted_set
+
+    return _phash_planted_set(c, m)
+
+
+def test_knn_label_propagation_two_blobs(spark):
+    """Two well-separated blobs with labeled anchors: every unlabeled
+    vector receives its own blob's label, votes are unanimous, and
+    the output covers exactly the unlabeled ids."""
+    import numpy as np
+
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(3)
+    rows_l, rows_u = [], []
+    for i in range(40):
+        blob = i % 2
+        center = 10.0 if blob else -10.0
+        v = [float(center + x) for x in rng.randn(4) * 0.1]
+        if i < 20:
+            rows_l.append((i, v, blob))
+        else:
+            rows_u.append((i, v))
+    labeled = spark.createDataFrame(
+        rows_l, "vec_id long, embedding array<double>, label int"
+    )
+    unlabeled = spark.createDataFrame(
+        rows_u, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in S.knn_label_propagation(
+            labeled, unlabeled, k=3, n_centroids=2, n_probe=1,
+            lloyd_iters=0,
+        ).collect()
+    }
+    assert set(out) == {r[0] for r in rows_u}
+    for i, _v in rows_u:
+        assert out[i].pred_label == i % 2, i
+        assert out[i].votes == 3  # unanimous within the blob
+
+
+def test_value_decile_bins_exact_and_tie_safe(spark):
+    """bin = floor(bins * strictly-smaller-count / N): a uniform
+    0..99 score column lands 10 per decile; a fully-tied column
+    lands everything in decile 0 (ties never straddle bins)."""
+    from synthea_etl_spark.operators.text import value_decile_bins
+
+    uniform = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id long, s long"
+    )
+    got = {
+        r.id: r.decile for r in value_decile_bins(uniform, "s").collect()
+    }
+    assert all(got[i] == i // 10 for i in range(100))
+
+    tied = spark.createDataFrame([(i, 7) for i in range(50)], "id long, s long")
+    assert {
+        r.decile for r in value_decile_bins(tied, "s").collect()
+    } == {0}
+
+
+def test_quality_decile_sample_rates_and_determinism(spark):
+    """Decile d keeps ~d/10 of its documents under the md5 rule; the
+    whole frame is deterministic across re-runs and partitionings."""
+    from synthea_etl_spark.operators.text import quality_decile_sample
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i % 40 + 1))) for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = sorted(
+        (r.doc_id, r.score, r.decile, r.keep)
+        for r in quality_decile_sample(docs).collect()
+    )
+    out2 = sorted(
+        (r.doc_id, r.score, r.decile, r.keep)
+        for r in quality_decile_sample(docs.repartition(16)).collect()
+    )
+    assert out1 == out2 and len(out1) == 400
+    by_decile = {}
+    for _id, _s, d, k in out1:
+        tot, kept = by_decile.get(d, (0, 0))
+        by_decile[d] = (tot + 1, kept + bool(k))
+    assert by_decile[0][1] == 0  # decile 0 keeps nothing
+    # keep counts rise with decile (coarse monotonicity of the rule)
+    top = max(by_decile)
+    assert by_decile[top][1] > by_decile[min(by_decile)][1]
