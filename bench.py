@@ -107,6 +107,8 @@ HEADLINE_OPT = [
     "q168_phash_near_dup",
     "q169_knn_label_propagation",
     "q170_quality_binned_sample",
+    "q171_random_projection",
+    "q172_raster_exact_dedup",
 ]
 
 

@@ -1305,6 +1305,56 @@ def _raster_fingerprints(df: DataFrame, bits_fn, col_name: str) -> DataFrame:
     )
 
 
+def raster_exact_fingerprints(df: DataFrame) -> DataFrame:
+    """Container-invariant EXACT image dedup key: (id, format, w, h,
+    raster_md5), where raster_md5 hashes the DECODED h×w×3 RGB bytes
+    prefixed by the dimensions — so the same pixels stored as PPM,
+    BMP, PNG, TIFF, ... share one key while container-level byte
+    differences (headers, compression, palette order, stride padding)
+    are invisible. The multimodal analog of exact text dedup's
+    fingerprint (operators/dedup.py): one Arrow decode stage, then
+    dedup is a plain groupBy on the 32-hex key. Undecodable payloads
+    degrade to null rows (the standard mixed-corpus contract)."""
+    import hashlib
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, keys = [], [], [], []
+            for b in pdf["payload"]:
+                dec = decode_raster(b)
+                if dec is None:
+                    fmts.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    keys.append(None)
+                else:
+                    px = np.ascontiguousarray(dec[1], dtype=np.uint8)
+                    h, w = px.shape[:2]
+                    fmts.append(dec[0])
+                    ws.append(w)
+                    hs.append(h)
+                    keys.append(
+                        hashlib.md5(
+                            b"%dx%d|" % (w, h) + px.tobytes()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "raster_md5": keys,
+                }
+            )
+
+    return df.mapInPandas(
+        extract,
+        schema="id long, format string, width int, height int, "
+        "raster_md5 string",
+    )
+
+
 RESIZED_SCHEMA = (
     "id long, payload binary, "
     "meta struct<n_bytes: long, content_type: string, width: int, height: int>"

@@ -788,6 +788,69 @@ def semantic_dedup(
     )
 
 
+def random_projection_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection planes (the dense-sign case of
+    Achlioptas' database-friendly random projections): sign(j, d) =
+    +1 iff the first hex digit of md5('rp<j>|<d>') is 0-7. md5-seeded
+    like every other deterministic 'random' structure in the engine
+    (LSH hyperplanes, IVF seeds), so any engine — and any SQL twin —
+    reconstructs the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"rp{j}|{d}".encode()).hexdigest()[0] <= "7"
+            else -1
+            for d in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection_dims(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with ±1 planes:
+    proj[j] = sum_d sign(j, d) * x_d, computed per row as JVM
+    higher-order expressions (zip_with + aggregate) — ZERO shuffles,
+    zero Python, whole-stage codegen end to end; the one explode
+    (the 16 output dims) is narrow. Sign flips are exact in IEEE and
+    each sum accumulates in DECIMAL(25,6), so the projection is
+    bit-reproducible at any parallelism and in any engine — the
+    plans/common.dsum discipline applied to linear algebra. Returns
+    the exploded scalar frame (id, pos, value); downstream ANN
+    (IVF/LSH) runs on 4x fewer dimensions at ~unchanged recall for
+    near-dup thresholds, which at 100 TB is a 4x cut in every
+    vector-shuffle byte count."""
+    signs = random_projection_signs(out_dim, in_dim)
+    v = F.col(vec_col).cast("array<double>")
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in signs[j]]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("decimal(25,6)"),
+            # decimal addition widens 25,6+25,6 -> 26,6; cast back so
+            # the accumulator type is stable (values are bounded by
+            # dim * |x|max << 10^19, so the narrowing never truncates)
+            lambda acc, y: (acc + y.cast("decimal(25,6)")).cast(
+                "decimal(25,6)"
+            ),
+        ).cast("double")
+        for j in range(out_dim)
+    ]
+    return df.select(
+        F.col(id_col), F.posexplode(F.array(*projs)).alias("pos", "value")
+    ).select(id_col, F.col("pos").cast("int").alias("pos"), "value")
+
+
 def knn_label_propagation(
     labeled: DataFrame,
     unlabeled: DataFrame,

@@ -10,6 +10,14 @@
   end to end (decode → 32x32 DCT-II → median threshold → banded
   hamming join) against rasters that plant a known balanced 60-bit
   spectrum, closing the q159 dHash gate's sibling.
+- q169: kNN label propagation — the seeded IVF ANN composed with a
+  majority vote (semi-supervised labeling, exact twin).
+- q170: quality-binned curation sampling — exact value deciles with
+  no global sort, decile-proportional deterministic keep.
+- q171: JL ±1 random projection — zero-shuffle per-row higher-order
+  expressions with exact decimal accumulation.
+- q172: container-invariant exact image dedup — decoded-raster md5
+  keys merge PPM/BMP twins a byte hash would miss.
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -21,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import synthea_etl_spark.operators.dedup as D
+import synthea_etl_spark.operators.similarity as S
 from synthea_etl_spark.plans.common import QuerySpec, load
 
 
@@ -353,6 +362,143 @@ FROM t JOIN b USING (score)
 """
 
 
+# ---------------------------------------------------------------------------
+# q171 sparse random projection (JL dimensionality reduction, zero shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q171_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of the 64-dim embeddings to 16
+    dims with deterministic md5-seeded ±1 planes (operators/similarity
+    .random_projection_dims): per-row zip_with/aggregate expressions,
+    zero shuffles, exact DECIMAL accumulation — the pre-ANN compaction
+    step that cuts every downstream vector-shuffle byte count 4x.
+    Scalar (vec_id, pos, value) output, one row per output dim."""
+    return S.random_projection_dims(
+        load(spark, sf_dir, "embeddings"), out_dim=16, in_dim=64
+    )
+
+
+ORACLE_Q171 = """
+WITH ex AS (
+  SELECT vec_id, i - 1 AS d, e[i] AS x
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       LATERAL (SELECT UNNEST(generate_series(1, len(e))) AS i) u
+),
+signed AS (
+  SELECT vec_id, j,
+         CAST(CASE WHEN substr(md5('rp' || CAST(j AS VARCHAR) || '|'
+                     || CAST(d AS VARCHAR)), 1, 1) <= '7'
+              THEN x ELSE -x END AS DECIMAL(25,6)) AS v
+  FROM ex CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS j) pj
+)
+SELECT vec_id, CAST(j AS INTEGER) AS pos, CAST(SUM(v) AS DOUBLE) AS value
+FROM signed GROUP BY vec_id, j
+"""
+
+
+# ---------------------------------------------------------------------------
+# q172 cross-format raster exact dedup (container-invariant pixel key)
+# ---------------------------------------------------------------------------
+
+# Fixture: clusters of 3 consecutive doc_ids — member 0 is a PPM,
+# member 1 the SAME pixels re-containered as a bottom-up 24-bit BMP
+# (different bytes, identical raster), member 2 a distinct image.
+# Cross-format dedup must merge {0,1} and keep 2 unique, per cluster.
+
+
+def _q172_pixels(cluster: int, unique: bool) -> "object":
+    """Deterministic 16x8 RGB raster from repeated md5 bytes."""
+    import hashlib
+
+    import numpy as np
+
+    seed = f"rx{cluster}{'u' if unique else ''}".encode()
+    raw = b"".join(
+        hashlib.md5(seed + bytes([i])).digest() for i in range(24)
+    )  # 384 bytes = 16*8*3
+    return np.frombuffer(raw, np.uint8).reshape(8, 16, 3).copy()
+
+
+def _encode_bmp24(px) -> bytes:
+    """Minimal 24-bit BI_RGB BMP (bottom-up, BGR, 4-byte stride) —
+    the fixture's second container for identical pixels."""
+    import struct
+
+    h, w = px.shape[:2]
+    pad = (4 - (w * 3) % 4) % 4
+    body = b"".join(
+        px[y, :, ::-1].tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+        + body
+    )
+
+
+def q172_raster_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact image dedup ACROSS containers: fingerprint every payload
+    by its DECODED pixels (operators/multimodal
+    .raster_exact_fingerprints — byte-level md5 of the same container
+    would miss every PPM/BMP twin), then min-id-wins keeper per
+    fingerprint group. Output: (doc_id, keeper, keep). Same 100 TB
+    shape as exact text dedup (q30): one Arrow decode stage, one
+    shuffle on the 32-hex key."""
+    import pandas as pd
+
+    from synthea_etl_spark.operators.multimodal import (
+        encode_ppm,
+        raster_exact_fingerprints,
+    )
+    from synthea_etl_spark.operators.util import rebalance_by_key
+    from pyspark.sql import Window
+
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                c, m = divmod(int(i), 3)
+                px = _q172_pixels(c, unique=m == 2)
+                payloads.append(
+                    _encode_bmp24(px) if m == 1 else encode_ppm(px)
+                )
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    fps = raster_exact_fingerprints(
+        d.mapInPandas(gen, "id long, payload binary")
+    )
+    w = Window.partitionBy("raster_md5")
+    return (
+        fps.withColumn("keeper", F.min("id").over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            "keeper",
+            (F.col("id") == F.col("keeper")).alias("keep"),
+        )
+    )
+
+
+# DuckDB twin: the planted duplicate structure is closed-form — member
+# 1 of each cluster-of-3 duplicates member 0's pixels (its keeper),
+# members 0 and 2 are unique. A match certifies the decode paths of
+# BOTH containers land on identical raster bytes.
+ORACLE_Q172 = """
+SELECT doc_id,
+       doc_id - CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS keeper,
+       doc_id % 3 <> 1 AS keep
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
@@ -377,5 +523,17 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q170,
         "quality-binned curation sampling via exact value deciles",
         ("llm", "quality"),
+    ),
+    "q171_random_projection": QuerySpec(
+        q171_random_projection,
+        ORACLE_Q171,
+        "JL ±1 random projection, zero-shuffle exact decimal sums",
+        ("llm", "similarity"),
+    ),
+    "q172_raster_exact_dedup": QuerySpec(
+        q172_raster_exact_dedup,
+        ORACLE_Q172,
+        "container-invariant exact image dedup (PPM/BMP twins merge)",
+        ("llm", "dedup", "multimodal"),
     ),
 }

@@ -244,3 +244,61 @@ def test_quality_decile_sample_rates_and_determinism(spark):
     # keep counts rise with decile (coarse monotonicity of the rule)
     top = max(by_decile)
     assert by_decile[top][1] > by_decile[min(by_decile)][1]
+
+
+def test_random_projection_exact_and_partition_invariant(spark):
+    """The ±1 projection equals a numpy matmul on the decimal-rounded
+    inputs and is bit-identical at any parallelism (decimal
+    accumulation, not float)."""
+    import numpy as np
+
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(60)]
+    signs = np.array(S.random_projection_signs(4, 8))
+    outs = []
+    for parts in (1, 12):
+        df = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        ).repartition(parts)
+        outs.append({
+            (r.vec_id, r.pos): r.value
+            for r in S.random_projection_dims(
+                df, out_dim=4, in_dim=8
+            ).collect()
+        })
+    assert outs[0] == outs[1]
+    for i, v in vecs:
+        q = np.round(np.array(v), 6)  # decimal(25,6) grid
+        want = signs @ q
+        for j in range(4):
+            assert abs(outs[0][(i, j)] - want[j]) < 1e-9, (i, j)
+
+
+def test_raster_exact_fingerprints_cross_format_and_nulls(spark):
+    """Identical pixels under PPM and BMP containers share one
+    fingerprint; different pixels differ; undecodable payloads
+    degrade to null rows."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.multimodal import (
+        encode_ppm,
+        raster_exact_fingerprints,
+    )
+    from synthea_etl_spark.plans.llm4 import _encode_bmp24, _q172_pixels
+
+    px_a, px_b = _q172_pixels(0, False), _q172_pixels(1, False)
+    rows = [
+        (0, bytearray(encode_ppm(px_a))),
+        (1, bytearray(_encode_bmp24(px_a))),
+        (2, bytearray(encode_ppm(px_b))),
+        (3, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = {r.id: r for r in raster_exact_fingerprints(df).collect()}
+    assert out[0].format == "ppm" and out[1].format == "bmp"
+    assert out[0].raster_md5 == out[1].raster_md5  # container-invariant
+    assert out[2].raster_md5 != out[0].raster_md5
+    assert out[3].format is None and out[3].raster_md5 is None
+    assert (out[0].width, out[0].height) == (16, 8)

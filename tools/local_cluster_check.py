@@ -60,13 +60,24 @@ BENCH_SET = [
 ]
 
 
-def build_session(master: str):
+def build_session(
+    master: str,
+    shuffle_partitions: int | None = None,
+    broadcast_threshold: str | None = None,
+):
     extra = {
         # executor JVMs are separate processes; python workers there
         # must import the engine package
         "spark.executorEnv.PYTHONPATH": REPO,
     }
-    return get_session("local-cluster-check", master=master, extra_conf=extra)
+    if broadcast_threshold is not None:
+        extra["spark.sql.autoBroadcastJoinThreshold"] = broadcast_threshold
+    return get_session(
+        "local-cluster-check",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        extra_conf=extra,
+    )
 
 
 def run_diff(spark, names, oracles, qs) -> dict:
@@ -128,6 +139,27 @@ def _timed(fn, spark, sf_dir) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default="local-cluster[4,8,8192]")
+    ap.add_argument(
+        "--broadcast-threshold",
+        default=None,
+        help="override spark.sql.autoBroadcastJoinThreshold. The "
+        "engine default 64MB is sized for the single 32 GB local "
+        "heap; a 64MB-on-disk build side deserializes to a "
+        "10-30x-larger LongToUnsafeRowMap, which OOMs an 8 GB "
+        "executor already running 8 sort/probe tasks (measured: "
+        "q16 at sf10). On small executors pass ~10MB (Spark's own "
+        "cluster default) -- the build side then shuffles instead.",
+    )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (the engine "
+        "default 32 is sized for <= sf1; at sf10 the per-task "
+        "partition no longer fits an 8-way-shared 8 GB executor "
+        "heap -- pass 128+ so partitions shrink with scale, the "
+        "same knob a real cluster job would set)",
+    )
     ap.add_argument("--diff", action="store_true")
     ap.add_argument("--bench", action="store_true")
     ap.add_argument(
@@ -147,13 +179,19 @@ def main() -> None:
     if bad:
         raise SystemExit(f"unknown queries: {bad}")
 
-    spark = build_session(args.master)
+    spark = build_session(
+        args.master, args.shuffle_partitions, args.broadcast_threshold
+    )
     # force a distributed job so executors register before we count
     spark.range(0, 1000, 1, 8).selectExpr("sum(id)").collect()
     n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
     report = {
         "master": args.master,
         "n_executors": n_exec,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "broadcast_threshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
         "diff_sf_dir": DIFF_SF_DIR,
         "bench_sf_dir": args.sf_dir,
     }
