@@ -1321,7 +1321,7 @@ def raster_exact_fingerprints(df: DataFrame) -> DataFrame:
         for pdf in batches:
             fmts, ws, hs, keys = [], [], [], []
             for b in pdf["payload"]:
-                dec = decode_raster(b)
+                dec = decode_raster(b) if b is not None else None
                 if dec is None:
                     fmts.append(None)
                     ws.append(None)

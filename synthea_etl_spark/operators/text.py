@@ -370,7 +370,11 @@ def quality_decile_sample(
         + F.size(F.array_distinct(t))
         - F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
     ).cast("long")
-    scored = docs.select(F.col(id_col), score.alias("score"))
+    # null text scores 0 (same as empty) — a NULL score would land in
+    # an engine-dependent position under window ordering
+    scored = docs.select(
+        F.col(id_col), F.coalesce(score, F.lit(0).cast("long")).alias("score")
+    )
     binned = value_decile_bins(scored, "score", bins)
     keep_hash = (
         F.conv(

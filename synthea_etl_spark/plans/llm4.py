@@ -339,12 +339,12 @@ def q170_quality_binned_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q170 = r"""
 WITH t AS (
   SELECT doc_id,
-         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         COALESCE(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END
            + CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(list_distinct(string_split_regex(trim(text), '\s+')))
              END
-           - len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS score
+           - len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT), 0) AS score
   FROM documents
 ),
 sc AS (SELECT score, count(*) AS cnt FROM t GROUP BY score),

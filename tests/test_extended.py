@@ -182,6 +182,7 @@ def test_no_accidental_cartesian_products(spark):
         "q106_tpch_q11",           # 1-row broadcast scalar threshold
         "q111_expectations",       # fk_check crossJoin of 1-row total
         "q162_bm25_topk",          # crossJoin of the 1-row corpus stats
+        "q167_bm25_index_topk",    # same 1-row stats crossJoin, via index
     }
     bad = []
     for name, fn in ent.queries().items():

@@ -302,3 +302,18 @@ def test_raster_exact_fingerprints_cross_format_and_nulls(spark):
     assert out[2].raster_md5 != out[0].raster_md5
     assert out[3].format is None and out[3].raster_md5 is None
     assert (out[0].width, out[0].height) == (16, 8)
+
+
+def test_quality_decile_sample_null_text_scores_zero(spark):
+    """NULL text scores 0 (same bin as empty text) instead of landing
+    in an engine-dependent NULL-ordering position."""
+    from synthea_etl_spark.operators.text import quality_decile_sample
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "real words here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_decile_sample(docs).collect()}
+    assert out[0].score == 0 and out[1].score == 0
+    assert out[0].decile == out[1].decile
+    assert out[2].score > 0
