@@ -788,6 +788,121 @@ def semantic_dedup(
     )
 
 
+def knn_ann_ivf_grouped(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 1,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """``knn_ann_ivf`` with the BULK scoring path: instead of
+    materializing every (query, candidate) pair as a DataFrame row
+    and scoring it through a per-pair UDF — which ships
+    |Q|·|cell|·n_probe vector COPIES through Arrow and dominates wall
+    time as soon as the query side is large — corpus cells and their
+    probing queries are COGROUPED by cluster id and each cluster is
+    scored as ONE numpy matmul (Q @ C.T, the BLAS kernel real IVF
+    engines run). Only the per-cluster top-k survivors leave Python
+    (≤ k rows per query per probed cell), so the downstream global
+    top-k window sees k·n_probe rows per query instead of the full
+    candidate set. Identical results to ``knn_ann_ivf`` under the
+    same centroids (per-cluster top-k of a union is the union's
+    top-k; rounding matches F.round's half-away-from-zero; tested).
+
+    100 TB shape: vectors cross the Arrow boundary ONCE per cell
+    (corpus side) plus n_probe times (query side) — never per pair;
+    per-task memory is one cell's matrix (the n_centroids ~ O(sqrt n)
+    sizing rule bounds it); skewed cells split across tasks only by
+    re-clustering (rollover), same as `ivf_index`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    centroids = ivf_train_centroids(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+        n_centroids,
+        lloyd_iters,
+    )
+    assign = make_assign_udf(centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cluster", assign(F.col("cv")))
+    probe = make_probe_udf(centroids, n_probe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        .withColumn("cluster", F.explode(probe(F.col("qv"))))
+    )
+    scale = float(10 ** sim_decimals)
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty or qdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "sim": "float64"})
+        C = np.stack(cdf["cv"].to_numpy()).astype(np.float64)
+        Q = np.stack(qdf["qv"].to_numpy()).astype(np.float64)
+        nid = cdf["neighbor_id"].to_numpy()
+        qid = qdf["query_id"].to_numpy()
+        sims = (Q @ C.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
+        )
+        # F.round / DuckDB round() semantics: half away from zero
+        sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+        out_q, out_n, out_s = [], [], []
+        kk = min(k, sims.shape[1])
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            # oracle order: sim DESC, neighbor_id ASC, self excluded
+            order = np.lexsort((nid, -row))
+            taken = 0
+            for j in order:
+                if nid[j] == qid[i]:
+                    continue
+                out_q.append(qid[i])
+                out_n.append(nid[j])
+                out_s.append(row[j])
+                taken += 1
+                if taken >= kk:
+                    break
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+        ).astype({"query_id": "int64", "neighbor_id": "int64",
+                  "sim": "float64"})
+
+    survivors = (
+        c.groupBy("cluster")
+        .cogroup(q.groupBy("cluster"))
+        .applyInPandas(
+            lambda cdf, qdf: score(
+                cdf.drop(columns=["cluster"]), qdf.drop(columns=["cluster"])
+            ),
+            "query_id long, neighbor_id long, sim double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def random_projection_signs(out_dim: int, in_dim: int) -> list[list[int]]:
     """Deterministic ±1 projection planes (the dense-sign case of
     Achlioptas' database-friendly random projections): sign(j, d) =
@@ -875,10 +990,14 @@ def knn_label_propagation(
     Returns (id, pred_label, votes). With ``lloyd_iters=0`` the
     whole operator is closed-form (exact DuckDB twin, q169); the
     label side joins on the neighbor id, so a big labeled corpus
-    needs no broadcast."""
+    needs no broadcast. Scoring runs the BULK per-cluster matmul
+    path (``knn_ann_ivf_grouped``): label propagation queries with
+    the WHOLE unlabeled corpus, so the per-pair UDF path's
+    pair-materialization cost — fine for small query batches — would
+    dominate here (measured 82 s vs ~seconds at sf1)."""
     from pyspark.sql import Window
 
-    knn = knn_ann_ivf(
+    knn = knn_ann_ivf_grouped(
         labeled.select(id_col, vec_col),
         unlabeled,
         id_col,

@@ -309,3 +309,51 @@ def near_dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def retrieval_index_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the BM25 inverted index — q167's
+    persisted postings table kept current by a restartable stream.
+    Each micro-batch of landed documents tokenizes ONLY itself
+    (operators/retrieval.inverted_index) and publishes its postings
+    partitioned by batch_id with dynamic partition overwrite, so a
+    replayed batch rewrites its own partition instead of appending
+    twice — the same exactly-once-without-a-transactional-store
+    contract as ``near_dedup_ingest_stream``.
+
+    No merge step exists because none is needed: postings rows are
+    per (doc, term) under a fixed tokenizer, so the UNION of batch
+    partitions IS the index of the union corpus (the invariant
+    tests/test_llm4.py pins), and every statistic BM25 needs (df, dl,
+    totals) derives from the accumulated table at probe time.
+    ``bm25_topk_from_index(spark.read.parquet(index_dir), ...)``
+    serves queries between (or during) ingests."""
+    from synthea_etl_spark.operators.retrieval import inverted_index
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            inverted_index(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -237,9 +237,13 @@ def q169_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated seed set); every other vector receives the majority label
     of its 5 nearest labeled neighbors under the seed-only IVF
     quantizer (operators/similarity.knn_label_propagation — q160's
-    exactly-twinned ANN machinery, composed with a vote). Tie rule:
-    most votes, then smallest label — deterministic on both
-    engines."""
+    exactly-twinned ANN machinery on the BULK per-cluster matmul
+    scoring path, composed with a vote). Tie rule: most votes, then
+    smallest label — deterministic on both engines. Quantizer sized
+    to the workload: the query side is the WHOLE unlabeled corpus,
+    so candidate work is |U|·|L|·n_probe/n_centroids — 64 cells (the
+    ~sqrt(|L|) rule at bench scale) keeps it ~linear where 16 made
+    it effectively all-pairs (measured 82 s → seconds at sf1)."""
     import synthea_etl_spark.operators.similarity as S
 
     e = load(spark, sf_dir, "embeddings")
@@ -251,7 +255,7 @@ def q169_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled,
         unlabeled,
         k=5,
-        n_centroids=16,
+        n_centroids=64,
         n_probe=4,
         lloyd_iters=0,
     )
@@ -269,7 +273,7 @@ seeds AS (
            AS cid
   FROM c
   ORDER BY md5(CAST(neighbor_id AS VARCHAR))
-  LIMIT 16
+  LIMIT 64
 ),
 asg AS (
   SELECT neighbor_id, cv, cid FROM (

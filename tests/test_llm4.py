@@ -317,3 +317,93 @@ def test_quality_decile_sample_null_text_scores_zero(spark):
     assert out[0].score == 0 and out[1].score == 0
     assert out[0].decile == out[1].decile
     assert out[2].score > 0
+
+
+def test_retrieval_index_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming BM25 index maintenance: batches of documents land as
+    JSON; each micro-batch publishes only ITS postings partitioned by
+    batch_id, and the accumulated table equals the batch-built index
+    of the whole corpus (the union invariant, live) — so probes
+    against the streamed index rank identically to a full rebuild."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.pipeline import retrieval_index_ingest_stream
+
+    landing = tmp_path / "landing"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        retrieval_index_ingest_stream(
+            spark, str(landing), str(index), str(ckpt), schema
+        ).awaitTermination(120)
+
+    land("b0.json", CORPUS[:3])
+    run()
+    land("b1.json", CORPUS[3:])
+    run()
+
+    streamed = spark.read.parquet(str(index)).drop("batch_id")
+    rebuilt = inverted_index(_docs(spark, CORPUS))
+    assert sorted((r.t, r.doc_id, r.tf) for r in streamed.collect()) == sorted(
+        (r.t, r.doc_id, r.tf) for r in rebuilt.collect()
+    )
+    assert _ranking(
+        bm25_topk_from_index(streamed, _queries(spark), k=4)
+    ) == _ranking(bm25_topk_from_index(rebuilt, _queries(spark), k=4))
+
+    # replay simulation: republishing batch 1's partition is a no-op
+    b1 = spark.createDataFrame(
+        spark.read.parquet(str(index)).filter("batch_id = 1").collect()
+    )
+    (
+        b1.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(index))
+    )
+    again = spark.read.parquet(str(index)).drop("batch_id")
+    assert sorted((r.t, r.doc_id, r.tf) for r in again.collect()) == sorted(
+        (r.t, r.doc_id, r.tf) for r in rebuilt.collect()
+    )
+
+
+def test_ivf_grouped_matches_pair_path(spark):
+    """The bulk per-cluster matmul scorer returns EXACTLY the frame
+    the per-pair UDF path returns under the same centroids — same
+    neighbors, same 6dp sims, same ranks — on a corpus big enough
+    that every cluster holds more than k candidates."""
+    import numpy as np
+
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(23)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 40")
+    kw = dict(k=5, n_centroids=8, n_probe=3, lloyd_iters=0)
+    pair = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in S.knn_ann_ivf(df, queries, **kw).collect()
+    )
+    grouped = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in S.knn_ann_ivf_grouped(df, queries, **kw).collect()
+    )
+    assert pair == grouped and len(pair) == 40 * 5
