@@ -109,6 +109,7 @@ HEADLINE_OPT = [
     "q170_quality_binned_sample",
     "q171_random_projection",
     "q172_raster_exact_dedup",
+    "q173_phrase_search",
 ]
 
 

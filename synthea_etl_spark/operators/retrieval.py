@@ -270,3 +270,65 @@ def bm25_topk_from_index(
         index, dl, stats, df_t, queries, id_col, query_id_col,
         query_text_col, k,
     )
+
+
+def positional_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings — (t, doc_id, pos), one row per token
+    OCCURRENCE: the index layout phrase/proximity queries need (the
+    tf table ``inverted_index`` builds cannot see adjacency). Same
+    persistence/maintenance story as the tf postings: per-occurrence
+    rows under a fixed tokenizer, so disjoint-batch union equals the
+    rebuilt index, written term-bucketed, stats derivable by narrow
+    aggregates. Corpus-token-sized (bigger than the tf table by the
+    mean tf) — the classic positional-index trade."""
+    return rebalance_by_key(
+        docs.select(id_col, text_col), id_col
+    ).select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "t"),
+    ).select("t", id_col, F.col("pos").cast("int").alias("pos"))
+
+
+def phrase_search(
+    index: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact phrase search over a positional index with the
+    single-join ALIGNMENT trick: explode each phrase to (phrase_id,
+    qpos, t); every matching index occurrence votes for the
+    candidate start ``pos - qpos``; a start collecting all n_terms
+    DISTINCT qpos votes is a full phrase occurrence. ONE broadcast
+    join + one aggregate — no per-term join chain, so a 7-word
+    phrase costs the same plan as a 2-word one. Repeated terms in a
+    phrase are handled by the distinct-qpos count. Returns
+    (phrase_id, doc_id, n_occurrences). 100 TB shape: the phrase
+    frame broadcasts; the index side shuffles once on the alignment
+    key; with the index term-bucketed the probe reads only the
+    phrase terms' buckets."""
+    qt = phrases.select(
+        F.col(phrase_id_col),
+        F.size(terms_col).alias("_n_terms"),
+        F.posexplode(terms_col).alias("qpos", "t"),
+    )
+    aligned = index.join(F.broadcast(qt), "t").select(
+        F.col(phrase_id_col),
+        F.col(id_col),
+        (F.col("pos") - F.col("qpos")).alias("_start"),
+        "qpos",
+        "_n_terms",
+    )
+    full = (
+        aligned.groupBy(phrase_id_col, id_col, "_start", "_n_terms")
+        .agg(F.count_distinct("qpos").alias("_hits"))
+        .filter(F.col("_hits") == F.col("_n_terms"))
+    )
+    return full.groupBy(phrase_id_col, id_col).agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )

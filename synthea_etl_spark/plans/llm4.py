@@ -18,6 +18,8 @@
   expressions with exact decimal accumulation.
 - q172: container-invariant exact image dedup — decoded-raster md5
   keys merge PPM/BMP twins a byte hash would miss.
+- q173: exact phrase search — positional postings probed with the
+  single-join alignment trick (one plan for any phrase length).
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -503,6 +505,68 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q173 exact phrase search over the positional index
+# ---------------------------------------------------------------------------
+
+
+def q173_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval: the corpus's positional postings (one row
+    per token occurrence — the layout adjacency queries need;
+    operators/retrieval.positional_index) probed with the first
+    3-token phrase of docs 0-2 via the single-join alignment trick
+    (every matching occurrence votes for start = pos - qpos; a start
+    with all 3 distinct qpos votes is a full occurrence;
+    operators/retrieval.phrase_search). One broadcast join + one
+    aggregate regardless of phrase length — no per-term join
+    chain."""
+    from synthea_etl_spark.operators.retrieval import (
+        phrase_search,
+        positional_index,
+    )
+    from synthea_etl_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    index = positional_index(docs)
+    phrases = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            F.slice(tokens("text"), 1, 3).alias("terms"),
+        )
+        .filter(F.size("terms") == 3)
+    )
+    return phrase_search(index, phrases)
+
+
+ORACLE_Q173 = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS t
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i) u
+),
+ph AS (
+  SELECT doc_id AS phrase_id, list_slice(w, 1, 3) AS terms
+  FROM toks WHERE doc_id < 3 AND len(w) >= 3
+),
+qt AS (
+  SELECT phrase_id, CAST(i - 1 AS INTEGER) AS qpos, terms[i] AS t
+  FROM ph, LATERAL (SELECT UNNEST(generate_series(1, 3)) AS i) u
+),
+full_m AS (
+  SELECT phrase_id, doc_id, pos - qpos AS s
+  FROM occ JOIN qt USING (t)
+  GROUP BY phrase_id, doc_id, pos - qpos
+  HAVING count(DISTINCT qpos) = 3
+)
+SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM full_m GROUP BY phrase_id, doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
@@ -539,5 +603,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q172,
         "container-invariant exact image dedup (PPM/BMP twins merge)",
         ("llm", "dedup", "multimodal"),
+    ),
+    "q173_phrase_search": QuerySpec(
+        q173_phrase_search,
+        ORACLE_Q173,
+        "exact phrase search via positional-index alignment join",
+        ("llm", "retrieval"),
     ),
 }

@@ -407,3 +407,42 @@ def test_ivf_grouped_matches_pair_path(spark):
         for r in S.knn_ann_ivf_grouped(df, queries, **kw).collect()
     )
     assert pair == grouped and len(pair) == 40 * 5
+
+
+def test_phrase_search_alignment_semantics(spark):
+    """The alignment join counts exact consecutive occurrences:
+    multi-occurrence docs count each start, repeated-term phrases
+    need all DISTINCT qpos votes at one start (no false positive
+    from one token voting twice), and scattered words never match."""
+    from synthea_etl_spark.operators.retrieval import (
+        phrase_search,
+        positional_index,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c x a b c"),        # "a b c" twice
+            (1, "a x b y c"),            # scattered: no match
+            (2, "a a b"),                # for the repeated-term phrase
+            (3, "a b a"),                # contains "a b a" once
+        ],
+    )
+    idx = positional_index(docs)
+
+    def run(phrase_terms):
+        phrases = spark.createDataFrame(
+            [(99, phrase_terms)], "phrase_id long, terms array<string>"
+        )
+        return {
+            r.doc_id: r.n_occurrences
+            for r in phrase_search(idx, phrases).collect()
+        }
+
+    assert run(["a", "b", "c"]) == {0: 2}
+    # repeated-term phrase "a b a": doc 3 matches at start 0; doc 0's
+    # "a b c..a b c" has no a at start+2; doc 2's "a a b" has no
+    # third-position a
+    assert run(["a", "b", "a"]) == {3: 1}
+    # phrase "a a": only doc 2 has adjacent repeated a
+    assert run(["a", "a"]) == {2: 1}
