@@ -818,10 +818,6 @@ def knn_ann_ivf_grouped(
     per-task memory is one cell's matrix (the n_centroids ~ O(sqrt n)
     sizing rule bounds it); skewed cells split across tasks only by
     re-clustering (rollover), same as `ivf_index`."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
-
     centroids = ivf_train_centroids(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
@@ -835,6 +831,50 @@ def knn_ann_ivf_grouped(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("cluster", assign(F.col("cv")))
+    return _grouped_cell_topk(
+        c, centroids, queries, id_col, vec_col, k, n_probe, sim_decimals
+    )
+
+
+def knn_ann_ivf_grouped_probe(
+    index: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """The bulk matmul scorer against a PERSISTED ``ivf_index`` table
+    (cluster, neighbor_id, cv): corpus-scale query batches probe the
+    stored index with per-cluster BLAS scoring — no training scan, no
+    assignment pass, no per-pair Arrow traffic. Identical results to
+    ``knn_ann_ivf_grouped`` under the same centroids (tested); the
+    persisted-index analog of ``knn_ann_ivf_probe`` for query sides
+    too big to broadcast-and-pair."""
+    return _grouped_cell_topk(
+        index, centroids, queries, id_col, vec_col, k, n_probe, sim_decimals
+    )
+
+
+def _grouped_cell_topk(
+    c: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    sim_decimals: int,
+) -> DataFrame:
+    """Shared bulk tail: cogroup (cluster, neighbor_id, cv) cells
+    with their probing queries, score each cell as one matmul, emit
+    per-cluster top-k, global top-k window."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
     probe = make_probe_udf(centroids, n_probe)
     q = (
         queries.select(

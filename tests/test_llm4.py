@@ -446,3 +446,40 @@ def test_phrase_search_alignment_semantics(spark):
     assert run(["a", "b", "a"]) == {3: 1}
     # phrase "a a": only doc 2 has adjacent repeated a
     assert run(["a", "a"]) == {2: 1}
+
+
+def test_ivf_grouped_probe_persisted_matches_fresh(spark, tmp_path):
+    """The bulk scorer against a persisted ivf_index parquet table
+    returns exactly what the fresh train+assign path returns under
+    the same centroids — the corpus-scale probe never needs the
+    corpus."""
+    import numpy as np
+
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(29)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id % 7 = 0")
+    centroids = S.ivf_train_centroids(
+        df.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("cv")),
+        "neighbor_id", "cv", 8, 0,
+    )
+    path = str(tmp_path / "ivf")
+    S.ivf_index(df, centroids).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    fresh = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in S.knn_ann_ivf_grouped(
+            df, queries, k=4, n_centroids=8, n_probe=3, lloyd_iters=0
+        ).collect()
+    )
+    probed = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.sim)
+        for r in S.knn_ann_ivf_grouped_probe(
+            stored, centroids, queries, k=4, n_probe=3
+        ).collect()
+    )
+    assert fresh == probed and len(fresh) > 0
