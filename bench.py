@@ -110,6 +110,8 @@ HEADLINE_OPT = [
     "q171_random_projection",
     "q172_raster_exact_dedup",
     "q173_phrase_search",
+    "q174_proximity_search",
+    "q175_cluster_top_terms",
 ]
 
 

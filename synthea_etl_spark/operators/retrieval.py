@@ -332,3 +332,53 @@ def phrase_search(
     return full.groupBy(phrase_id_col, id_col).agg(
         F.count("*").cast("long").alias("n_occurrences")
     )
+
+
+def proximity_search(
+    index: DataFrame,
+    term_sets: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Sloppy/proximity retrieval over the positional index: a doc
+    matches query q iff SOME window of ``window`` consecutive token
+    positions contains ALL of q's (distinct) terms. Exactness rests
+    on the classic argument that a minimal covering window starts at
+    a term occurrence — so candidate starts are exactly the matching
+    occurrences themselves: equi-join term occurrences per (query,
+    doc), keep pairs within [start, start + window), and a start
+    covering all n_terms distinct terms is a witness. Returns
+    (query_id, doc_id, n_starts) — n_starts > 0 means match, and the
+    count grades how densely the terms co-occur.
+
+    Scale: the pair fan-out is per-(query, doc) occurrence pairs of
+    QUERY terms only — bounded by per-doc query-term frequency, not
+    document length; the term-set frame broadcasts; the index side
+    shuffles once on (doc, term) pruned to query terms (term-bucketed
+    index → only those buckets read)."""
+    qt = term_sets.select(
+        F.col(query_id_col),
+        F.size(F.array_distinct(F.col(terms_col))).alias("_n_terms"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("t"),
+    )
+    occ = index.join(F.broadcast(qt), "t").select(
+        F.col(query_id_col), F.col(id_col), "t", "pos", "_n_terms"
+    )
+    starts = occ.select(
+        F.col(query_id_col), F.col(id_col), F.col("pos").alias("_s")
+    )
+    covered = (
+        starts.join(occ, [query_id_col, id_col])
+        .filter(
+            (F.col("pos") >= F.col("_s"))
+            & (F.col("pos") < F.col("_s") + F.lit(window))
+        )
+        .groupBy(query_id_col, id_col, "_s", "_n_terms")
+        .agg(F.count_distinct("t").alias("_hits"))
+        .filter(F.col("_hits") == F.col("_n_terms"))
+    )
+    return covered.groupBy(query_id_col, id_col).agg(
+        F.count("*").cast("long").alias("n_starts")
+    )

@@ -391,3 +391,65 @@ def quality_decile_sample(
     return binned.select(
         id_col, "score", "decile", (keep_hash < F.col("decile")).alias("keep")
     )
+
+
+def cluster_top_terms(
+    docs: DataFrame,
+    cluster_col: str = "cluster",
+    text_col: str = "text",
+    k: int = 5,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Cluster labeling — the c-TF-IDF shape (score terms by
+    within-cluster frequency discounted by how many clusters use
+    them, then take each cluster's top-k as its label): score =
+    floor(tf_ct * n_clusters * micro / cluster_df_t), ALL-INTEGER
+    (ratio form instead of the published log — a monotone transform
+    for fixed tf, and cross-engine exact where log is not), ranked
+    (score desc, term asc) per cluster.
+
+    Plan: one explode + one (cluster, term) aggregate riding it, one
+    tiny term-key aggregate for cluster-df, a 1-row n_clusters frame
+    broadcast (the q162-style stats crossJoin), and a per-cluster
+    top-k window whose input is the (cluster, term) AGGREGATE —
+    vocabulary-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(tokens(text_col)).alias("t"),
+    )
+    tf_ct = tok.groupBy("cluster", "t").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    cdf = tf_ct.groupBy("t").agg(
+        F.count("*").cast("long").alias("_cdf")
+    )
+    n_clusters = tf_ct.select(
+        F.count_distinct("cluster").cast("long").alias("_nc")
+    )
+    scored = (
+        tf_ct.join(cdf, "t")
+        .crossJoin(F.broadcast(n_clusters))
+        .select(
+            "cluster",
+            "t",
+            "tf",
+            F.floor(
+                F.col("tf") * F.col("_nc") * F.lit(micro) / F.col("_cdf")
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("score_micro"), F.asc("t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "cluster", F.col("rank").cast("int").alias("rank"),
+            "t", "tf", "score_micro",
+        )
+    )

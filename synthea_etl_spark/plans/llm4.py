@@ -20,6 +20,10 @@
   keys merge PPM/BMP twins a byte hash would miss.
 - q173: exact phrase search — positional postings probed with the
   single-join alignment trick (one plan for any phrase length).
+- q174: proximity search — all query terms within a token window,
+  via the minimal-window-starts-at-an-occurrence argument.
+- q175: cluster labeling — c-TF-IDF top terms per embedding cluster
+  in integer-exact ratio form.
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -567,6 +571,155 @@ FROM full_m GROUP BY phrase_id, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q174 proximity search (all terms within a token window)
+# ---------------------------------------------------------------------------
+
+_PROX_W = 10
+
+
+def q174_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy retrieval: does any 10-token window contain ALL the
+    query's terms? Query q (docs 0-2) takes its own tokens at
+    positions 2/5/8 — non-adjacent, so exact phrase machinery can't
+    answer it — and matching uses the minimal-window argument (a
+    covering window can be slid to start at a term occurrence, so
+    occurrences are exactly the candidate starts;
+    operators/retrieval.proximity_search). Each matching doc reports
+    how many witness starts it has."""
+    from synthea_etl_spark.operators.retrieval import (
+        positional_index,
+        proximity_search,
+    )
+    from synthea_etl_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    index = positional_index(docs)
+    t = tokens("text")
+    term_sets = (
+        docs.filter(F.col("doc_id") < 3)
+        .filter(F.size(t) >= 8)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array(
+                F.element_at(t, 2), F.element_at(t, 5), F.element_at(t, 8)
+            ).alias("terms"),
+        )
+    )
+    return proximity_search(index, term_sets, _PROX_W)
+
+
+ORACLE_Q174 = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+occ_all AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS t
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w))) AS i) u
+),
+ts AS (
+  SELECT doc_id AS query_id, list_distinct([w[2], w[5], w[8]]) AS terms
+  FROM toks WHERE doc_id < 3 AND len(w) >= 8
+),
+qt AS (
+  SELECT query_id, len(terms) AS n_terms, UNNEST(terms) AS t FROM ts
+),
+occ AS (
+  SELECT query_id, doc_id, t, pos, n_terms
+  FROM occ_all JOIN qt USING (t)
+),
+covered AS (
+  SELECT s.query_id, s.doc_id, s.pos AS st, o.n_terms
+  FROM occ s JOIN occ o
+    ON s.query_id = o.query_id AND s.doc_id = o.doc_id
+   AND o.pos >= s.pos AND o.pos < s.pos + {_PROX_W}
+  GROUP BY s.query_id, s.doc_id, s.pos, o.n_terms
+  HAVING count(DISTINCT o.t) = o.n_terms
+)
+SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_starts
+FROM covered GROUP BY query_id, doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q175 cluster labeling (c-TF-IDF top terms per embedding cluster)
+# ---------------------------------------------------------------------------
+
+
+def q175_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography: assign every document to an embedding
+    cluster (the q165 seed-only quantizer — vec_id keys the
+    documents row), then label each cluster with its top-5 terms by
+    the integer-exact c-TF-IDF ratio (operators/text
+    .cluster_top_terms): within-cluster frequency × n_clusters /
+    cluster-document-frequency, floor-scaled to micro units — the
+    published shape's log replaced by a monotone ratio so both
+    engines agree bit-for-bit."""
+    from synthea_etl_spark.operators.text import cluster_top_terms
+
+    e = load(spark, sf_dir, "embeddings")
+    centroids = S.ivf_train_centroids(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        "neighbor_id",
+        "cv",
+        16,
+        0,
+    )
+    assigned = e.select(
+        "vec_id", S.assign_cluster(F.col("embedding"), centroids).alias("cluster")
+    )
+    docs = load(spark, sf_dir, "documents").join(
+        assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id"
+    )
+    return cluster_top_terms(docs)
+
+
+ORACLE_Q175 = r"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+seeds AS (
+  SELECT cv AS sv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+  FROM c
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT 16
+),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY list_cosine_similarity(cv, sv) DESC, cid ASC) AS rn
+    FROM c CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+d AS (
+  SELECT asg.cluster, documents.text
+  FROM documents JOIN asg ON documents.doc_id = asg.vec_id
+),
+tok AS (
+  SELECT cluster, UNNEST(string_split_regex(trim(text), '\s+')) AS t
+  FROM d WHERE length(trim(text)) > 0
+),
+tf AS (SELECT cluster, t, count(*) AS tf FROM tok GROUP BY cluster, t),
+cdf AS (SELECT t, count(*) AS cdf FROM tf GROUP BY t),
+nc AS (SELECT count(DISTINCT cluster) AS nc FROM tf),
+scored AS (
+  SELECT cluster, t, CAST(tf AS BIGINT) AS tf,
+         CAST(floor(tf * nc * 1000000.0 / cdf) AS BIGINT) AS score_micro
+  FROM tf JOIN cdf USING (t) CROSS JOIN nc
+)
+SELECT cluster, CAST(rank AS INTEGER) AS rank, t, tf, score_micro
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY cluster ORDER BY score_micro DESC, t) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
@@ -609,5 +762,17 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q173,
         "exact phrase search via positional-index alignment join",
         ("llm", "retrieval"),
+    ),
+    "q174_proximity_search": QuerySpec(
+        q174_proximity_search,
+        ORACLE_Q174,
+        "proximity retrieval: all query terms within a token window",
+        ("llm", "retrieval"),
+    ),
+    "q175_cluster_top_terms": QuerySpec(
+        q175_cluster_top_terms,
+        ORACLE_Q175,
+        "c-TF-IDF cluster labeling over embedding clusters",
+        ("llm", "text", "similarity"),
     ),
 }

@@ -183,6 +183,7 @@ def test_no_accidental_cartesian_products(spark):
         "q111_expectations",       # fk_check crossJoin of 1-row total
         "q162_bm25_topk",          # crossJoin of the 1-row corpus stats
         "q167_bm25_index_topk",    # same 1-row stats crossJoin, via index
+        "q175_cluster_top_terms",  # crossJoin of the 1-row n_clusters
     }
     bad = []
     for name, fn in ent.queries().items():

@@ -483,3 +483,63 @@ def test_ivf_grouped_probe_persisted_matches_fresh(spark, tmp_path):
         ).collect()
     )
     assert fresh == probed and len(fresh) > 0
+
+
+def test_proximity_search_window_semantics(spark):
+    """A doc matches iff some window of W tokens holds all distinct
+    terms: adjacency not required, order irrelevant, gaps wider than
+    the window fail, and duplicate terms in the query collapse."""
+    from synthea_etl_spark.operators.retrieval import (
+        positional_index,
+        proximity_search,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, "x a x b x c x"),       # a,b,c within any 6-window
+            (1, "a x x x x x b x c"),   # a..c span 9 > window 6
+            (2, "c b a"),               # reversed order still matches
+            (3, "a b x"),               # missing c
+        ],
+    )
+    idx = positional_index(docs)
+    ts = spark.createDataFrame(
+        [(7, ["a", "b", "c", "a"])],  # duplicate 'a' collapses
+        "query_id long, terms array<string>",
+    )
+    out = {
+        r.doc_id: r.n_starts
+        for r in proximity_search(idx, ts, window=6).collect()
+    }
+    assert 0 in out and 2 in out
+    assert 1 not in out and 3 not in out
+    # windows extend FORWARD from the start, so doc 2's only witness
+    # is position 0 (starts 1/2 cannot see the earlier 'c'/'b')
+    assert out[2] == 1
+    # doc 0: only the earliest term's position (a at 1) can see the
+    # whole set ahead of it within the window
+    assert out[0] == 1
+
+
+def test_cluster_top_terms_ranks_distinctive_terms(spark):
+    """Terms unique to one cluster outrank terms shared by all:
+    score = tf * n_clusters / cluster_df."""
+    from synthea_etl_spark.operators.text import cluster_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "shared alpha alpha"),
+            (0, "shared alpha"),
+            (1, "shared beta beta beta"),
+        ],
+        "cluster int, text string",
+    )
+    out = {
+        (r.cluster, r.rank): (r.t, r.tf, r.score_micro)
+        for r in cluster_top_terms(docs, k=2).collect()
+    }
+    # cluster 0: alpha tf=3 cdf=1 -> 3*2/1 = 6.0; shared tf=2 cdf=2 -> 2
+    assert out[(0, 1)] == ("alpha", 3, 6_000_000)
+    assert out[(0, 2)] == ("shared", 2, 2_000_000)
+    assert out[(1, 1)] == ("beta", 3, 6_000_000)
