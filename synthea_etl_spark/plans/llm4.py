@@ -670,7 +670,8 @@ def q175_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     )
     assigned = e.select(
-        "vec_id", S.assign_cluster(F.col("embedding"), centroids).alias("cluster")
+        "vec_id",
+        S.make_assign_udf(centroids)(F.col("embedding")).alias("cluster"),
     )
     docs = load(spark, sf_dir, "documents").join(
         assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id"
