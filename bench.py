@@ -112,6 +112,7 @@ HEADLINE_OPT = [
     "q173_phrase_search",
     "q174_proximity_search",
     "q175_cluster_top_terms",
+    "q176_corpus_overlap",
 ]
 
 

@@ -754,3 +754,52 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def corpus_bottomk_sketch(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Corpus-level bottom-k minwise sketch: the ``k`` smallest
+    DISTINCT document fingerprints (15-hex md5 slice — exactly
+    representable in int64 on any engine). A k-row summary of an
+    arbitrarily large corpus, MERGEABLE by construction: the union's
+    sketch is the bottom-k of the unioned sketches (tested), so
+    sketches of crawl slices combine without touching the slices
+    again. Plan: distinct on the fingerprint, then
+    TakeOrderedAndProject — no global sort materializes."""
+    h = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    return docs.select(h).distinct().orderBy("h").limit(k)
+
+
+def corpus_overlap_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+) -> DataFrame:
+    """Estimate the document-level Jaccard overlap of two corpora
+    from their bottom-k sketches — the planning question every
+    dedup/mixture decision starts with ("how much of crawl B is
+    already in A?") answered WITHOUT an exact cross-corpus join:
+    est = |bottom-k(A ∪ B) ∩ sketch(A) ∩ sketch(B)| / k, the
+    classic minwise estimator. Deterministic (md5 fingerprints, no
+    RNG), so two engines compute the IDENTICAL sketch and estimate.
+    Returns one row (k, n_common, jaccard_micro); at 100 TB each
+    side's sketch is k rows and the estimate is a k-row join."""
+    ska = corpus_bottomk_sketch(a, text_col, k)
+    skb = corpus_bottomk_sketch(b, text_col, k)
+    u = ska.unionByName(skb).distinct().orderBy("h").limit(k)
+    common = u.join(ska, "h").join(skb, "h")
+    return common.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_common"),
+        F.floor(F.count("*") * F.lit(1_000_000.0) / F.lit(k))
+        .cast("long")
+        .alias("jaccard_micro"),
+    )

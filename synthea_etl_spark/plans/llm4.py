@@ -24,6 +24,8 @@
   via the minimal-window-starts-at-an-occurrence argument.
 - q175: cluster labeling — c-TF-IDF top terms per embedding cluster
   in integer-exact ratio form.
+- q176: corpus-overlap estimation — the dedup-planning Jaccard
+  estimate from two mergeable k-row bottom-k sketches.
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -721,6 +723,50 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q176 corpus overlap estimation (mergeable bottom-k sketches)
+# ---------------------------------------------------------------------------
+
+
+def q176_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-planning question — "how much of corpus B is already
+    in corpus A?" — answered from two k-row sketches instead of a
+    cross-corpus join (operators/dedup.corpus_overlap_estimate):
+    corpora A (doc_id%3 != 2) and B (doc_id%3 != 0) share a third of
+    the documents, and the deterministic md5 bottom-64 minwise
+    estimator lands near 1/3. Both engines compute the IDENTICAL
+    sketch, so the gate is hash-exact, not tolerance-based."""
+    docs = load(spark, sf_dir, "documents")
+    return D.corpus_overlap_estimate(
+        docs.filter(F.col("doc_id") % 3 != 2),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        k=64,
+    )
+
+
+ORACLE_Q176 = """
+WITH fa AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 <> 2
+),
+ska AS (SELECT h FROM fa ORDER BY h LIMIT 64),
+fb AS (
+  SELECT DISTINCT CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents WHERE doc_id % 3 <> 0
+),
+skb AS (SELECT h FROM fb ORDER BY h LIMIT 64),
+u AS (
+  SELECT DISTINCT h FROM (
+    SELECT h FROM ska UNION ALL SELECT h FROM skb
+  ) ORDER BY h LIMIT 64
+),
+c AS (SELECT count(*) AS n FROM u JOIN ska USING (h) JOIN skb USING (h))
+SELECT CAST(64 AS INTEGER) AS k, CAST(n AS BIGINT) AS n_common,
+       CAST(floor(n * 1000000.0 / 64) AS BIGINT) AS jaccard_micro
+FROM c
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
@@ -775,5 +821,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q175,
         "c-TF-IDF cluster labeling over embedding clusters",
         ("llm", "text", "similarity"),
+    ),
+    "q176_corpus_overlap": QuerySpec(
+        q176_corpus_overlap,
+        ORACLE_Q176,
+        "corpus-overlap Jaccard estimate from mergeable bottom-k sketches",
+        ("llm", "dedup"),
     ),
 }

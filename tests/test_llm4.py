@@ -543,3 +543,34 @@ def test_cluster_top_terms_ranks_distinctive_terms(spark):
     assert out[(0, 1)] == ("alpha", 3, 6_000_000)
     assert out[(0, 2)] == ("shared", 2, 2_000_000)
     assert out[(1, 1)] == ("beta", 3, 6_000_000)
+
+
+def test_corpus_sketch_mergeable_and_estimator_close(spark):
+    """Mergeability: sketch(A ∪ B) == bottom-k(sketch(A) ∪
+    sketch(B)); and on corpora with a planted 50% doc overlap the
+    bottom-k estimate lands near the true Jaccard."""
+    import synthea_etl_spark.operators.dedup as D
+
+    rows_a = [(i, f"document number {i} content") for i in range(200)]
+    rows_b = [(i, f"document number {i} content") for i in range(100, 300)]
+    a, b = _docs(spark, rows_a), _docs(spark, rows_b)
+    both = _docs(spark, rows_a + rows_b)
+
+    k = 32
+    ska = D.corpus_bottomk_sketch(a, k=k)
+    skb = D.corpus_bottomk_sketch(b, k=k)
+    merged = sorted(
+        r.h
+        for r in ska.unionByName(skb)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    direct = sorted(r.h for r in D.corpus_bottomk_sketch(both, k=k).collect())
+    assert merged == direct  # union sketch == merged sketches
+
+    est = D.corpus_overlap_estimate(a, b, k=k).collect()[0]
+    true_j = 100 / 300  # |∩|=100, |∪|=300
+    assert est.k == k
+    assert abs(est.jaccard_micro / 1_000_000 - true_j) < 0.2
