@@ -288,3 +288,72 @@ def test_exact_sum_ladder_agrees_any_partitioning(spark, data):
         for r in exact_agg(df2, ["k"], sums={"s": "x"}, avgs={"m": "x"}).collect()
     }
     assert b2 == b
+
+
+corpus_st = st.lists(
+    st.text(
+        alphabet="ab c",  # tiny alphabet -> real term collisions
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(texts_a=corpus_st, texts_b=corpus_st)
+@settings(**SETTINGS)
+def test_inverted_index_union_invariant_any_corpora(spark, texts_a, texts_b):
+    """For ANY two disjoint-id document batches, the union of their
+    postings equals the postings of the union corpus — the invariant
+    that makes streaming/batch index maintenance append-only."""
+    from synthea_etl_spark.operators.retrieval import inverted_index
+
+    rows_a = [(i, t) for i, t in enumerate(texts_a)]
+    rows_b = [(100 + i, t) for i, t in enumerate(texts_b)]
+    if not rows_a and not rows_b:
+        return
+
+    def idx(rows):
+        return inverted_index(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    def collected(df):
+        return sorted((r.t, r.doc_id, r.tf) for r in df.collect())
+
+    if rows_a and rows_b:
+        unioned = collected(idx(rows_a).unionByName(idx(rows_b)))
+    else:
+        unioned = collected(idx(rows_a or rows_b))
+    assert unioned == collected(idx(rows_a + rows_b))
+
+
+scores_st = st.lists(
+    st.integers(min_value=-5, max_value=5), min_size=1, max_size=24
+)
+
+
+@given(scores=scores_st)
+@settings(**SETTINGS)
+def test_value_decile_bins_properties(spark, scores):
+    """For ANY score column: every row keeps exactly one bin, bins
+    are monotone in score, equal scores share a bin, bin ids stay in
+    [0, bins), and bin = floor(bins * |strictly smaller| / N)."""
+    from synthea_etl_spark.operators.text import value_decile_bins
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "id long, s long")
+    out = {r.id: r.decile for r in value_decile_bins(df, "s").collect()}
+    n = len(scores)
+    assert set(out) == {i for i, _ in rows}  # one bin per row
+    for i, s in rows:
+        smaller = sum(1 for v in scores if v < s)
+        assert out[i] == (10 * smaller) // n
+        assert 0 <= out[i] < 10
+    for i, si in rows:
+        for j, sj in rows:
+            if si < sj:
+                assert out[i] <= out[j]
+            if si == sj:
+                assert out[i] == out[j]
