@@ -113,6 +113,7 @@ HEADLINE_OPT = [
     "q174_proximity_search",
     "q175_cluster_top_terms",
     "q176_corpus_overlap",
+    "q177_chunk_retrieval",
 ]
 
 

@@ -26,6 +26,8 @@
   in integer-exact ratio form.
 - q176: corpus-overlap estimation — the dedup-planning Jaccard
   estimate from two mergeable k-row bottom-k sketches.
+- q177: RAG chunk retrieval — q140's chunker composed with q167's
+  indexed BM25, certifying the stages compose unchanged.
 
 Beyond-reference surface (BASELINE.json north star); all reference
 citations for the shared machinery live in operators/retrieval.py.
@@ -767,6 +769,117 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# q177 RAG chunk retrieval (chunking ∘ inverted index ∘ BM25)
+# ---------------------------------------------------------------------------
+
+
+def q177_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval pipeline composed end to end from gated
+    parts: token-window chunking (q140's operator, window 16 /
+    overlap 4), a chunk-level postings index (q167's
+    inverted_index over synthetic chunk ids = doc_id*100 +
+    chunk_idx), and BM25 top-5 per query (docs 6-8's texts) answered
+    from the index. Composition is the point: every stage is
+    individually hash-certified, and this gate certifies they
+    compose without re-deriving anything — the chunker's output
+    feeds the indexer unchanged."""
+    from synthea_etl_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        inverted_index,
+    )
+    from synthea_etl_spark.operators.text import chunk_by_tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_by_tokens(docs, window=16, overlap=4).select(
+        (F.col("id") * 100 + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text"),
+    )
+    index = inverted_index(chunks, text_col="chunk_text", id_col="chunk_id")
+    queries = docs.filter(
+        (F.col("doc_id") >= 6) & (F.col("doc_id") < 9)
+    ).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    hits = bm25_topk_from_index(index, queries, id_col="chunk_id", k=5)
+    return hits.select(
+        "query_id",
+        (F.col("chunk_id") / 100).cast("long").alias("doc_id"),
+        (F.col("chunk_id") % 100).cast("int").alias("chunk_idx"),
+        "score",
+        "rank",
+    )
+
+
+def _sql_chunk_bm25_oracle() -> str:
+    from synthea_etl_spark.operators.retrieval import BM25_B, BM25_K1, MICRO
+
+    k1p1, k1 = repr(BM25_K1 + 1.0), repr(BM25_K1)
+    omb, b = repr(1.0 - BM25_B), repr(BM25_B)
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(CEIL((len(toks) - 4) / 12.0) AS BIGINT))
+           AS n_chunks
+  FROM t0
+),
+chunks AS (
+  SELECT doc_id * 100 + k.range AS chunk_id,
+         array_to_string(toks[k.range * 12 + 1 : k.range * 12 + 16], ' ')
+           AS text
+  FROM g, range(16) k WHERE k.range < n_chunks
+),
+toks AS (
+  SELECT chunk_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM chunks WHERE length(trim(text)) > 0
+),
+tok AS (SELECT chunk_id, UNNEST(w) AS t FROM toks),
+tf AS (SELECT chunk_id, t, count(*) AS tf FROM tok GROUP BY chunk_id, t),
+dl AS (SELECT chunk_id, SUM(tf) AS dl FROM tf GROUP BY chunk_id),
+stats AS (
+  SELECT (SELECT count(*) FROM dl) AS n_docs,
+         (SELECT SUM(dl) FROM dl) AS total_len
+),
+dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, UNNEST(
+    string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+  WHERE doc_id >= 6 AND doc_id < 9 AND length(trim(text)) > 0
+),
+term_scores AS (
+  SELECT qt.query_id, tf.chunk_id,
+         CAST(floor(
+           ((n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * {k1p1}) / (tf + {k1} * ({omb} + ({b} * dl)
+               / (CAST(total_len AS DOUBLE) / n_docs))))
+           * {MICRO} + 0.5) AS BIGINT) AS m
+  FROM tf
+  JOIN dl USING (chunk_id)
+  JOIN dft USING (t)
+  JOIN qt USING (t)
+  CROSS JOIN stats
+),
+per_chunk AS (
+  SELECT query_id, chunk_id, SUM(m) AS micro_score
+  FROM term_scores GROUP BY query_id, chunk_id
+)
+SELECT query_id,
+       CAST(chunk_id // 100 AS BIGINT) AS doc_id,
+       CAST(chunk_id % 100 AS INTEGER) AS chunk_idx,
+       CAST(micro_score AS BIGINT) / {MICRO} AS score,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY micro_score DESC, chunk_id) AS rank
+  FROM per_chunk
+) WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q167_bm25_index_topk": QuerySpec(
         q167_bm25_index_topk,
@@ -827,5 +940,11 @@ QUERIES: dict[str, QuerySpec] = {
         ORACLE_Q176,
         "corpus-overlap Jaccard estimate from mergeable bottom-k sketches",
         ("llm", "dedup"),
+    ),
+    "q177_chunk_retrieval": QuerySpec(
+        q177_chunk_retrieval,
+        _sql_chunk_bm25_oracle(),
+        "RAG chunk retrieval: chunking composed with indexed BM25",
+        ("llm", "retrieval"),
     ),
 }

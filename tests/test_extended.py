@@ -184,6 +184,7 @@ def test_no_accidental_cartesian_products(spark):
         "q162_bm25_topk",          # crossJoin of the 1-row corpus stats
         "q167_bm25_index_topk",    # same 1-row stats crossJoin, via index
         "q175_cluster_top_terms",  # crossJoin of the 1-row n_clusters
+        "q177_chunk_retrieval",    # 1-row stats crossJoin via index
     }
     bad = []
     for name, fn in ent.queries().items():
