@@ -1,8 +1,13 @@
-"""Round-8 LLM-pipeline operators: the persisted inverted index for
-BM25 retrieval (plans/llm4.py over operators/retrieval.py).
+"""Round-8 LLM-pipeline operators (plans/llm4.py over
+operators/{retrieval,text,similarity,multimodal,dedup}.py): the
+persisted/streamed inverted index for BM25, the pHash fixture, kNN
+label propagation + the bulk per-cluster matmul IVF scorer,
+value-decile curation, JL random projection, cross-format raster
+dedup, phrase/proximity search, c-TF-IDF cluster labeling, and
+corpus-overlap sketches.
 
-Reference scope note: the reference has no retrieval surface; this
-is builder's-brief training-data-pipeline scope.
+Reference scope note: the reference has no retrieval/similarity
+surface; this is builder's-brief training-data-pipeline scope.
 """
 
 from __future__ import annotations
