@@ -777,6 +777,78 @@ def corpus_bottomk_sketch(
     return docs.select(h).distinct().orderBy("h").limit(k)
 
 
+def merge_bottomk_sketches(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge any union of bottom-k sketch rows (column ``h``) back
+    into ONE bottom-k sketch: distinct → TakeOrderedAndProject. By
+    the mergeability invariant (tested), this equals the sketch of
+    the unioned corpora — so per-slice sketches stored at ingest
+    time answer corpus-level questions without rescanning a byte of
+    corpus."""
+    return sketches.select("h").distinct().orderBy("h").limit(k)
+
+
+def corpus_sketch_store(
+    docs: DataFrame,
+    store_path: str,
+    slice_id: str,
+    text_col: str = "text",
+    k: int = 64,
+) -> None:
+    """Persist one ingested slice's k-row bottom-k sketch under
+    ``store_path`` (parquet, partitioned by ``slice_id`` with dynamic
+    partition overwrite — a replayed ingest rewrites its own
+    partition, the same idempotent-publication contract as the
+    MinHash / postings index stores in pipeline.py). The store is
+    append-only and mergeable: ``merge_bottomk_sketches`` over any
+    subset of partitions IS the sketch of those slices' union, so
+    overlap questions between arbitrary slice sets cost a k-row
+    merge, never a corpus scan. At 100 TB the store is
+    k × n_slices rows — a planning table, not data."""
+    (
+        corpus_bottomk_sketch(docs, text_col, k)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def corpus_overlap_from_sketches(
+    ska: DataFrame,
+    skb: DataFrame,
+    k: int = 64,
+) -> DataFrame:
+    """The minwise overlap estimate computed from two ALREADY-BUILT
+    bottom-k sketches (column ``h``) — the merge-only form that makes
+    stored per-slice sketches (``corpus_sketch_store``) answer the
+    planning question in k-row arithmetic: est = |bottom-k(A ∪ B) ∩
+    sketch(A) ∩ sketch(B)| / |bottom-k(A ∪ B)|. The denominator is
+    the ACTUAL union-sketch row count (≤ k), not the literal k, so
+    corpora with fewer than k distinct fingerprints estimate
+    correctly (two identical 10-doc corpora report 1.0, not 10/k).
+    Returns one row (k, n_union, n_common, jaccard_micro)."""
+    u = merge_bottomk_sketches(ska.unionByName(skb), k)
+    marked = u.join(
+        ska.select("h").distinct().withColumn("_a", F.lit(1)), "h", "left"
+    ).join(
+        skb.select("h").distinct().withColumn("_b", F.lit(1)), "h", "left"
+    )
+    in_both = (
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    ).cast("long")
+    n_common = F.sum(in_both)
+    n_union = F.count("*")
+    return marked.agg(
+        F.lit(k).cast("int").alias("k"),
+        n_union.cast("long").alias("n_union"),
+        n_common.cast("long").alias("n_common"),
+        F.floor(n_common * F.lit(1_000_000.0) / n_union)
+        .cast("long")
+        .alias("jaccard_micro"),
+    )
+
+
 def corpus_overlap_estimate(
     a: DataFrame,
     b: DataFrame,
@@ -787,19 +859,17 @@ def corpus_overlap_estimate(
     from their bottom-k sketches — the planning question every
     dedup/mixture decision starts with ("how much of crawl B is
     already in A?") answered WITHOUT an exact cross-corpus join:
-    est = |bottom-k(A ∪ B) ∩ sketch(A) ∩ sketch(B)| / k, the
-    classic minwise estimator. Deterministic (md5 fingerprints, no
-    RNG), so two engines compute the IDENTICAL sketch and estimate.
-    Returns one row (k, n_common, jaccard_micro); at 100 TB each
-    side's sketch is k rows and the estimate is a k-row join."""
-    ska = corpus_bottomk_sketch(a, text_col, k)
-    skb = corpus_bottomk_sketch(b, text_col, k)
-    u = ska.unionByName(skb).distinct().orderBy("h").limit(k)
-    common = u.join(ska, "h").join(skb, "h")
-    return common.agg(
-        F.lit(k).cast("int").alias("k"),
-        F.count("*").cast("long").alias("n_common"),
-        F.floor(F.count("*") * F.lit(1_000_000.0) / F.lit(k))
-        .cast("long")
-        .alias("jaccard_micro"),
+    est = |bottom-k(A ∪ B) ∩ sketch(A) ∩ sketch(B)| /
+    |bottom-k(A ∪ B)|, the classic minwise estimator with the
+    standard small-corpus denominator (the union-sketch row count,
+    ≤ k). Deterministic (md5 fingerprints, no RNG), so two engines
+    compute the IDENTICAL sketch and estimate. Returns one row
+    (k, n_union, n_common, jaccard_micro). This build-path form
+    scans both corpora; production keeps per-slice sketches in a
+    ``corpus_sketch_store`` and calls
+    ``corpus_overlap_from_sketches`` on the stored k-row tables."""
+    return corpus_overlap_from_sketches(
+        corpus_bottomk_sketch(a, text_col, k),
+        corpus_bottomk_sketch(b, text_col, k),
+        k,
     )

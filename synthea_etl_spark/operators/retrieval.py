@@ -26,6 +26,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -347,17 +348,25 @@ def proximity_search(
     positions contains ALL of q's (distinct) terms. Exactness rests
     on the classic argument that a minimal covering window starts at
     a term occurrence — so candidate starts are exactly the matching
-    occurrences themselves: equi-join term occurrences per (query,
-    doc), keep pairs within [start, start + window), and a start
-    covering all n_terms distinct terms is a witness. Returns
+    occurrences themselves: a start whose window [start, start +
+    window) covers all n_terms distinct terms is a witness. Returns
     (query_id, doc_id, n_starts) — n_starts > 0 means match, and the
     count grades how densely the terms co-occur.
 
-    Scale: the pair fan-out is per-(query, doc) occurrence pairs of
-    QUERY terms only — bounded by per-doc query-term frequency, not
-    document length; the term-set frame broadcasts; the index side
-    shuffles once on (doc, term) pruned to query terms (term-bucketed
-    index → only those buckets read)."""
+    Scale: per (query, doc) ALL query-term occurrences are collected
+    into ONE row (a pos-sorted (pos, term) array) and windowized
+    there with a two-pointer sweep — O(T) in the per-doc query-term
+    occurrence count T, never the T² of an occurrence self-join, so
+    a stop-word query term in a long document costs linear work
+    instead of going quadratic (the hot-term fixture in
+    tests/test_llm4.py pins this; SCALE.md records the bound). The
+    term-set frame broadcasts; the index side shuffles once on
+    (query, doc) pruned to query terms (term-bucketed index → only
+    those buckets read); the collected array holds one entry per
+    query-term occurrence of that doc — one row per (query, doc)
+    regardless of term density."""
+    from pyspark.sql.functions import pandas_udf
+
     qt = term_sets.select(
         F.col(query_id_col),
         F.size(F.array_distinct(F.col(terms_col))).alias("_n_terms"),
@@ -366,19 +375,102 @@ def proximity_search(
     occ = index.join(F.broadcast(qt), "t").select(
         F.col(query_id_col), F.col(id_col), "t", "pos", "_n_terms"
     )
-    starts = occ.select(
-        F.col(query_id_col), F.col(id_col), F.col("pos").alias("_s")
+    grouped = occ.groupBy(query_id_col, id_col, "_n_terms").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("_occ")
     )
-    covered = (
-        starts.join(occ, [query_id_col, id_col])
-        .filter(
-            (F.col("pos") >= F.col("_s"))
-            & (F.col("pos") < F.col("_s") + F.lit(window))
+
+    @pandas_udf("long")
+    def n_starts_udf(occs: pd.Series, n_terms: pd.Series) -> pd.Series:
+        out = []
+        for ps, nt in zip(occs, n_terms):
+            # ps: pos-sorted [(pos, t), ...]; candidate starts are the
+            # occurrences themselves (a minimal covering window starts
+            # at one). Two pointers: for left occurrence i, advance r
+            # to the first occurrence with pos >= pos[i] + window
+            # while maintaining per-term window counts -- each
+            # occurrence enters and leaves the window once, O(T).
+            pos = [p["pos"] for p in ps]
+            term = [p["t"] for p in ps]
+            counts: dict = {}
+            distinct = 0
+            r = 0
+            n = len(pos)
+            starts = 0
+            for i in range(n):
+                while r < n and pos[r] < pos[i] + window:
+                    c = counts.get(term[r], 0)
+                    counts[term[r]] = c + 1
+                    if c == 0:
+                        distinct += 1
+                    r += 1
+                if distinct == nt and (i == 0 or pos[i] != pos[i - 1]):
+                    starts += 1
+                c = counts[term[i]]
+                counts[term[i]] = c - 1
+                if c == 1:
+                    distinct -= 1
+            out.append(starts)
+        return pd.Series(out, dtype="int64")
+
+    return (
+        grouped.withColumn(
+            "n_starts", n_starts_udf(F.col("_occ"), F.col("_n_terms"))
         )
-        .groupBy(query_id_col, id_col, "_s", "_n_terms")
-        .agg(F.count_distinct("t").alias("_hits"))
-        .filter(F.col("_hits") == F.col("_n_terms"))
+        .filter(F.col("n_starts") > 0)
+        .select(query_id_col, id_col, "n_starts")
     )
-    return covered.groupBy(query_id_col, id_col).agg(
-        F.count("*").cast("long").alias("n_starts")
+
+
+RRF_MICRO = 10**12
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    topk: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval arms (the standard
+    hybrid-search combiner: lexical BM25 + dense ANN, or any mix):
+    fused(d) = Σ_arms 1/(k0 + rank_arm(d)), summed over the arms
+    that returned d, then top-``topk`` per query by fused score.
+
+    Contributions are integer micro-units — floor(1e12 / (k0+rank))
+    — so the SUM is exact integer arithmetic: order-independent
+    across any number of arms and bit-identical on any engine
+    (float accumulation order would be partition-dependent for
+    N > 2). Returns (query_col, id_col, rrf_micro, n_arms, rank).
+
+    Scale: each arm's frame is already top-k-per-query (tiny); one
+    unionByName, one groupBy on (query, id), one per-query window
+    over ≤ N·k rows. No join against corpus data."""
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.floor(F.lit(float(RRF_MICRO)) / (F.lit(k0) + F.col(rank_col)))
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.sum("_c").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_arms"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            query_col, id_col, "rrf_micro", "n_arms",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

@@ -858,6 +858,36 @@ def knn_ann_ivf_grouped_probe(
     )
 
 
+def _round_half_up(sims, scale: float):
+    """Round a float64 ndarray to ``log10(scale)`` decimals with
+    EXACTLY Spark's F.round semantics (Round on DoubleType goes
+    through BigDecimal.valueOf(d) — the shortest round-trip decimal
+    repr — then setScale(n, HALF_UP)). The vectorized
+    floor(|x|*scale + 0.5) emulation is bit-identical except when
+    the binary-scaled value lands within a few ulps of the .5
+    boundary, where the binary multiply can put it on the wrong
+    side; exactly those rare elements are re-rounded through
+    Python's decimal on repr(x) — the same shortest-repr HALF_UP
+    pipeline the JVM runs — so the grouped path's 'identical to the
+    F.round pair path' guarantee holds by arithmetic, not by
+    fixture luck."""
+    import numpy as np
+
+    a = np.abs(sims)
+    scaled = a * scale
+    r = np.floor(scaled + 0.5)
+    frac = scaled - np.floor(scaled)
+    amb = np.abs(frac - 0.5) < 1e-6
+    if amb.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        decimals = int(round(np.log10(scale)))
+        for t in map(tuple, np.argwhere(amb)):
+            v = Decimal(repr(float(a[t]))).scaleb(decimals)
+            r[t] = float(v.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return np.sign(sims) * r / scale
+
+
 def _grouped_cell_topk(
     c: DataFrame,
     centroids: list[list[float]],
@@ -897,8 +927,7 @@ def _grouped_cell_topk(
         sims = (Q @ C.T) / np.outer(
             np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
         )
-        # F.round / DuckDB round() semantics: half away from zero
-        sims = np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+        sims = _round_half_up(sims, scale)
         out_q, out_n, out_s = [], [], []
         kk = min(k, sims.shape[1])
         for i in range(sims.shape[0]):

@@ -324,7 +324,14 @@ def value_decile_bins(
     distinct values, not billions), so the single-partition window
     over it is a rounding error and the bin map broadcasts back to
     the full frame. Two narrow shuffles total: the score groupBy and
-    nothing else (the join is broadcast)."""
+    nothing else (the join is broadcast).
+
+    NULL scores are kept, not dropped: the bin-map join is
+    null-safe, and NULL forms its own score group that Spark's
+    null-first ascending window order places before every real
+    value, so NULL-score rows land deterministically in the lowest
+    bin (callers wanting a different placement should coalesce the
+    score first, as quality_decile_sample does)."""
     from pyspark.sql import Window
 
     sc = df.groupBy(score_col).agg(F.count("*").alias("_cnt"))
@@ -345,7 +352,17 @@ def value_decile_bins(
             .alias("decile"),
         )
     )
-    return df.join(F.broadcast(bin_map), score_col)
+    # eqNullSafe: a NULL score matches the bin map's NULL group row
+    # instead of silently dropping the input row under inner-join
+    # NULL semantics
+    bm = bin_map.withColumnRenamed(score_col, "_bm_score")
+    return (
+        df.join(
+            F.broadcast(bm),
+            F.col(score_col).eqNullSafe(F.col("_bm_score")),
+        )
+        .drop("_bm_score")
+    )
 
 
 def quality_decile_sample(

@@ -357,3 +357,58 @@ def retrieval_index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_index_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming maintenance of the IVF ANN index — the vector-side
+    analog of ``retrieval_index_ingest_stream``, completing the
+    recurring-crawl story for embeddings. Each micro-batch of landed
+    vectors is assigned to its nearest centroid under the FROZEN
+    quantizer (operators/similarity.ivf_index — per-row arithmetic,
+    no shuffle, no training scan) and published partitioned by
+    batch_id with dynamic partition overwrite, so a replayed batch
+    rewrites its own partition instead of appending twice — the same
+    exactly-once-without-a-transactional-store contract as the
+    MinHash and postings streams.
+
+    No merge step exists because none is needed: assignment under a
+    fixed quantizer is per-row, so the UNION of batch partitions IS
+    ``ivf_index`` of the union corpus (the invariant
+    tests/test_llm3.py pins for the batch path), and
+    ``knn_ann_ivf_grouped_probe(spark.read.parquet(index_dir), ...)``
+    serves queries between (or during) ingests with per-cluster BLAS
+    scoring. Centroid drift is handled by ROLLOVER, not merge:
+    retrain offline, rebuild into a fresh index_dir, swap readers —
+    the documented contract of ivf_index."""
+    from synthea_etl_spark.operators.similarity import ivf_index
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            ivf_index(batch_df, centroids, id_col=id_col, vec_col=vec_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -353,6 +353,17 @@ DRIVER_CERTIFIED = frozenset({
     "q160_knn_ann_ivf_seeded", "q161_quality_model", "q162_bm25_topk",
     "q163_duplicated_spans", "q164_remove_dup_spans",
     "q165_semantic_dedup",
+    # r8 (14; CORRECTNESS_r08.json 50/50 green -- the q166 exploded
+    # scalar reshape and the q39/q123 exact bit_count twins all
+    # landed hash-match rows, closing certification at 172/172
+    # declared queries)
+    "q39_knn_ann_lsh", "q123_embedding_near_dup_lsh",
+    "q166_embedding_centroids", "q167_bm25_index_topk",
+    "q168_phash_near_dup", "q169_knn_label_propagation",
+    "q170_quality_binned_sample", "q171_random_projection",
+    "q172_raster_exact_dedup", "q173_phrase_search",
+    "q174_proximity_search", "q175_cluster_top_terms",
+    "q176_corpus_overlap", "q177_chunk_retrieval",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -360,7 +371,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 8
+GATE_ROUND = 9
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -382,6 +393,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -399,6 +411,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm2,
         llm3,
         llm4,
+        llm5,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -737,7 +737,11 @@ def q176_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora A (doc_id%3 != 2) and B (doc_id%3 != 0) share a third of
     the documents, and the deterministic md5 bottom-64 minwise
     estimator lands near 1/3. Both engines compute the IDENTICAL
-    sketch, so the gate is hash-exact, not tolerance-based."""
+    sketch, so the gate is hash-exact, not tolerance-based. The
+    denominator is the union-sketch row count (≤ k), the standard
+    small-corpus-correct form. This is the build-path twin of q178,
+    which answers the same question from STORED per-slice sketches
+    without touching the corpora."""
     docs = load(spark, sf_dir, "documents")
     return D.corpus_overlap_estimate(
         docs.filter(F.col("doc_id") % 3 != 2),
@@ -762,11 +766,65 @@ u AS (
     SELECT h FROM ska UNION ALL SELECT h FROM skb
   ) ORDER BY h LIMIT 64
 ),
-c AS (SELECT count(*) AS n FROM u JOIN ska USING (h) JOIN skb USING (h))
-SELECT CAST(64 AS INTEGER) AS k, CAST(n AS BIGINT) AS n_common,
-       CAST(floor(n * 1000000.0 / 64) AS BIGINT) AS jaccard_micro
+c AS (
+  SELECT (SELECT count(*) FROM u) AS n_union,
+         (SELECT count(*)
+          FROM u JOIN ska USING (h) JOIN skb USING (h)) AS n
+)
+SELECT CAST(64 AS INTEGER) AS k,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(n AS BIGINT) AS n_common,
+       CAST(floor(n * 1000000.0 / n_union) AS BIGINT) AS jaccard_micro
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# q178 corpus overlap answered from the persisted sketch store
+# ---------------------------------------------------------------------------
+
+
+def q178_corpus_overlap_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production form of q176: per-slice bottom-k sketches are
+    PERSISTED at ingest time (operators/dedup.corpus_sketch_store —
+    each crawl slice writes its k-row sketch once, dynamic partition
+    overwrite makes replays idempotent), and the overlap question is
+    answered from the STORE alone: merge each corpus's slice
+    sketches (bottom-k of a k×n_slices table) and run the k-row
+    estimator (corpus_overlap_from_sketches). The corpora here are
+    q176's A/B split, each ingested as two slices (doc_id parity),
+    so the gate certifies store-merge == direct-sketch == oracle —
+    the mergeability invariant end to end through parquet. At 100 TB
+    the answering path reads k×n_slices rows, never the corpus."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft_sketch_store_{tag}"
+    )
+    corp_a = docs.filter(F.col("doc_id") % 3 != 2)
+    corp_b = docs.filter(F.col("doc_id") % 3 != 0)
+    # ingest-time path: each slice publishes its own k-row sketch
+    for name, corp in (("a", corp_a), ("b", corp_b)):
+        for parity in (0, 1):
+            D.corpus_sketch_store(
+                corp.filter(F.col("doc_id") % 2 == parity),
+                os.path.join(store, name),
+                slice_id=f"{name}{parity}",
+                k=64,
+            )
+    # answering path: k-row reads only — no corpus access
+    ska = D.merge_bottomk_sketches(
+        spark.read.parquet(os.path.join(store, "a")), k=64
+    )
+    skb = D.merge_bottomk_sketches(
+        spark.read.parquet(os.path.join(store, "b")), k=64
+    )
+    return D.corpus_overlap_from_sketches(ska, skb, k=64)
 
 
 # ---------------------------------------------------------------------------
@@ -791,8 +849,12 @@ def q177_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from synthea_etl_spark.operators.text import chunk_by_tokens
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # chunk_id = doc_id * 100000 + chunk_idx is collision-free for
+    # any document under 100000 chunks (~1.2M tokens at window 16 /
+    # stride 12); the oracle's per-doc chunk bound (range(200)) and
+    # this encoding must move together
     chunks = chunk_by_tokens(docs, window=16, overlap=4).select(
-        (F.col("id") * 100 + F.col("chunk_idx")).alias("chunk_id"),
+        (F.col("id") * 100000 + F.col("chunk_idx")).alias("chunk_id"),
         F.col("chunk_text"),
     )
     index = inverted_index(chunks, text_col="chunk_text", id_col="chunk_id")
@@ -804,8 +866,8 @@ def q177_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bm25_topk_from_index(index, queries, id_col="chunk_id", k=5)
     return hits.select(
         "query_id",
-        (F.col("chunk_id") / 100).cast("long").alias("doc_id"),
-        (F.col("chunk_id") % 100).cast("int").alias("chunk_idx"),
+        (F.col("chunk_id") / 100000).cast("long").alias("doc_id"),
+        (F.col("chunk_id") % 100000).cast("int").alias("chunk_idx"),
         "score",
         "rank",
     )
@@ -827,10 +889,13 @@ WITH t0 AS (
   FROM t0
 ),
 chunks AS (
-  SELECT doc_id * 100 + k.range AS chunk_id,
+  -- range(200) must dominate max(n_chunks) over the fixture corpus
+  -- (docs under ~2400 tokens); the engine-side encoding
+  -- doc_id * 100000 + chunk_idx is collision-free far beyond that
+  SELECT doc_id * 100000 + k.range AS chunk_id,
          array_to_string(toks[k.range * 12 + 1 : k.range * 12 + 16], ' ')
            AS text
-  FROM g, range(16) k WHERE k.range < n_chunks
+  FROM g, range(200) k WHERE k.range < n_chunks
 ),
 toks AS (
   SELECT chunk_id, string_split_regex(trim(text), '\\s+') AS w
@@ -868,8 +933,8 @@ per_chunk AS (
   FROM term_scores GROUP BY query_id, chunk_id
 )
 SELECT query_id,
-       CAST(chunk_id // 100 AS BIGINT) AS doc_id,
-       CAST(chunk_id % 100 AS INTEGER) AS chunk_idx,
+       CAST(chunk_id // 100000 AS BIGINT) AS doc_id,
+       CAST(chunk_id % 100000 AS INTEGER) AS chunk_idx,
        CAST(micro_score AS BIGINT) / {MICRO} AS score,
        CAST(rank AS INTEGER) AS rank
 FROM (
@@ -946,5 +1011,11 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_chunk_bm25_oracle(),
         "RAG chunk retrieval: chunking composed with indexed BM25",
         ("llm", "retrieval"),
+    ),
+    "q178_corpus_overlap_from_store": QuerySpec(
+        q178_corpus_overlap_from_store,
+        ORACLE_Q176,
+        "corpus overlap answered from persisted per-slice sketches",
+        ("llm", "dedup"),
     ),
 }

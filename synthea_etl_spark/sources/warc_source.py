@@ -279,6 +279,22 @@ class WarcDataSourceWriter(DataSourceWriter):
         # older than this, so a concurrent append's freshly-published
         # shards survive until its own manifest lands
         self.job_start = time.time()
+        # snapshot the manifests already committed when this job
+        # begins: exactly these are "prior generations" an overwrite
+        # replaces. A manifest that appears AFTER this point belongs
+        # to a concurrent append committing during our run — mtime
+        # can't separate "committed 0.5 s before us" from "committed
+        # during us" under fs-timestamp slack, but set membership can.
+        import os
+
+        self.preexisting_manifests: set[str] = set()
+        if overwrite and os.path.isdir(self.path):
+            self.preexisting_manifests = {
+                f
+                for f in os.listdir(self.path)
+                if (f == "_MANIFEST" or f.startswith("_MANIFEST-"))
+                and not f.endswith(".tmp")
+            }
 
     def write(self, iterator) -> _WarcWriteCommit:
         import os
@@ -346,8 +362,35 @@ class WarcDataSourceWriter(DataSourceWriter):
             # shard whose job never commits stays invisible to
             # readers (manifest-gated) — disk garbage, not data.
             keep = {e["path"] for e in manifest}
-            superseded = (_committed_shards(self.path) or set()) - keep
             cutoff = self.job_start - 1.0  # fs-timestamp granularity
+            # Prior-vs-concurrent for MANIFESTS is decided by set
+            # membership, not mtime: exactly the manifests committed
+            # BEFORE this job started (snapshotted in __init__) are
+            # the generations last-wins replaces. A manifest that
+            # appeared since belongs to a concurrent append committing
+            # during our run — it survives, and every shard it lists
+            # is that job's live data regardless of shard mtime (a
+            # long-running append's shards can predate our start).
+            prior_listed: set[str] = set()
+            concurrent_listed: set[str] = set()
+            for name in os.listdir(self.path):
+                is_manifest = name == "_MANIFEST" or (
+                    name.startswith("_MANIFEST-")
+                    and not name.endswith(".tmp")
+                )
+                if not is_manifest or name == os.path.basename(mpath):
+                    continue
+                try:
+                    with open(os.path.join(self.path, name)) as fh:
+                        listed = {e["path"] for e in json.load(fh)}
+                except (OSError, ValueError):
+                    continue  # torn concurrent replace: leave it
+                (
+                    prior_listed
+                    if name in self.preexisting_manifests
+                    else concurrent_listed
+                ).update(listed)
+            superseded = prior_listed - keep
             for f in os.listdir(self.path):
                 stale_manifest = (
                     f == "_MANIFEST"
@@ -360,6 +403,13 @@ class WarcDataSourceWriter(DataSourceWriter):
                     continue
                 full = os.path.join(self.path, f)
                 try:
+                    if (
+                        stale_manifest
+                        and f not in self.preexisting_manifests
+                    ):
+                        continue  # concurrent job's commit — keep it
+                    if stale_shard and f in concurrent_listed:
+                        continue  # claimed by a concurrent commit
                     if (
                         stale_shard
                         and f not in superseded

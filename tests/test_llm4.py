@@ -222,6 +222,17 @@ def test_value_decile_bins_exact_and_tie_safe(spark):
         r.decile for r in value_decile_bins(tied, "s").collect()
     } == {0}
 
+    # NULL scores are kept (null-safe join) and bin deterministically
+    # lowest: null-first window order puts the NULL group before
+    # every real value
+    withnull = spark.createDataFrame(
+        [(0, None), (1, None), (2, 5), (3, 9)], "id long, s long"
+    )
+    got = {r.id: r.decile for r in value_decile_bins(withnull, "s").collect()}
+    assert len(got) == 4  # no row vanished
+    assert got[0] == got[1] == 0  # NULLs: lowest bin
+    assert got[2] == 5 and got[3] == 7  # floor(10*2/4), floor(10*3/4)
+
 
 def test_quality_decile_sample_rates_and_determinism(spark):
     """Decile d keeps ~d/10 of its documents under the md5 rule; the
@@ -579,3 +590,162 @@ def test_corpus_sketch_mergeable_and_estimator_close(spark):
     true_j = 100 / 300  # |∩|=100, |∪|=300
     assert est.k == k
     assert abs(est.jaccard_micro / 1_000_000 - true_j) < 0.2
+
+
+def test_round_half_up_matches_spark_round_on_boundaries(spark):
+    """_round_half_up (the grouped-IVF scorer's quantizer) must equal
+    Spark's F.round(x, 6) — BigDecimal.valueOf shortest-repr HALF_UP
+    — element for element, including values engineered to sit ON the
+    .5 boundary at 6 decimals where binary floor(|x|*1e6+0.5) can
+    land one ulp wrong."""
+    import numpy as np
+
+    from synthea_etl_spark.operators.similarity import _round_half_up
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.uniform(-1, 1, 3000))
+    # exact .5-at-6-decimals boundaries and their float neighbors
+    for n in range(-999, 1000, 7):
+        v = (2 * n + 1) / 2e6
+        vals += [v, np.nextafter(v, -2), np.nextafter(v, 2)]
+    arr = np.array(vals, dtype=np.float64)
+    ours = _round_half_up(arr, 1e6)
+    df = spark.createDataFrame([(float(v),) for v in arr], "x double")
+    theirs = np.array(
+        [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    )
+    assert np.array_equal(ours, theirs), (
+        np.argwhere(ours != theirs)[:5],
+        arr[ours != theirs][:5],
+    )
+
+
+def test_ann_index_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming IVF ANN index maintenance: batches of vectors land
+    as JSON; each micro-batch assigns ONLY itself under the frozen
+    quantizer and publishes partitioned by batch_id. The accumulated
+    table equals ivf_index of the whole corpus (the union invariant,
+    live), probes against the streamed index rank identically to a
+    batch rebuild, and a replayed partition is a no-op."""
+    import json as _json
+
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    import synthea_etl_spark.operators.similarity as S
+    from synthea_etl_spark.pipeline import ann_index_ingest_stream
+
+    landing = tmp_path / "landing"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = np.random.RandomState(41)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    centroids = [list(v) for _, v in vecs[:6]]  # frozen quantizer
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+
+    def run():
+        ann_index_ingest_stream(
+            spark, str(landing), str(index), str(ckpt), schema, centroids
+        ).awaitTermination(120)
+
+    land("b0.json", vecs[:70])
+    run()
+    land("b1.json", vecs[70:])
+    run()  # restart resumes from the checkpoint: only b1 is new
+
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    streamed = spark.read.parquet(str(index))
+    rebuilt = S.ivf_index(corpus, centroids)
+    key = lambda r: (r.cluster, r.neighbor_id, tuple(r.cv))  # noqa: E731
+    assert sorted(map(key, streamed.drop("batch_id").collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+    # two committed batches, each owning its partition
+    assert {r.batch_id for r in streamed.select("batch_id").distinct().collect()} == {0, 1}
+
+    queries = corpus.filter("vec_id < 10")
+    rk = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    assert rk(
+        S.knn_ann_ivf_grouped_probe(
+            streamed.drop("batch_id"), centroids, queries, k=3, n_probe=2
+        )
+    ) == rk(
+        S.knn_ann_ivf_grouped_probe(rebuilt, centroids, queries, k=3, n_probe=2)
+    )
+
+    # replay simulation: republishing batch 1's partition is a no-op
+    b1 = spark.createDataFrame(
+        streamed.filter("batch_id = 1").collect(), streamed.schema
+    )
+    (
+        b1.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(index))
+    )
+    again = spark.read.parquet(str(index)).drop("batch_id")
+    assert sorted(map(key, again.collect())) == sorted(
+        map(key, rebuilt.collect())
+    )
+
+
+def test_proximity_search_hot_term_linear_and_exact(spark):
+    """A stop-word query term occurring at EVERY position of a long
+    document must not blow up the plan (the collected-positions
+    two-pointer path is O(T), not T² pair fan-out) and must still
+    return the exact start count: with 'the' everywhere and 'rare'
+    at two spots, qualifying starts are exactly the positions whose
+    [s, s+window) window reaches a 'rare' occurrence. A brute-force
+    recount over the raw positions pins exactness."""
+    from synthea_etl_spark.operators.retrieval import (
+        positional_index,
+        proximity_search,
+    )
+
+    n, window = 5000, 8
+    rare_at = {1200, 3700}
+    words = ["rare" if i in rare_at else "the" for i in range(n)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    idx = positional_index(docs)
+    ts = spark.createDataFrame(
+        [(10, ["the", "rare"])], "query_id long, terms array<string>"
+    )
+    got = proximity_search(idx, ts, window=window).collect()
+    # brute force over raw occurrence positions (both terms occur at
+    # every i in 0..n-1 collectively, so starts = all positions s
+    # where some rare r satisfies s <= r < s + window -- including
+    # the rare positions themselves)
+    starts = {
+        s
+        for s in range(n)
+        for r in rare_at
+        if s <= r < s + window
+    }
+    assert [(r.query_id, r.doc_id, r.n_starts) for r in got] == [
+        (10, 1, len(starts))
+    ]

@@ -330,3 +330,59 @@ def test_warc_stream_respects_commit_protocol(spark, tmp_path):
         encode_warc_gz([{"uri": "http://u", "payload": b"u"}])
     )
     assert rdr._list() == ["a.warc.gz"]  # task file not committed
+
+
+def test_warc_overwrite_spares_concurrent_commit(spark, tmp_path):
+    """The overwrite-vs-concurrent-append race at its narrowest: an
+    append job COMMITS (manifest + shards) after the overwrite job
+    has started but before its cleanup runs. The overwrite must
+    delete only generations committed before it started — the
+    concurrent append's manifest and shards survive intact (not
+    half-erased), even though their mtimes are inside any
+    fs-granularity slack around the overwrite's start."""
+    import json
+
+    from synthea_etl_spark.sources.warc_source import (
+        WarcDataSourceWriter,
+        _WarcWriteCommit,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+    out = tmp_path / "lake"
+
+    # generation 0: a committed prior write the overwrite must replace
+    spark.createDataFrame(
+        [("http://x/0", "body 0", "response")],
+        "target_uri string, payload_text string, warc_type string",
+    ).repartition(1).write.format("warc").mode("overwrite").save(str(out))
+    prior_manifests = {
+        p.name for p in out.iterdir() if p.name.startswith("_MANIFEST")
+    }
+    assert len(prior_manifests) == 1
+
+    # the overwrite job starts NOW (snapshot taken in __init__) ...
+    ow = WarcDataSourceWriter({"path": str(out)}, overwrite=True)
+    shard = out / f"part-{ow.job_token}-00000.warc.gz"
+    shard.write_bytes(
+        encode_warc_gz([{"uri": "http://x/9", "payload": b"body 9"}])
+    )
+
+    # ... and a concurrent append commits BETWEEN the overwrite's
+    # start and its commit(): manifest + shard land on disk with
+    # mtimes inside any slack window around ow.job_start
+    cshard = out / "part-concurrent-00000.warc.gz"
+    cshard.write_bytes(
+        encode_warc_gz([{"uri": "http://c/1", "payload": b"c1"}])
+    )
+    (out / "_MANIFEST-concurrent").write_text(
+        json.dumps([{"path": cshard.name, "n_records": 1}])
+    )
+
+    ow.commit([_WarcWriteCommit(path=str(shard), n_records=1)])
+
+    names = {p.name for p in out.iterdir()}
+    assert "_MANIFEST-concurrent" in names  # concurrent commit survives
+    assert cshard.name in names  # ... with its shard (not half-erased)
+    assert prior_manifests.isdisjoint(names)  # prior generation gone
+    back = spark.read.format("warc").load(str(out)).collect()
+    assert {r.target_uri for r in back} == {"http://x/9", "http://c/1"}
