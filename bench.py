@@ -118,6 +118,8 @@ HEADLINE_OPT = [
     "q179_hybrid_rrf_retrieval",
     "q180_canonical_near_dup_reps",
     "q181_language_quota",
+    "q182_temperature_mixture",
+    "q183_ivf_index_stats",
 ]
 
 

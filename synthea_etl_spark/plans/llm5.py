@@ -11,8 +11,13 @@ dedup/mixture governance compositions:
 - q181: language-quota curation — language ID (q32's stopword
   scorer) + a deterministic md5 per-language admission rank, the
   multilingual analog of q157's domain quota.
+- q182: temperature-scaled (alpha=0.5) mixture allocation — the
+  mT5/XLM-R low-resource boosting rule, all-integer arithmetic.
+- q183: IVF index health report — per-cluster occupancy and
+  coherence under the q160 seed-only quantizer, the monitoring
+  query behind the index-rollover maintenance contract.
 
-All three are COMPOSITIONS of individually hash-certified stages —
+All of these are COMPOSITIONS of individually hash-certified stages —
 the round-9 theme: certify that certified parts compose without
 re-deriving anything. Beyond-reference surface (the reference has no
 retrieval/dedup engine); public knowledge only (RRF: Cormack et al.
@@ -330,6 +335,215 @@ FROM (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# q182 temperature-scaled mixture sampling (alpha-sampling)
+# ---------------------------------------------------------------------------
+
+_TEMP_MICRO = 1_000_000
+_MIX_BUDGET = 200  # documents the curated mix admits
+
+
+def q182_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) mixture sampling -- the
+    multilingual balancing rule mT5/XLM-R-style pipelines apply:
+    language l's share of the curated budget is proportional to
+    count_l^alpha, boosting low-resource languages relative to raw
+    frequency while never exceeding a language's own supply. All
+    allocation arithmetic is INTEGER: w_l = floor(sqrt(count_l)*1e6
+    + 0.5) (one correctly-rounded IEEE sqrt, then micro-quantized),
+    n_keep_l = min(count_l, (w_l * budget) div sum(w)) -- exact
+    integer multiply/divide, so the allocation is bit-identical on
+    any engine and any summation order (a float share sum over
+    languages would be order-dependent). Admission within a language
+    is the deterministic md5 rank (salt 'tm'). Returns (doc_id,
+    lang_guess, lang_rank, keep).
+
+    Scale: one narrow language expression per row, one tiny
+    per-language aggregate (broadcast back), one window per language
+    for ranks -- same skew note as q181 (SCALE.md): for one dominant
+    language swap the rank window for aggregated hash thresholds."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    lang = docs.select(
+        "doc_id",
+        T.lang_guess("text").alias("lang_guess"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tm"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    per_lang = lang.groupBy("lang_guess").agg(
+        F.count("*").cast("long").alias("_cnt")
+    )
+    wq = per_lang.select(
+        "lang_guess",
+        "_cnt",
+        F.floor(F.sqrt(F.col("_cnt")) * _TEMP_MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("_w"),
+    )
+    total = wq.agg(F.sum("_w").alias("_tw"))
+    alloc = wq.crossJoin(F.broadcast(total)).select(
+        "lang_guess",
+        F.least(
+            F.col("_cnt"),
+            ((F.col("_w") * F.lit(_MIX_BUDGET)) / F.col("_tw")).cast("long"),
+        ).alias("_n_keep"),
+    )
+    w = Window.partitionBy("lang_guess").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        lang.withColumn("lang_rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(alloc), "lang_guess")
+        .select(
+            "doc_id",
+            "lang_guess",
+            "lang_rank",
+            (F.col("lang_rank") <= F.col("_n_keep")).alias("keep"),
+        )
+    )
+
+
+def _sql_temperature_mixture_oracle() -> str:
+    from synthea_etl_spark.plans.llm import _sql_lang_oracle
+
+    lang_sql = _sql_lang_oracle().strip()
+    return f"""
+WITH lg AS ({lang_sql}),
+h AS (
+  SELECT doc_id, lang_guess,
+         CAST(concat('0x', substr(md5('tm' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) AS hh
+  FROM lg
+),
+pl AS (SELECT lang_guess, count(*) AS cnt FROM h GROUP BY lang_guess),
+wq AS (
+  SELECT lang_guess, cnt,
+         CAST(floor(sqrt(cnt) * {_TEMP_MICRO} + 0.5) AS BIGINT) AS w
+  FROM pl
+),
+alloc AS (
+  SELECT lang_guess,
+         least(cnt, CAST((w * {_MIX_BUDGET})
+             // (SELECT SUM(w) FROM wq) AS BIGINT)) AS n_keep
+  FROM wq
+),
+ranked AS (
+  SELECT doc_id, lang_guess, row_number() OVER (
+      PARTITION BY lang_guess ORDER BY hh, doc_id) AS lang_rank
+  FROM h
+)
+SELECT doc_id, ranked.lang_guess,
+       CAST(lang_rank AS INTEGER) AS lang_rank,
+       lang_rank <= n_keep AS keep
+FROM ranked JOIN alloc USING (lang_guess)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q183 IVF index health stats (per-cluster occupancy + coherence)
+# ---------------------------------------------------------------------------
+
+_Q183_CELLS = 16
+
+
+def q183_ivf_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-operations telemetry for the persisted IVF ANN table:
+    per cluster, how many vectors it holds, the mean similarity of
+    its members to the centroid (micro-quantized before summing --
+    order-independent), and a hot flag (occupancy > 2x the mean
+    cell) -- the monitoring query that tells an operator when the
+    quantizer has drifted and a retrain/rollover is due (the
+    documented maintenance contract of ivf_index). Seed-only
+    centroids (q160's md5-min rule) keep the whole report
+    closed-form, so the gate is hash-exact. Returns (cluster,
+    n_vecs, mean_sim_micro, hot)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = S.ivf_train_centroids(
+        emb, n_centroids=_Q183_CELLS, lloyd_iters=0
+    )
+    index = S.ivf_index(emb, centroids)
+    cframe = spark.createDataFrame(
+        [(i, list(c)) for i, c in enumerate(centroids)],
+        "cluster int, sv array<double>",
+    )
+    cos = S.make_cosine_udf()
+    sim_micro = F.floor(
+        F.round(cos(F.col("cv"), F.col("sv")), 6) * F.lit(1_000_000)
+        + F.lit(0.5)
+    ).cast("long")
+    per_cell = (
+        index.join(F.broadcast(cframe), "cluster")
+        .select(F.col("cluster"), sim_micro.alias("_sm"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.floor(F.sum("_sm") / F.count("*")).cast("long")
+            .alias("mean_sim_micro"),
+        )
+    )
+    avg_occ = per_cell.agg(
+        (F.sum("n_vecs") / F.count("*")).alias("_avg")
+    )
+    return (
+        per_cell.crossJoin(F.broadcast(avg_occ))
+        .select(
+            "cluster",
+            "n_vecs",
+            "mean_sim_micro",
+            (F.col("n_vecs") > 2 * F.col("_avg")).alias("hot"),
+        )
+    )
+
+
+ORACLE_Q183 = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+seeds AS (
+  SELECT cv AS sv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cluster
+  FROM c
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {_Q183_CELLS}
+),
+asg AS (
+  SELECT vec_id, cv, cluster FROM (
+    SELECT c.vec_id, c.cv, seeds.cluster, seeds.sv,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(cv, sv) DESC, cluster ASC)
+             AS rn
+    FROM c CROSS JOIN seeds
+  ) WHERE rn = 1
+),
+pc AS (
+  SELECT a.cluster, count(*) AS n_vecs,
+         CAST(floor(SUM(CAST(floor(
+             round(list_cosine_similarity(a.cv, s.sv), 6) * 1000000 + 0.5)
+           AS BIGINT)) / count(*)) AS BIGINT) AS mean_sim_micro
+  FROM asg a JOIN seeds s USING (cluster)
+  GROUP BY a.cluster
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(n_vecs AS BIGINT) AS n_vecs, mean_sim_micro,
+       n_vecs > 2 * (SELECT SUM(n_vecs) / count(*) FROM pc) AS hot
+FROM pc
+"""
+
+
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q179_hybrid_rrf_retrieval": QuerySpec(
         q179_hybrid_rrf_retrieval,
@@ -348,5 +562,17 @@ QUERIES: dict[str, QuerySpec] = {
         _sql_language_quota_oracle(),
         "per-language admission quota (multilingual mixture governance)",
         ("llm", "text", "quality"),
+    ),
+    "q182_temperature_mixture": QuerySpec(
+        q182_temperature_mixture,
+        _sql_temperature_mixture_oracle(),
+        "alpha=0.5 temperature-scaled mixture allocation, exact integers",
+        ("llm", "text", "quality"),
+    ),
+    "q183_ivf_index_stats": QuerySpec(
+        q183_ivf_index_stats,
+        ORACLE_Q183,
+        "per-cluster IVF index occupancy/coherence health report",
+        ("llm", "similarity"),
     ),
 }

@@ -129,3 +129,48 @@ def test_canonical_reps_pick_best_quality_member(spark, monkeypatch):
     assert reps[1] == (2, 3)  # richest doc wins the 3-member cluster
     # twins tie on score shape? equal token counts -> tie broken by id
     assert reps[10][1] == 2
+
+
+def test_temperature_mixture_alloc_properties(spark):
+    """alpha=0.5 allocation: total kept <= budget, no language
+    exceeds its own supply, and any below-average-count language gets
+    a keep RATE at least that of any above-average one (the
+    low-resource boost that distinguishes temperature sampling from
+    proportional sampling)."""
+    from synthea_etl_spark.plans.llm5 import (
+        _MIX_BUDGET,
+        q182_temperature_mixture,
+    )
+
+    rows = q182_temperature_mixture(spark, "/root/testdata/sf0.001").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang_guess, []).append(r)
+    kept_total = sum(1 for r in rows if r.keep)
+    assert kept_total <= _MIX_BUDGET
+    rates = {
+        lang: sum(1 for r in v if r.keep) / len(v)
+        for lang, v in by_lang.items()
+    }
+    sizes = {lang: len(v) for lang, v in by_lang.items()}
+    for small, ns in sizes.items():
+        for big, nb in sizes.items():
+            if ns < nb and rates[big] < 1.0:
+                # sqrt weighting: smaller language keeps a >= rate
+                # (unless both are supply-capped at 1.0)
+                assert rates[small] >= rates[big] - 1e-9, (small, big, rates)
+
+
+def test_ivf_index_stats_counts_and_hot_flag(spark):
+    """The health report partitions the corpus exactly (occupancies
+    sum to n), mean coherence is the micro-quantized mean, and the
+    hot flag fires iff occupancy > 2x the mean cell."""
+    from synthea_etl_spark.plans.llm5 import q183_ivf_index_stats
+
+    rows = q183_ivf_index_stats(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_vecs for r in rows)
+    assert total == 500  # sf0.001 embeddings table row count
+    avg = total / len(rows)
+    for r in rows:
+        assert r.hot == (r.n_vecs > 2 * avg)
+        assert -1_000_000 <= r.mean_sim_micro <= 1_000_000
