@@ -120,6 +120,9 @@ HEADLINE_OPT = [
     "q181_language_quota",
     "q182_temperature_mixture",
     "q183_ivf_index_stats",
+    "q184_gopher_repetition_filter",
+    "q185_unigram_nll_quality",
+    "q186_source_overlap_matrix",
 ]
 
 

@@ -394,6 +394,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -412,6 +413,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm3,
         llm4,
         llm5,
+        llm6,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

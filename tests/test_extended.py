@@ -185,6 +185,10 @@ def test_no_accidental_cartesian_products(spark):
         "q167_bm25_index_topk",    # same 1-row stats crossJoin, via index
         "q175_cluster_top_terms",  # crossJoin of the 1-row n_clusters
         "q177_chunk_retrieval",    # 1-row stats crossJoin via index
+        "q179_hybrid_rrf_retrieval",  # q37 brute arm + q167 1-row stats
+        "q182_temperature_mixture",   # crossJoin of the 1-row weight total
+        "q183_ivf_index_stats",       # crossJoin of the 1-row mean occupancy
+        "q185_unigram_nll_quality",   # crossJoin of the 1-row token total
     }
     bad = []
     for name, fn in ent.queries().items():

@@ -10,13 +10,15 @@ summed over the query's stages), so the verdict can say whether the
 gap shrinks with less shuffled data (compressible tax) or is
 irreducible wire cost at fixed bytes:
 
-- baseline: the round-8 reproduction (zstd? no — engine defaults,
-  shuffle_partitions=128)
+- baseline: the round-8 reproduction (engine defaults at
+  shuffle_partitions=128 and the 10MB cluster broadcast threshold —
+  both round-8 sizing rules)
 - zstd: spark.io.compression.codec=zstd (smaller blocks over the
   wire for ~equal CPU on this data, vs the lz4 default)
-- coalesce64: AQE advisoryPartitionSizeInBytes=64m (default) vs
-  coalesce256: 256m — fewer, bigger reducers = fewer fetch round
-  trips per byte
+- coalesce256: AQE advisoryPartitionSizeInBytes=256m (vs the 64m
+  default) — fewer, bigger reducers = fewer fetch round trips per
+  byte
+- zstd_coalesce256: both
 
 Usage: python tools/shuffle_tax_probe.py [--sf-dir /tmp/sparkgraft_sf10]
            [--queries q110_tpch_q21 ...] [--out bench_artifacts/...]
@@ -71,6 +73,13 @@ def main() -> None:
     ap.add_argument("--master", default="local-cluster[4,8,8192]")
     ap.add_argument("--sf-dir", default="/tmp/sparkgraft_sf10")
     ap.add_argument("--shuffle-partitions", type=int, default=128)
+    ap.add_argument(
+        "--broadcast-threshold",
+        default="10MB",
+        help="round-8 sizing rule: broadcast threshold ∝ executor "
+        "heap — 64MB-on-disk build sides deserialize 10-30x larger "
+        "and OOM 8 GB executors (Spark's own cluster default is 10MB)",
+    )
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
         "--queries",
@@ -88,6 +97,7 @@ def main() -> None:
         "master": args.master,
         "sf_dir": args.sf_dir,
         "shuffle_partitions": args.shuffle_partitions,
+        "broadcast_threshold": args.broadcast_threshold,
         "variants": {},
     }
     for vname in args.variants.split(","):
@@ -95,6 +105,7 @@ def main() -> None:
         extra = {
             "spark.executorEnv.PYTHONPATH": REPO,
             "spark.ui.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": args.broadcast_threshold,
             **vconf,
         }
         spark = get_session(
