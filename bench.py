@@ -123,6 +123,10 @@ HEADLINE_OPT = [
     "q184_gopher_repetition_filter",
     "q185_unigram_nll_quality",
     "q186_source_overlap_matrix",
+    "q187_paragraph_dedup",
+    "q188_gopher_quality_rules",
+    "q189_pq_adc_topk",
+    "q190_cluster_balanced_sample",
 ]
 
 

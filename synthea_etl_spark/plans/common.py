@@ -395,6 +395,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -414,6 +415,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm4,
         llm5,
         llm6,
+        llm7,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -189,6 +189,7 @@ def test_no_accidental_cartesian_products(spark):
         "q182_temperature_mixture",   # crossJoin of the 1-row weight total
         "q183_ivf_index_stats",       # crossJoin of the 1-row mean occupancy
         "q185_unigram_nll_quality",   # crossJoin of the 1-row token total
+        "q189_pq_adc_topk",           # broadcast of the bounded query batch
     }
     bad = []
     for name, fn in ent.queries().items():
