@@ -127,6 +127,9 @@ HEADLINE_OPT = [
     "q188_gopher_quality_rules",
     "q189_pq_adc_topk",
     "q190_cluster_balanced_sample",
+    "q191_mined_bitext",
+    "q192_curation_funnel",
+    "q193_dataset_diff",
 ]
 
 

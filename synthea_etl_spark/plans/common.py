@@ -396,6 +396,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -416,6 +417,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm5,
         llm6,
         llm7,
+        llm8,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
