@@ -94,74 +94,65 @@ def q191_mined_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_top1_sql(corpus_pred: str, query_pred: str) -> str:
+def _ivf_top1_sql(tag: str, corpus_pred: str, query_pred: str) -> str:
     """q160's seeded-IVF SQL machinery parameterized by side
-    predicates: top-1 neighbor among `corpus_pred` rows for each
-    `query_pred` row, 16 seed centroids of the corpus side,
-    n_probe=4, cosine rounded to 6 dp."""
+    predicates: top-1 neighbor among corpus-side rows for each
+    query-side row, 16 seed centroids of the corpus side, n_probe=4,
+    cosine rounded to 6 dp. `tag` uniquifies the CTE names so the
+    two mining directions coexist in one statement; predicates are
+    written against the aliased lang column."""
     return f"""
-  SELECT query_id, neighbor_id, sim FROM (
-    SELECT s.query_id, a.neighbor_id,
-           round(list_cosine_similarity(s.qv, a.cv), 6) AS sim,
-           row_number() OVER (PARTITION BY s.query_id
-               ORDER BY round(list_cosine_similarity(s.qv, a.cv), 6) DESC,
-                        a.neighbor_id) AS rn
-    FROM (
-      SELECT q.query_id, q.qv, p.cid FROM (
-        SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv
-        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-        WHERE {query_pred}
-      ) q CROSS JOIN LATERAL (
-        SELECT cid FROM (
-          SELECT s2.cid,
-                 row_number() OVER (ORDER BY
-                     round(list_cosine_similarity(q.qv, s2.sv), 9) DESC,
-                     s2.cid ASC) AS prn
-          FROM (
-            SELECT CAST(e.embedding AS DOUBLE[]) AS sv,
-                   row_number() OVER (
-                       ORDER BY md5(CAST(e.vec_id AS VARCHAR))) - 1 AS cid
-            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-            WHERE {corpus_pred}
-            ORDER BY md5(CAST(e.vec_id AS VARCHAR)) LIMIT 16
-          ) s2
-        ) WHERE prn <= 4
-      ) p
-    ) s
-    JOIN (
-      SELECT c.neighbor_id, c.cv, cc.cid FROM (
-        SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS cv
-        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-        WHERE {corpus_pred}
-      ) c CROSS JOIN LATERAL (
-        SELECT cid FROM (
-          SELECT s2.cid,
-                 row_number() OVER (
-                     ORDER BY list_cosine_similarity(c.cv, s2.sv) DESC,
-                     s2.cid ASC) AS arn
-          FROM (
-            SELECT CAST(e.embedding AS DOUBLE[]) AS sv,
-                   row_number() OVER (
-                       ORDER BY md5(CAST(e.vec_id AS VARCHAR))) - 1 AS cid
-            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
-            WHERE {corpus_pred}
-            ORDER BY md5(CAST(e.vec_id AS VARCHAR)) LIMIT 16
-          ) s2
-        ) WHERE arn = 1
-      ) cc
-    ) a USING (cid)
-    WHERE a.neighbor_id <> s.query_id
+seeds_{tag} AS (
+  SELECT v AS sv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+           AS cid
+  FROM vdocs WHERE {corpus_pred}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+),
+asg_{tag} AS (
+  SELECT neighbor_id, cv, cid FROM (
+    SELECT c.vec_id AS neighbor_id, c.v AS cv, s.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(c.v, s.sv) DESC,
+                        s.cid ASC) AS rn
+    FROM (SELECT * FROM vdocs WHERE {corpus_pred}) c
+    CROSS JOIN seeds_{tag} s
   ) WHERE rn = 1
-"""
+),
+probe_{tag} AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, s.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, s.sv), 9) DESC,
+                        s.cid ASC) AS rn
+    FROM (SELECT * FROM vdocs WHERE {query_pred}) q
+    CROSS JOIN seeds_{tag} s
+  ) WHERE rn <= 4
+),
+top_{tag} AS (
+  SELECT query_id, neighbor_id, sim FROM (
+    SELECT p.query_id, a.neighbor_id,
+           round(list_cosine_similarity(p.qv, a.cv), 6) AS sim,
+           row_number() OVER (PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(p.qv, a.cv), 6) DESC,
+                        a.neighbor_id) AS rn
+    FROM probe_{tag} p JOIN asg_{tag} a USING (cid)
+    WHERE a.neighbor_id <> p.query_id
+  ) WHERE rn = 1
+)"""
 
 
 ORACLE_Q191 = f"""
-WITH dir_a AS ({_ivf_top1_sql("d.lang = 'en'", "d.lang <> 'en'")}),
-dir_b AS ({_ivf_top1_sql("d.lang <> 'en'", "d.lang = 'en'")})
+WITH vdocs AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+{_ivf_top1_sql("a", "lang = 'en'", "lang <> 'en'")},
+{_ivf_top1_sql("b", "lang <> 'en'", "lang = 'en'")}
 SELECT b.query_id AS en_id, a.query_id AS other_id,
        d.lang AS other_lang, a.sim
-FROM dir_a a
-JOIN dir_b b ON a.neighbor_id = b.query_id AND b.neighbor_id = a.query_id
+FROM top_a a
+JOIN top_b b ON a.neighbor_id = b.query_id AND b.neighbor_id = a.query_id
 JOIN documents d ON d.doc_id = a.query_id
 """
 
