@@ -130,6 +130,9 @@ HEADLINE_OPT = [
     "q191_mined_bitext",
     "q192_curation_funnel",
     "q193_dataset_diff",
+    "q194_dsir_importance",
+    "q195_dup_cluster_histogram",
+    "q196_dataset_card",
 ]
 
 

@@ -470,3 +470,83 @@ def cluster_top_terms(
             "t", "tf", "score_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition coverages (map-only Arrow pass)
+# ---------------------------------------------------------------------------
+
+
+def gopher_repetition_covs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc character-coverage numerators for the Gopher
+    repetition rules (Rae et al. 2021 table A1), for docs with at
+    least 5 whitespace tokens: max count*len over distinct word
+    2-grams (cov2) and 3-grams (cov3), and the summed count*len of
+    DUPLICATED 5-grams (cov5; 0 when none repeat). All exact int64.
+
+    100 TB design: the signals are strictly per-document, so the
+    right shape is per-row — one Arrow batch in, one dict-counting
+    pass per doc (O(tokens) per doc), four int64 columns out. The
+    first implementation exploded all three gram streams through
+    (doc_id, gram) shuffles — 3x the corpus tokens through the wire
+    for a computation that needs no cross-doc state; this rewrite
+    removes those corpus-sized exchanges (the only exchange left is
+    the standard rebalance_by_key spread of the narrow (id, text)
+    scan — the decode-path pattern that keeps tiny local scans from
+    serializing the Arrow stage; at cluster scale file splits
+    already provide the parallelism). Tokenization matches
+    ``tokens()`` (split trimmed text on ASCII whitespace runs)."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, chars, c2, c3, c5 = [], [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t = (txt or "").strip()
+                toks = ws.split(t) if t else []
+                if len(toks) < 5:
+                    continue
+                counts2: dict[str, int] = {}
+                counts3: dict[str, int] = {}
+                counts5: dict[str, int] = {}
+                for j in range(len(toks) - 1):
+                    g = toks[j] + " " + toks[j + 1]
+                    counts2[g] = counts2.get(g, 0) + 1
+                for j in range(len(toks) - 2):
+                    g = " ".join(toks[j : j + 3])
+                    counts3[g] = counts3.get(g, 0) + 1
+                for j in range(len(toks) - 4):
+                    g = " ".join(toks[j : j + 5])
+                    counts5[g] = counts5.get(g, 0) + 1
+                ids.append(int(i))
+                chars.append(len(t))
+                c2.append(max(c * len(g) for g, c in counts2.items()))
+                c3.append(max(c * len(g) for g, c in counts3.items()))
+                c5.append(
+                    sum(c * len(g) for g, c in counts5.items() if c > 1)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chars": pd.Series(chars, dtype="int64"),
+                    "cov2": pd.Series(c2, dtype="int64"),
+                    "cov3": pd.Series(c3, dtype="int64"),
+                    "cov5": pd.Series(c5, dtype="int64"),
+                }
+            )
+
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
+    narrow = rebalance_by_key(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id"
+    )
+    return narrow.mapInPandas(
+        compute,
+        schema="doc_id long, chars long, cov2 long, cov3 long, cov5 long",
+    )

@@ -397,6 +397,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -418,6 +419,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm6,
         llm7,
         llm8,
+        llm9,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -45,19 +45,6 @@ _TOP3_MAX = 180_000  # >18% in one 3-gram
 _DUP5_MAX = 150_000  # >15% of chars inside duplicated 5-grams
 
 
-def _gram_cov(d: DataFrame, n: int, out: str) -> DataFrame:
-    """Per-doc max character coverage of any single word n-gram:
-    max over distinct grams of count * length(gram). Character
-    coverage (not count fraction) is the Gopher formulation; taking
-    the max of the coverage product needs no top-gram tie-break, so
-    the result is deterministic without an ordering rule."""
-    g = d.select("doc_id", F.explode(T.shingles("text", n)).alias("g"))
-    per_gram = g.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-    return per_gram.groupBy("doc_id").agg(
-        F.max(F.col("c") * F.length("g")).cast("long").alias(out)
-    )
-
-
 def q184_gopher_repetition_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -70,45 +57,24 @@ def q184_gopher_repetition_filter(
     applying the published thresholds. All fractions are integer
     micro-units: cov * 1e6 div chars -- exact on any engine.
 
-    Scale: three explode->two-level-aggregate legs (the certified
-    q79 shape) sharing the doc_id shuffle key via rebalance_by_key;
-    per-gram counts map-side combine, and the three per-doc frames
-    join on the same doc_id partitioning. No windows, no collect."""
-    from synthea_etl_spark.operators.util import rebalance_by_key
-
-    d = rebalance_by_key(
-        load(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    ).filter(F.size(T.tokens("text")) >= 5)
-    chars = d.select(
-        "doc_id", F.length(F.trim("text")).cast("long").alias("chars")
+    Scale: per-doc signals need no cross-doc state, so the covs come
+    from the single-Arrow-pass dict-counting operator
+    (text.gopher_repetition_covs) — no gram-stream shuffles at all;
+    the first implementation's three explode->aggregate legs pushed
+    3x the corpus tokens through the wire and ran 3x slower at sf1.
+    The thresholds stay JVM-side expressions."""
+    covs = T.gopher_repetition_covs(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
     )
-
-    top2 = _gram_cov(d, 2, "cov2")
-    top3 = _gram_cov(d, 3, "cov3")
-
-    g5 = d.select("doc_id", F.explode(T.shingles("text", 5)).alias("g"))
-    dup5 = (
-        g5.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.length("g")).cast("long").alias("cov5"))
-    )
-
     frac = lambda cov: F.least(  # noqa: E731
         F.lit(MICRO).cast("long"),
-        F.expr(f"coalesce({cov}, 0L) * {MICRO} div chars"),
+        F.expr(f"{cov} * {MICRO} div chars"),
     )
-    out = (
-        chars.join(top2, "doc_id")
-        .join(top3, "doc_id")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            frac("cov2").alias("top2_frac_micro"),
-            frac("cov3").alias("top3_frac_micro"),
-            frac("cov5").alias("dup5_frac_micro"),
-        )
+    out = covs.select(
+        "doc_id",
+        frac("cov2").alias("top2_frac_micro"),
+        frac("cov3").alias("top3_frac_micro"),
+        frac("cov5").alias("dup5_frac_micro"),
     )
     return out.withColumn(
         "keep",

@@ -168,7 +168,6 @@ from synthea_etl_spark.plans.llm6 import (  # noqa: E402
     _DUP5_MAX,
     _TOP2_MAX,
     _TOP3_MAX,
-    _gram_cov,
 )
 from synthea_etl_spark.plans.llm7 import (  # noqa: E402
     _MAX_WLEN,
@@ -231,38 +230,24 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # stage 3: repetition thresholds on stage-1/2 survivors only
+    # (single-Arrow-pass cov operator — no gram-stream shuffles;
+    # every survivor has >= 50 words so the >= 5-token scope of the
+    # operator covers all of them)
     surv = d2.filter((F.col("_fprn") == 1) & F.col("_q_ok")).select(
         "doc_id", "text"
     )
-    chars = surv.select(
-        "doc_id", F.length(F.trim("text")).cast("long").alias("_ch")
-    )
-    top2 = _gram_cov(surv, 2, "cov2")
-    top3 = _gram_cov(surv, 3, "cov3")
-    g5 = surv.select("doc_id", F.explode(T.shingles("text", 5)).alias("g"))
-    dup5 = (
-        g5.groupBy("doc_id", "g")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.length("g")).cast("long").alias("cov5"))
-    )
+    covs = T.gopher_repetition_covs(surv, "text", "doc_id")
     frac = lambda cov: F.least(  # noqa: E731
         F.lit(MICRO).cast("long"),
-        F.expr(f"coalesce({cov}, 0L) * {MICRO} div _ch"),
+        F.expr(f"{cov} * {MICRO} div chars"),
     )
-    rep = (
-        chars.join(top2, "doc_id", "left")
-        .join(top3, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            (
-                (frac("cov2") <= _TOP2_MAX)
-                & (frac("cov3") <= _TOP3_MAX)
-                & (frac("cov5") <= _DUP5_MAX)
-            ).alias("_r_ok"),
-        )
+    rep = covs.select(
+        "doc_id",
+        (
+            (frac("cov2") <= _TOP2_MAX)
+            & (frac("cov3") <= _TOP3_MAX)
+            & (frac("cov5") <= _DUP5_MAX)
+        ).alias("_r_ok"),
     )
 
     # stage 4: per-language quota, ranked only among docs passing

@@ -190,6 +190,7 @@ def test_no_accidental_cartesian_products(spark):
         "q183_ivf_index_stats",       # crossJoin of the 1-row mean occupancy
         "q185_unigram_nll_quality",   # crossJoin of the 1-row token total
         "q189_pq_adc_topk",           # broadcast of the bounded query batch
+        "q194_dsir_importance",       # crossJoins of the two 1-row LM totals
     }
     bad = []
     for name, fn in ent.queries().items():
