@@ -924,26 +924,47 @@ def _grouped_cell_topk(
         Q = np.stack(qdf["qv"].to_numpy()).astype(np.float64)
         nid = cdf["neighbor_id"].to_numpy()
         qid = qdf["query_id"].to_numpy()
-        sims = (Q @ C.T) / np.outer(
-            np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
-        )
-        sims = _round_half_up(sims, scale)
+        cn = np.linalg.norm(C, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
         out_q, out_n, out_s = [], [], []
-        kk = min(k, sims.shape[1])
-        for i in range(sims.shape[0]):
-            row = sims[i]
-            # oracle order: sim DESC, neighbor_id ASC, self excluded
-            order = np.lexsort((nid, -row))
-            taken = 0
-            for j in order:
-                if nid[j] == qid[i]:
-                    continue
-                out_q.append(qid[i])
-                out_n.append(nid[j])
-                out_s.append(row[j])
-                taken += 1
-                if taken >= kk:
-                    break
+        kk = min(k, C.shape[0])
+        # Chunk the query side so the score matrix stays ~64 MB no
+        # matter how many queries probe this cell: with corpus-scale
+        # query sides (bitext mining, label propagation over the full
+        # table) an unchunked Q @ C.T materializes |Q_cell| x |cell|
+        # float64 — gigabytes per task at sf10 — and kills the
+        # worker. Top-k is per-query, so blocking is semantics-free.
+        block = max(1, 8_000_000 // max(1, C.shape[0]))
+        for s0 in range(0, Q.shape[0], block):
+            Qb = Q[s0 : s0 + block]
+            sims = (Qb @ C.T) / np.outer(qn[s0 : s0 + block], cn)
+            sims = _round_half_up(sims, scale)
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                # tie-safe candidate cut: keep EVERYTHING at or above
+                # the (k+1)-th largest value (+1 absorbs self), then
+                # apply the exact oracle order on the candidates —
+                # sim DESC, neighbor_id ASC, self excluded
+                kk2 = min(kk + 1, row.size)
+                if row.size > 4 * kk2:
+                    thresh = np.partition(row, row.size - kk2)[
+                        row.size - kk2
+                    ]
+                    cand = np.nonzero(row >= thresh)[0]
+                else:
+                    cand = np.arange(row.size)
+                order = cand[np.lexsort((nid[cand], -row[cand]))]
+                q_i = qid[s0 + i]
+                taken = 0
+                for j in order:
+                    if nid[j] == q_i:
+                        continue
+                    out_q.append(q_i)
+                    out_n.append(nid[j])
+                    out_s.append(row[j])
+                    taken += 1
+                    if taken >= kk:
+                        break
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
         ).astype({"query_id": "int64", "neighbor_id": "int64",

@@ -550,3 +550,31 @@ def gopher_repetition_covs(
         compute,
         schema="doc_id long, chars long, cov2 long, cov3 long, cov5 long",
     )
+
+
+def gopher_quality_ok(col: Column | str) -> Column:
+    """Composite boolean for the non-repetition Gopher document
+    bounds (Rae et al. 2021 table A1) — the q188 rule set as one
+    reusable zero-shuffle expression: word count in [50, 100000],
+    mean word length in [3, 10], >= 80% of words containing an
+    alphabetic character, >= 2 stop-word hits. Exact integer
+    micro-unit arithmetic, identical to the q188 gate columns."""
+    toks = tokens(col)
+    n = F.size(toks)
+    nn = F.greatest(n, F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    # product comparisons == q188's micro-div bounds on the region
+    # where the word-count bound holds (exact integers, no division)
+    return (
+        (n.cast("long") >= 50)
+        & (n.cast("long") <= 100_000)
+        & (sum_len >= 3 * nn)
+        & (sum_len <= 10 * nn)
+        & (n_alpha * 5 >= nn * 4)
+        & (n_stop.cast("long") >= 2)
+    )

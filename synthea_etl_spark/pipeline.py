@@ -412,3 +412,137 @@ def ann_index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curation_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    admitted_dir: str,
+    verdicts_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the curation funnel — q192's filter
+    stages kept current by a restartable stream, so a recurring
+    crawl is curated as it lands instead of by nightly full rescans.
+    Each micro-batch of landed documents:
+
+    1. exact-dup stage: fingerprints the batch, drops docs whose
+       fingerprint already exists in the ACCUMULATED admitted table
+       (prior batches only) or earlier in the same batch (min doc_id
+       wins) — the q151 incremental-dedup contract;
+    2. quality stage: the q188 Gopher bounds
+       (operators/text.gopher_quality_ok — zero-shuffle lambdas);
+    3. repetition stage: the q184 thresholds over the Arrow
+       dict-counting covs (operators/text.gopher_repetition_covs),
+       computed only for stage-1/2 survivors.
+
+    Publishes per-doc verdicts (doc_id, lang, stage) AND admitted
+    docs (doc_id, lang, text, fp), both partitioned by batch_id with
+    dynamic partition overwrite; the fingerprint probe reads only
+    partitions with batch_id < current — together the same
+    exactly-once-under-replay contract as the dedup/postings/ANN
+    streams, so the union of verdict partitions IS the funnel report
+    of the union corpus.
+
+    Per-language QUOTA is deliberately NOT a stream stage: admission
+    caps depend on corpus-wide counts, so replaying a batch after
+    later batches landed would change its verdicts and break replay
+    idempotence. Quota/mixture are planning-time passes over the
+    accumulated admitted table (q181/q182/q192's quota stage run in
+    batch) — the same separation the index families draw between
+    ingest-time maintenance and probe-time statistics."""
+    from synthea_etl_spark.operators.text import (
+        fingerprint,
+        gopher_quality_ok,
+        gopher_repetition_covs,
+    )
+
+    _MICRO = 1_000_000
+    _TOP2_MAX, _TOP3_MAX, _DUP5_MAX = 200_000, 180_000, 150_000
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        b = batch_df.localCheckpoint()  # read by three stages below
+        fp = b.select(
+            "doc_id", "lang", "text", fingerprint("text").alias("fp")
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        fp = fp.withColumn("_rn", F.row_number().over(w))
+        if os.path.isdir(admitted_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(admitted_dir)
+        ):
+            hist = (
+                spark.read.parquet(admitted_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("fp")
+                .distinct()
+                .withColumn("_hist", F.lit(True))
+            )
+            fp = fp.join(hist, "fp", "left")
+        else:
+            fp = fp.withColumn("_hist", F.lit(None).cast("boolean"))
+        staged = fp.withColumn(
+            "_dup", (F.col("_rn") > 1) | F.coalesce("_hist", F.lit(False))
+        ).withColumn("_q_ok", gopher_quality_ok("text"))
+        surv = staged.filter(~F.col("_dup") & F.col("_q_ok")).select(
+            "doc_id", "text"
+        )
+        covs = gopher_repetition_covs(surv, "text", "doc_id")
+        frac = lambda cov: F.least(  # noqa: E731
+            F.lit(_MICRO).cast("long"),
+            F.expr(f"{cov} * {_MICRO} div chars"),
+        )
+        rep = covs.select(
+            "doc_id",
+            (
+                (frac("cov2") <= _TOP2_MAX)
+                & (frac("cov3") <= _TOP3_MAX)
+                & (frac("cov5") <= _DUP5_MAX)
+            ).alias("_r_ok"),
+        )
+        staged = staged.join(rep, "doc_id", "left")
+        verdicts = staged.select(
+            "doc_id",
+            "lang",
+            F.when(F.col("_dup"), F.lit("exact_dup"))
+            .when(~F.col("_q_ok"), F.lit("quality"))
+            .when(
+                ~F.coalesce(F.col("_r_ok"), F.lit(False)),
+                F.lit("repetition"),
+            )
+            .otherwise(F.lit("admitted"))
+            .alias("stage"),
+        ).withColumn("batch_id", F.lit(batch_id))
+        admitted = (
+            staged.filter(
+                ~F.col("_dup")
+                & F.col("_q_ok")
+                & F.coalesce(F.col("_r_ok"), F.lit(False))
+            )
+            .select("doc_id", "lang", "text", "fp")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        # verdicts FIRST, admitted LAST: the fingerprint probe keys on
+        # the admitted table, so a crash between the two writes leaves
+        # the replay indistinguishable from a clean retry
+        for df, path in ((verdicts, verdicts_dir), (admitted, admitted_dir)):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -214,3 +214,142 @@ def test_repetition_covs_match_brute_force(spark):
         assert out[r.doc_id] == exp
         checked += 1
     assert checked >= 40
+
+
+# ---------------------------------------------------------------------------
+# curation_ingest_stream (streaming funnel maintenance)
+# ---------------------------------------------------------------------------
+
+
+def test_curation_ingest_stream_end_to_end(spark, tmp_path):
+    """Streaming curation: batches land as JSON; each micro-batch is
+    deduped against the ACCUMULATED admitted table, quality- and
+    repetition-filtered, and publishes per-doc verdicts + admitted
+    docs partitioned by batch_id. The accumulated verdicts must
+    match the batch funnel's dedup/quality/repetition stages on the
+    union corpus, and republishing a batch partition is a no-op."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.pipeline import curation_ingest_stream
+
+    def good(i):
+        return "the a of and to in is " + " ".join(
+            f"gw{i:02d}x{j:02d}" for j in range(50)
+        )
+
+    spam = ("the spammy " * 30).strip() + " of and to in is extra filler"
+
+    landing = tmp_path / "landing"
+    admitted = tmp_path / "admitted"
+    verdicts = tmp_path / "verdicts"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "lang": g, "text": t})
+                for i, g, t in rows
+            )
+        )
+
+    def run():
+        curation_ingest_stream(
+            spark,
+            str(landing),
+            str(admitted),
+            str(verdicts),
+            str(ckpt),
+            schema,
+        ).awaitTermination(120)
+
+    land(
+        "b0.json",
+        [
+            (0, "en", good(0)),
+            (1, "en", good(1)),
+            (2, "en", "too short"),
+            (3, "en", spam),
+            (4, "en", good(0)),  # intra-batch dup of doc 0
+        ],
+    )
+    run()
+    land(
+        "b1.json",
+        [
+            (10, "fr", good(0)),  # dup vs HISTORY (doc 0 admitted in b0)
+            (11, "fr", good(2)),
+        ],
+    )
+    run()
+
+    v = {
+        r.doc_id: r.stage
+        for r in spark.read.parquet(str(verdicts)).collect()
+    }
+    assert v == {
+        0: "admitted",
+        1: "admitted",
+        2: "quality",
+        3: "repetition",
+        4: "exact_dup",
+        10: "exact_dup",
+        11: "admitted",
+    }
+    adm = spark.read.parquet(str(admitted))
+    assert sorted(r.doc_id for r in adm.collect()) == [0, 1, 11]
+    assert {r.batch_id for r in adm.collect()} == {0, 1}
+
+    # replay simulation: republishing batch 1's partitions is a no-op
+    for path in (admitted, verdicts):
+        b1 = spark.createDataFrame(
+            spark.read.parquet(str(path)).filter("batch_id = 1").collect()
+        )
+        (
+            b1.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(str(path))
+        )
+    assert {
+        r.doc_id: r.stage
+        for r in spark.read.parquet(str(verdicts)).collect()
+    } == v
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(str(admitted)).collect()
+    ) == [0, 1, 11]
+
+
+def test_gopher_quality_ok_matches_q188(spark):
+    """The reusable boolean must equal q188's keep flag row-for-row
+    on the real fixture corpus."""
+    from synthea_etl_spark.operators.text import gopher_quality_ok
+    from synthea_etl_spark.plans.common import load
+    from synthea_etl_spark.plans.llm7 import q188_gopher_quality_rules
+
+    sf = "/root/testdata/sf0.001"
+    keep = {
+        r.doc_id: r.keep
+        for r in q188_gopher_quality_rules(spark, sf).collect()
+    }
+    ok = {
+        r.doc_id: r.ok
+        for r in load(spark, sf, "documents")
+        .select("doc_id", gopher_quality_ok("text").alias("ok"))
+        .collect()
+    }
+    assert keep == ok
