@@ -133,6 +133,9 @@ HEADLINE_OPT = [
     "q194_dsir_importance",
     "q195_dup_cluster_histogram",
     "q196_dataset_card",
+    "q197_bloom_dedup_probe",
+    "q198_token_fertility",
+    "q199_train_order_manifest",
 ]
 
 

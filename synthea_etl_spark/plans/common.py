@@ -398,6 +398,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -420,6 +421,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm7,
         llm8,
         llm9,
+        llm10,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

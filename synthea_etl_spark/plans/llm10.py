@@ -1,0 +1,318 @@
+"""Round-9 LLM-pipeline additions, part 6 — memory-bounded
+membership, tokenizer economics, and training-order manifests:
+
+- q197: distributed Bloom-filter dedup probe (Bloom 1970; the
+  memory-bounded membership primitive every at-scale ingest runs
+  before the exact check): the history corpus folds into an m-bit
+  filter as ~m/64 bit-OR'd words, a probe batch tests its k
+  positions, and the output reports both the filter verdict and the
+  exact truth — so the gate certifies the false-positive behavior
+  itself (Bloom FPs are DETERMINISTIC given the hash family, hence
+  hash-gateable).
+- q198: tokenizer fertility per language — BPE tokens per word and
+  chars per BPE token (the "tokenizer economics" report behind
+  multilingual vocab decisions, cf. the fertility metric in
+  multilingual NLP) over q149's certified fixed-merge BPE.
+- q199: training-order manifest — the deterministic shuffle-by-
+  sharding every epoch pipeline needs: md5-bucketed shard
+  assignment, md5-ordered position within shard, so any worker can
+  reconstruct its read order without a global sort.
+
+Beyond-reference surface (the reference's four Glue scripts are
+boto3 orchestration; Glue_Scripts/Patient_datamart.py:1-120).
+Public knowledge only: citations above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.plans.common import QuerySpec, load
+
+MICRO = 1_000_000
+
+# ---------------------------------------------------------------------------
+# q197 Bloom-filter dedup probe
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65_536  # bits (1024 64-bit words)
+_BLOOM_K = 4  # hash functions
+
+
+def q197_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership for ingest-time dedup: history = docs with
+    doc_id % 10 != 0 folds into an m=65536-bit filter (k=4 md5-
+    derived positions per fingerprint, bit-OR aggregated into at
+    most m/64 words); the probe batch (doc_id % 10 == 0) tests all
+    k positions and reports `maybe_dup` (the filter verdict —
+    deterministic INCLUDING its false positives) alongside
+    `is_true_dup` (the exact fingerprint check), so the report
+    shows precisely which batch docs the filter would send to the
+    expensive exact path unnecessarily.
+
+    100 TB design: the filter is the memory-bounded membership
+    primitive — m/64 longs regardless of corpus size (vs the exact
+    fingerprint index's row-per-doc): history folds with ONE
+    map-side-combined aggregate into ~8 KB here (size m to taste:
+    10^10 docs at 1% FP is ~12 GB of words, still broadcastable
+    shard-wise), probes broadcast-join the words table. The exact
+    column exists because production uses Bloom as the PRE-filter:
+    only `maybe_dup` docs pay the exact-index lookup."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    )
+    hist = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    def positions(fp_col):
+        # k deterministic positions: md5("b{i}" || fp) -> 60-bit int
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"b{i}"), fp_col)), 1, 15),
+                16,
+                10,
+            )
+            .cast("long")
+            % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+
+    hist_pos = hist.select(
+        F.explode(F.array(*positions(F.col("fp")))).alias("pos")
+    )
+    words = hist_pos.select(
+        F.expr("pos div 64").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+    ).groupBy("word_idx").agg(F.expr("bit_or(bit)").alias("word"))
+
+    probe = batch.select(
+        "doc_id",
+        "fp",
+        *[p.alias(f"p{i}") for i, p in enumerate(positions(F.col("fp")))],
+    )
+    checked = probe
+    for i in range(_BLOOM_K):
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
+        )
+        checked = checked.join(
+            F.broadcast(w),
+            F.expr(f"p{i} div 64") == F.col(f"_wi{i}"),
+            "left",
+        ).withColumn(
+            f"hit{i}",
+            F.coalesce(
+                F.expr(
+                    f"(_w{i} & shiftleft(1L, cast(p{i} % 64 as int))) != 0"
+                ),
+                F.lit(False),
+            ),
+        )
+    maybe = F.lit(True)
+    for i in range(_BLOOM_K):
+        maybe = maybe & F.col(f"hit{i}")
+    truth = hist.select(F.col("fp"), F.lit(True).alias("_t")).distinct()
+    return (
+        checked.join(truth, "fp", "left")
+        .select(
+            "doc_id",
+            maybe.alias("maybe_dup"),
+            F.coalesce(F.col("_t"), F.lit(False)).alias("is_true_dup"),
+        )
+    )
+
+
+ORACLE_Q197 = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+hist AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+batch AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+hpos AS (
+  SELECT CAST(concat('0x', substr(md5('b' || CAST(k.range AS VARCHAR)
+             || fp), 1, 15)) AS BIGINT) % {_BLOOM_M} AS pos
+  FROM hist, range({_BLOOM_K}) k
+),
+words AS (
+  SELECT pos // 64 AS word_idx,
+         bit_or(1::UBIGINT << CAST(pos % 64 AS INTEGER)) AS word
+  FROM hpos GROUP BY pos // 64
+),
+bpos AS (
+  SELECT doc_id, fp, k.range AS i,
+         CAST(concat('0x', substr(md5('b' || CAST(k.range AS VARCHAR)
+             || fp), 1, 15)) AS BIGINT) % {_BLOOM_M} AS pos
+  FROM batch, range({_BLOOM_K}) k
+),
+hits AS (
+  SELECT b.doc_id, b.fp,
+         bool_and(COALESCE(
+             (w.word & (1::UBIGINT << CAST(b.pos % 64 AS INTEGER))) <> 0,
+             FALSE)) AS maybe_dup
+  FROM bpos b LEFT JOIN words w ON b.pos // 64 = w.word_idx
+  GROUP BY b.doc_id, b.fp
+)
+SELECT h.doc_id, h.maybe_dup,
+       EXISTS (SELECT 1 FROM hist WHERE hist.fp = h.fp) AS is_true_dup
+FROM hits h
+"""
+
+
+# ---------------------------------------------------------------------------
+# q198 tokenizer fertility per language
+# ---------------------------------------------------------------------------
+
+
+def q198_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer economics per language: BPE tokens per whitespace
+    word (fertility) and characters per BPE token, in exact integer
+    micro-units, over q149's certified fixed-merge BPE. High
+    fertility marks languages the vocabulary underserves — the
+    report driving multilingual vocab sizing. Returns (lang, n_docs,
+    n_words, n_bpe_tokens, fertility_micro, chars_per_tok_micro).
+
+    Scale: apply_bpe is the certified narrow JVM replace chain
+    riding the scan; this adds one doc->lang join (same table, no
+    extra scan of text) and a language-sized aggregate."""
+    from synthea_etl_spark.operators.bpe import apply_bpe
+    from synthea_etl_spark.operators.util import rebalance_by_key
+    from synthea_etl_spark.plans.llm import _BPE_MERGES
+
+    docs = rebalance_by_key(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        ),
+        "doc_id",
+    )
+    bpe = apply_bpe(docs.select("doc_id", "text"), "text", _BPE_MERGES)
+    chars = docs.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")).cast(
+            "long"
+        ).alias("n_chars"),
+    )
+    return (
+        bpe.join(chars, "id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.expr(
+                f"sum(bpe_tokens) * {MICRO} div sum(n_words)"
+            ).alias("fertility_micro"),
+            F.expr(
+                f"sum(n_chars) * {MICRO} div sum(bpe_tokens)"
+            ).alias("chars_per_tok_micro"),
+        )
+    )
+
+
+def _q198_oracle() -> str:
+    from synthea_etl_spark.plans.llm import ORACLE_Q149
+
+    # splice q149's certified replace chain; aggregate by language
+    inner = ORACLE_Q149.strip()
+    return f"""
+WITH bpe AS ({inner}),
+chars AS (
+  SELECT doc_id AS id, lang,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(bpe_tokens) * {MICRO} // SUM(n_words) AS BIGINT)
+         AS fertility_micro,
+       CAST(SUM(n_chars) * {MICRO} // SUM(bpe_tokens) AS BIGINT)
+         AS chars_per_tok_micro
+FROM bpe JOIN chars USING (id)
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q199 training-order manifest
+# ---------------------------------------------------------------------------
+
+_Q199_SHARDS = 16
+
+
+def q199_train_order_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic epoch shuffle by sharding: every doc lands in
+    shard md5('sh' || doc_id) % 16 and takes the position its
+    md5('pos' || doc_id) rank gives it WITHIN the shard — the
+    standard two-level shuffle that replaces a global random sort:
+    workers read shards round-robin and the concatenated order is
+    reproducible from doc_ids alone. Returns (doc_id, shard, pos).
+
+    Scale: no global sort — the only exchange is the shard hash
+    partitioning, and the within-shard sort is per-partition.
+    Shard count scales with corpus (fixed 16 here; production sizes
+    shards to ~file-size targets), keeping every sort bounded."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sh"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _Q199_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.concat(F.lit("pos"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+    )
+
+
+ORACLE_Q199 = f"""
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(md5('sh' || CAST(doc_id AS VARCHAR)),
+            1, 8)) AS BIGINT) % {_Q199_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY CAST(concat('0x',
+               substr(md5('sh' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_Q199_SHARDS}
+           ORDER BY md5('pos' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS INTEGER) AS pos
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q197_bloom_dedup_probe": QuerySpec(
+        q197_bloom_dedup_probe,
+        ORACLE_Q197,
+        "Bloom-filter membership probe with exact-truth FP report",
+        ("llm", "dedup"),
+    ),
+    "q198_token_fertility": QuerySpec(
+        q198_token_fertility,
+        _q198_oracle(),
+        "BPE fertility and chars-per-token per language",
+        ("llm", "text"),
+    ),
+    "q199_train_order_manifest": QuerySpec(
+        q199_train_order_manifest,
+        ORACLE_Q199,
+        "deterministic shuffle-by-sharding training-order manifest",
+        ("llm", "text"),
+    ),
+}

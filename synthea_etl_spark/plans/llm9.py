@@ -64,42 +64,39 @@ def q194_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.explode(T.tokens("text")).alias("t")
     )
-    src_vocab = tok.groupBy("t").agg(
-        F.count("*").cast("long").alias("c_src")
+    # BOTH LMs from one vocab pass: a conditional aggregate gives the
+    # target counts alongside the source counts (one explode + one
+    # shuffle instead of two of each — the plan audit showed the
+    # two-aggregate form re-scanning and re-splitting the corpus)
+    vocab = tok.groupBy("t").agg(
+        F.count("*").cast("long").alias("c_src"),
+        F.sum((F.col("lang") == "en").cast("long"))
+        .cast("long")
+        .alias("c_tgt"),
     )
-    tgt_vocab = (
-        tok.filter(F.col("lang") == "en")
-        .groupBy("t")
-        .agg(F.count("*").cast("long").alias("c_tgt"))
-    )
-    totals = src_vocab.agg(
+    totals = vocab.agg(
         F.sum("c_src").cast("double").alias("_n_src"),
         F.count("*").cast("double").alias("_v_src"),
+        F.sum("c_tgt").cast("double").alias("_n_tgt"),
     )
-    tgt_total = tgt_vocab.agg(F.sum("c_tgt").cast("double").alias("_n_tgt"))
-    nll = (
-        src_vocab.join(tgt_vocab, "t", "left")
-        .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(tgt_total))
-        .select(
-            "t",
-            (
-                F.floor(
-                    F.round(
-                        -F.log(F.col("c_src") / F.col("_n_src"))
-                        + F.log(
-                            (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
-                            / (F.col("_n_tgt") + F.col("_v_src"))
-                        ),
-                        6,
-                    )
-                    * MICRO
-                    + F.lit(0.5)
+    nll = vocab.crossJoin(F.broadcast(totals)).select(
+        "t",
+        (
+            F.floor(
+                F.round(
+                    -F.log(F.col("c_src") / F.col("_n_src"))
+                    + F.log(
+                        (F.col("c_tgt") + 1)
+                        / (F.col("_n_tgt") + F.col("_v_src"))
+                    ),
+                    6,
                 )
+                * MICRO
+                + F.lit(0.5)
             )
-            .cast("long")
-            .alias("lr_micro"),
         )
+        .cast("long")
+        .alias("lr_micro"),
     )
     return (
         tok.join(F.broadcast(nll), "t")
