@@ -136,6 +136,8 @@ HEADLINE_OPT = [
     "q197_bloom_dedup_probe",
     "q198_token_fertility",
     "q199_train_order_manifest",
+    "q200_token_budget_curriculum",
+    "q201_epoch_repetition_plan",
 ]
 
 

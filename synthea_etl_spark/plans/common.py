@@ -399,6 +399,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -422,6 +423,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm8,
         llm9,
         llm10,
+        llm11,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
