@@ -191,6 +191,8 @@ def test_no_accidental_cartesian_products(spark):
         "q185_unigram_nll_quality",   # crossJoin of the 1-row token total
         "q189_pq_adc_topk",           # broadcast of the bounded query batch
         "q194_dsir_importance",       # crossJoins of the two 1-row LM totals
+        "q200_token_budget_curriculum",  # crossJoin of the 1-row token total
+        "q201_epoch_repetition_plan",    # crossJoin of the 1-row weight total
     }
     bad = []
     for name, fn in ent.queries().items():
