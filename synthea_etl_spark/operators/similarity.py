@@ -940,7 +940,14 @@ def _grouped_cell_topk(
             sims = (Qb @ C.T) / np.outer(qn[s0 : s0 + block], cn)
             sims = _round_half_up(sims, scale)
             for i in range(sims.shape[0]):
-                row = sims[i]
+                # zero-norm members yield NaN cosines; rank them LAST
+                # (the original full-lexsort path's behavior — NaN
+                # sorted after every finite sim) so they can neither
+                # poison the np.partition threshold (NaN compares as
+                # largest there, emptying the candidate set) nor
+                # crowd finite neighbors out of the cut
+                orig = sims[i]
+                row = np.where(np.isnan(orig), -np.inf, orig)
                 # tie-safe candidate cut: keep EVERYTHING at or above
                 # the (k+1)-th largest value (+1 absorbs self), then
                 # apply the exact oracle order on the candidates —
@@ -961,7 +968,7 @@ def _grouped_cell_topk(
                         continue
                     out_q.append(q_i)
                     out_n.append(nid[j])
-                    out_s.append(row[j])
+                    out_s.append(orig[j])  # emit NaN, not the sort key
                     taken += 1
                     if taken >= kk:
                         break

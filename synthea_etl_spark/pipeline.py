@@ -458,8 +458,13 @@ def curation_ingest_stream(
         gopher_repetition_covs,
     )
 
+    from synthea_etl_spark.plans.llm6 import (
+        _DUP5_MAX,
+        _TOP2_MAX,
+        _TOP3_MAX,
+    )
+
     _MICRO = 1_000_000
-    _TOP2_MAX, _TOP3_MAX, _DUP5_MAX = 200_000, 180_000, 150_000
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -472,11 +477,15 @@ def curation_ingest_stream(
         )
         w = Window.partitionBy("fp").orderBy("doc_id")
         fp = fp.withColumn("_rn", F.row_number().over(w))
-        if os.path.isdir(admitted_dir) and any(
-            e.startswith("batch_id=") for e in os.listdir(admitted_dir)
+        if os.path.isdir(verdicts_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(verdicts_dir)
         ):
+            # history = EVERY previously seen fingerprint (the verdicts
+            # table carries fp precisely for this): a later duplicate
+            # of a REJECTED doc is still an exact_dup, matching the
+            # batch funnel's fprn semantics on the union corpus
             hist = (
-                spark.read.parquet(admitted_dir)
+                spark.read.parquet(verdicts_dir)
                 .filter(F.col("batch_id") < batch_id)
                 .select("fp")
                 .distinct()
@@ -508,6 +517,7 @@ def curation_ingest_stream(
         verdicts = staged.select(
             "doc_id",
             "lang",
+            "fp",
             F.when(F.col("_dup"), F.lit("exact_dup"))
             .when(~F.col("_q_ok"), F.lit("quality"))
             .when(
@@ -526,10 +536,10 @@ def curation_ingest_stream(
             .select("doc_id", "lang", "text", "fp")
             .withColumn("batch_id", F.lit(batch_id))
         )
-        # verdicts FIRST, admitted LAST: the fingerprint probe keys on
-        # the admitted table, so a crash between the two writes leaves
+        # admitted FIRST, verdicts LAST: the fingerprint probe keys on
+        # the verdicts table, so a crash between the two writes leaves
         # the replay indistinguishable from a clean retry
-        for df, path in ((verdicts, verdicts_dir), (admitted, admitted_dir)):
+        for df, path in ((admitted, admitted_dir), (verdicts, verdicts_dir)):
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -87,38 +87,37 @@ def q197_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
     ).groupBy("word_idx").agg(F.expr("bit_or(bit)").alias("word"))
 
-    probe = batch.select(
+    # one explode + ONE left join + a per-doc bool_and — the same
+    # shape the oracle's bpos/hits CTEs use (the first cut chained
+    # four renamed broadcast joins: 4x the plan surface for one
+    # semijoin)
+    ppos = batch.select(
         "doc_id",
         "fp",
-        *[p.alias(f"p{i}") for i, p in enumerate(positions(F.col("fp")))],
+        F.explode(F.array(*positions(F.col("fp")))).alias("pos"),
     )
-    checked = probe
-    for i in range(_BLOOM_K):
-        w = words.select(
-            F.col("word_idx").alias(f"_wi{i}"), F.col("word").alias(f"_w{i}")
-        )
-        checked = checked.join(
-            F.broadcast(w),
-            F.expr(f"p{i} div 64") == F.col(f"_wi{i}"),
+    hits = (
+        ppos.join(
+            F.broadcast(words),
+            F.expr("pos div 64") == F.col("word_idx"),
             "left",
-        ).withColumn(
-            f"hit{i}",
+        )
+        .withColumn(
+            "_hit",
             F.coalesce(
-                F.expr(
-                    f"(_w{i} & shiftleft(1L, cast(p{i} % 64 as int))) != 0"
-                ),
+                F.expr("(word & shiftleft(1L, cast(pos % 64 as int))) != 0"),
                 F.lit(False),
             ),
         )
-    maybe = F.lit(True)
-    for i in range(_BLOOM_K):
-        maybe = maybe & F.col(f"hit{i}")
+        .groupBy("doc_id", "fp")
+        .agg(F.expr("bool_and(_hit)").alias("maybe_dup"))
+    )
     truth = hist.select(F.col("fp"), F.lit(True).alias("_t")).distinct()
     return (
-        checked.join(truth, "fp", "left")
+        hits.join(truth, "fp", "left")
         .select(
             "doc_id",
-            maybe.alias("maybe_dup"),
+            "maybe_dup",
             F.coalesce(F.col("_t"), F.lit(False)).alias("is_true_dup"),
         )
     )

@@ -397,7 +397,10 @@ def q182_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         F.least(
             F.col("_cnt"),
-            ((F.col("_w") * F.lit(_MIX_BUDGET)) / F.col("_tw")).cast("long"),
+            # integer div, matching the oracle's `//`: the float-/
+            # form loses low bits once w*budget clears 2^53 and the
+            # docstring's exactness claim with it
+            F.expr(f"(_w * {_MIX_BUDGET}) div _tw"),
         ).alias("_n_keep"),
     )
     w = Window.partitionBy("lang_guess").orderBy(F.asc("_h"), F.asc("doc_id"))

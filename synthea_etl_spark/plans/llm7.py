@@ -250,15 +250,23 @@ def _pq_seed_matrix(spark: SparkSession, sf_dir: str):
     """The _PQ_KS corpus vectors of smallest md5(vec_id) — the same
     deterministic seed discipline as q160's IVF quantizer — as an
     int64 numpy matrix of 1e4-quantized coordinates. Bounded collect:
-    k x dim floats, the IVF-centroid-pull contract."""
-    import hashlib
-
+    the orderBy+limit runs distributed (per-partition top-k merged on
+    the driver), so only k x dim floats ever reach the driver — the
+    IVF-centroid-pull contract (the first cut collected the whole
+    table and sorted in Python; at 100 TB that is a driver OOM)."""
     import numpy as np
 
-    e = load(spark, sf_dir, "embeddings")
-    rows = e.select("vec_id", "embedding").collect()
-    rows.sort(key=lambda r: hashlib.md5(str(r[0]).encode()).hexdigest())
-    seed = np.array([r[1] for r in rows[:_PQ_KS]], dtype=np.float64)
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("_r"),
+        )
+        .orderBy("_r")
+        .limit(_PQ_KS)
+        .collect()
+    )
+    seed = np.array([r.embedding for r in rows], dtype=np.float64)
     return np.floor(seed * _PQ_QSCALE + 0.5).astype(np.int64)
 
 

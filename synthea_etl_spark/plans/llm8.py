@@ -202,32 +202,10 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpw = Window.partitionBy(T.fingerprint("text")).orderBy("doc_id")
     d1 = d.withColumn("_fprn", F.row_number().over(fpw))
 
-    # stage 2: Gopher bounds (q188 signals, integer micro-units)
-    toks = T.tokens("text")
-    n = F.size(toks)
-    nn = F.greatest(n, F.lit(1)).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    d2 = (
-        d1.withColumn("_nw", n.cast("long"))
-        .withColumn("_sl", sum_len * F.lit(MICRO).cast("long"))
-        .withColumn("_al", n_alpha.cast("long") * F.lit(MICRO).cast("long"))
-        .withColumn("_nn", nn)
-        .withColumn("_ns", n_stop.cast("long"))
-        .withColumn(
-            "_q_ok",
-            (F.col("_nw") >= _MIN_WORDS)
-            & (F.col("_nw") <= _MAX_WORDS)
-            & (F.expr("_sl div _nn") >= _MIN_WLEN)
-            & (F.expr("_sl div _nn") <= _MAX_WLEN)
-            & (F.expr("_al div _nn") >= _MIN_ALPHA)
-            & (F.col("_ns") >= _MIN_STOP),
-        )
-    )
+    # stage 2: Gopher bounds — the reusable composite expression
+    # (operators/text.gopher_quality_ok), the same boolean q188's
+    # micro-div columns induce and the curation stream applies
+    d2 = d1.withColumn("_q_ok", T.gopher_quality_ok("text"))
 
     # stage 3: repetition thresholds on stage-1/2 survivors only
     # (single-Arrow-pass cov operator — no gram-stream shuffles;

@@ -749,3 +749,31 @@ def test_proximity_search_hot_term_linear_and_exact(spark):
     assert [(r.query_id, r.doc_id, r.n_starts) for r in got] == [
         (10, 1, len(starts))
     ]
+
+
+def test_ivf_grouped_survives_zero_norm_members(spark):
+    """A zero-norm vector in a probed cell yields NaN cosines; the
+    candidate cut must rank it LAST (not let NaN poison the
+    partition threshold) so every query still gets k finite
+    neighbors."""
+    import numpy as np
+
+    import synthea_etl_spark.operators.similarity as S
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.randn(16)]) for i in range(200)]
+    vecs.append((500, [0.0] * 16))  # zero-norm member
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 20")
+    out = S.knn_ann_ivf_grouped(
+        df, queries, k=5, n_centroids=4, n_probe=4, lloyd_iters=0
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(20))
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        for r in rows:
+            assert r.neighbor_id != 500  # NaN sims never beat finite
+            assert r.sim == r.sim  # finite (not NaN)

@@ -293,6 +293,8 @@ def test_curation_ingest_stream_end_to_end(spark, tmp_path):
         [
             (10, "fr", good(0)),  # dup vs HISTORY (doc 0 admitted in b0)
             (11, "fr", good(2)),
+            (12, "fr", "too short"),  # dup of the REJECTED doc 2: the
+            # probe keys on ALL prior fingerprints, not just admitted
         ],
     )
     run()
@@ -309,6 +311,7 @@ def test_curation_ingest_stream_end_to_end(spark, tmp_path):
         4: "exact_dup",
         10: "exact_dup",
         11: "admitted",
+        12: "exact_dup",
     }
     adm = spark.read.parquet(str(admitted))
     assert sorted(r.doc_id for r in adm.collect()) == [0, 1, 11]
