@@ -268,34 +268,12 @@ def q196_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = fp.join(fpc, "fp").select(
         "doc_id", (F.col("_nfp") > 1).alias("_dup")
     )
-    toks = T.tokens("text")
-    n = F.size(toks)
-    nn = F.greatest(n, F.lit(1)).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
     sig = d.select(
         "doc_id",
         "source",
         "lang",
-        n.cast("long").alias("_nw"),
-        (sum_len * F.lit(MICRO).cast("long")).alias("_sl"),
-        (n_alpha.cast("long") * F.lit(MICRO).cast("long")).alias("_al"),
-        nn.alias("_nn"),
-        n_stop.cast("long").alias("_ns"),
-    ).withColumn(
-        "_q_fail",
-        ~(
-            (F.col("_nw") >= _MIN_WORDS)
-            & (F.col("_nw") <= _MAX_WORDS)
-            & (F.expr("_sl div _nn") >= _MIN_WLEN)
-            & (F.expr("_sl div _nn") <= _MAX_WLEN)
-            & (F.expr("_al div _nn") >= _MIN_ALPHA)
-            & (F.col("_ns") >= _MIN_STOP)
-        ),
+        F.size(T.tokens("text")).cast("long").alias("_nw"),
+        (~T.gopher_quality_ok("text")).alias("_q_fail"),
     )
     joined = sig.join(dup, "doc_id")
     return joined.groupBy("source").agg(
