@@ -138,6 +138,8 @@ HEADLINE_OPT = [
     "q199_train_order_manifest",
     "q200_token_budget_curriculum",
     "q201_epoch_repetition_plan",
+    "q202_minhash_recall_eval",
+    "q203_embedding_recall_eval",
 ]
 
 

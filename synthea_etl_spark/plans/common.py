@@ -400,6 +400,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -424,6 +425,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm9,
         llm10,
         llm11,
+        llm12,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
