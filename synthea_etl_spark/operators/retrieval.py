@@ -342,6 +342,7 @@ def proximity_search(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     terms_col: str = "terms",
+    segment_positions: int = 4096,
 ) -> DataFrame:
     """Sloppy/proximity retrieval over the positional index: a doc
     matches query q iff SOME window of ``window`` consecutive token
@@ -353,20 +354,27 @@ def proximity_search(
     (query_id, doc_id, n_starts) — n_starts > 0 means match, and the
     count grades how densely the terms co-occur.
 
-    Scale: per (query, doc) ALL query-term occurrences are collected
-    into ONE row (a pos-sorted (pos, term) array) and windowized
-    there with a two-pointer sweep — O(T) in the per-doc query-term
-    occurrence count T, never the T² of an occurrence self-join, so
-    a stop-word query term in a long document costs linear work
-    instead of going quadratic (the hot-term fixture in
-    tests/test_llm4.py pins this; SCALE.md records the bound). The
-    term-set frame broadcasts; the index side shuffles once on
-    (query, doc) pruned to query terms (term-bucketed index → only
-    those buckets read); the collected array holds one entry per
-    query-term occurrence of that doc — one row per (query, doc)
-    regardless of term density."""
+    Scale: per (query, doc, SEGMENT) the query-term occurrences are
+    collected into one pos-sorted (pos, term, is_start) array and
+    windowized with a two-pointer sweep — O(T) in the per-doc
+    query-term occurrence count T, never the T² of an occurrence
+    self-join. The segment bound makes the collected row itself
+    BOUNDED: positions split into spans of S =
+    max(window, segment_positions) tokens, and each occurrence lands
+    in its own segment as a candidate start plus (when pos % S <
+    window) in the previous segment as context-only — so a stop-word
+    query term in an arbitrarily long document costs ≤ 2S struct
+    entries per row instead of one unbounded array (the ADVICE round-9
+    per-row memory-spike finding). Exactness: a minimal covering
+    window starts at an occurrence; a start's window extends < window
+    past its segment end, and exactly those occurrences are present
+    as context, so per-segment start counts sum to the global count.
+    The term-set frame broadcasts; the index side shuffles once on
+    (query, doc, segment) pruned to query terms; the per-(query, doc)
+    total is one more (tiny, per-segment-counts) partial aggregate."""
     from pyspark.sql.functions import pandas_udf
 
+    seg = max(int(window), int(segment_positions))
     qt = term_sets.select(
         F.col(query_id_col),
         F.size(F.array_distinct(F.col(terms_col))).alias("_n_terms"),
@@ -375,27 +383,50 @@ def proximity_search(
     occ = index.join(F.broadcast(qt), "t").select(
         F.col(query_id_col), F.col(id_col), "t", "pos", "_n_terms"
     )
-    grouped = occ.groupBy(query_id_col, id_col, "_n_terms").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "t"))).alias("_occ")
+    starts = occ.select(
+        "*",
+        F.expr(f"pos div {seg}").alias("_seg"),
+        F.lit(True).alias("_is_start"),
+    )
+    # overlap rows: context for the previous segment (never starts)
+    ctx = occ.filter(
+        (F.expr(f"pos % {seg}") < F.lit(window))
+        & (F.expr(f"pos div {seg}") > 0)
+    ).select(
+        "*",
+        (F.expr(f"pos div {seg}") - 1).alias("_seg"),
+        F.lit(False).alias("_is_start"),
+    )
+    grouped = (
+        starts.unionByName(ctx)
+        .groupBy(query_id_col, id_col, "_seg", "_n_terms")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "t", "_is_start"))
+            ).alias("_occ")
+        )
     )
 
     @pandas_udf("long")
     def n_starts_udf(occs: pd.Series, n_terms: pd.Series) -> pd.Series:
         out = []
         for ps, nt in zip(occs, n_terms):
-            # ps: pos-sorted [(pos, t), ...]; candidate starts are the
-            # occurrences themselves (a minimal covering window starts
-            # at one). Two pointers: for left occurrence i, advance r
-            # to the first occurrence with pos >= pos[i] + window
-            # while maintaining per-term window counts -- each
-            # occurrence enters and leaves the window once, O(T).
+            # ps: pos-sorted [(pos, t, is_start), ...]; candidate
+            # starts are the segment's own occurrences (a minimal
+            # covering window starts at one); context rows complete
+            # windows that spill past the segment end. Two pointers:
+            # for left occurrence i, advance r to the first occurrence
+            # with pos >= pos[i] + window while maintaining per-term
+            # window counts -- each occurrence enters and leaves the
+            # window once, O(T).
             pos = [p["pos"] for p in ps]
             term = [p["t"] for p in ps]
+            is_start = [p["_is_start"] for p in ps]
             counts: dict = {}
             distinct = 0
             r = 0
             n = len(pos)
-            starts = 0
+            n_starts = 0
             for i in range(n):
                 while r < n and pos[r] < pos[i] + window:
                     c = counts.get(term[r], 0)
@@ -403,19 +434,25 @@ def proximity_search(
                     if c == 0:
                         distinct += 1
                     r += 1
-                if distinct == nt and (i == 0 or pos[i] != pos[i - 1]):
-                    starts += 1
+                if (
+                    is_start[i]
+                    and distinct == nt
+                    and (i == 0 or pos[i] != pos[i - 1])
+                ):
+                    n_starts += 1
                 c = counts[term[i]]
                 counts[term[i]] = c - 1
                 if c == 1:
                     distinct -= 1
-            out.append(starts)
+            out.append(n_starts)
         return pd.Series(out, dtype="int64")
 
     return (
         grouped.withColumn(
-            "n_starts", n_starts_udf(F.col("_occ"), F.col("_n_terms"))
+            "_n_starts", n_starts_udf(F.col("_occ"), F.col("_n_terms"))
         )
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_n_starts").cast("long").alias("n_starts"))
         .filter(F.col("n_starts") > 0)
         .select(query_id_col, id_col, "n_starts")
     )

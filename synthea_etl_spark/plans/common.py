@@ -364,6 +364,23 @@ DRIVER_CERTIFIED = frozenset({
     "q172_raster_exact_dedup", "q173_phrase_search",
     "q174_proximity_search", "q175_cluster_top_terms",
     "q176_corpus_overlap", "q177_chunk_retrieval",
+    # r9 (26; CORRECTNESS_r09.json 50/50 green -- closes
+    # certification at 195 hash-green of 198 declared; the 3
+    # remaining no_oracle-by-design rows q43/q101/q102 have exact
+    # twins q160/q53/q54)
+    "q178_corpus_overlap_from_store", "q179_hybrid_rrf_retrieval",
+    "q180_canonical_near_dup_reps", "q181_language_quota",
+    "q182_temperature_mixture", "q183_ivf_index_stats",
+    "q184_gopher_repetition_filter", "q185_unigram_nll_quality",
+    "q186_source_overlap_matrix", "q187_paragraph_dedup",
+    "q188_gopher_quality_rules", "q189_pq_adc_topk",
+    "q190_cluster_balanced_sample", "q191_mined_bitext",
+    "q192_curation_funnel", "q193_dataset_diff",
+    "q194_dsir_importance", "q195_dup_cluster_histogram",
+    "q196_dataset_card", "q197_bloom_dedup_probe",
+    "q198_token_fertility", "q199_train_order_manifest",
+    "q200_token_budget_curriculum", "q201_epoch_repetition_plan",
+    "q202_minhash_recall_eval", "q203_embedding_recall_eval",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -371,7 +388,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 9
+GATE_ROUND = 10
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -799,13 +799,16 @@ def q178_corpus_overlap_from_store(
     the mergeability invariant end to end through parquet. At 100 TB
     the answering path reads k×n_slices rows, never the corpus."""
     import os
+    import shutil
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    store = os.path.join(
-        tempfile.gettempdir(), f"sparkgraft_sketch_store_{tag}"
-    )
+    # per-run private store: two concurrent runs (bench + gate, or
+    # two users) must not race on the same dynamic-overwrite
+    # partitions, so the store lives in a mkdtemp dir and is removed
+    # before returning (the 1-row estimator result is materialized
+    # first -- it is sketch-sized by construction)
+    store = tempfile.mkdtemp(prefix="sparkgraft_sketch_store_")
     corp_a = docs.filter(F.col("doc_id") % 3 != 2)
     corp_b = docs.filter(F.col("doc_id") % 3 != 0)
     # ingest-time path: each slice publishes its own k-row sketch
@@ -818,13 +821,19 @@ def q178_corpus_overlap_from_store(
                 k=64,
             )
     # answering path: k-row reads only — no corpus access
-    ska = D.merge_bottomk_sketches(
-        spark.read.parquet(os.path.join(store, "a")), k=64
-    )
-    skb = D.merge_bottomk_sketches(
-        spark.read.parquet(os.path.join(store, "b")), k=64
-    )
-    return D.corpus_overlap_from_sketches(ska, skb, k=64)
+    try:
+        ska = D.merge_bottomk_sketches(
+            spark.read.parquet(os.path.join(store, "a")), k=64
+        )
+        skb = D.merge_bottomk_sketches(
+            spark.read.parquet(os.path.join(store, "b")), k=64
+        )
+        out = D.corpus_overlap_from_sketches(ska, skb, k=64)
+        # materialize the 1-row answer so the temp store can be
+        # deleted before the caller's (lazy) collect
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -866,8 +875,10 @@ def q177_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = bm25_topk_from_index(index, queries, id_col="chunk_id", k=5)
     return hits.select(
         "query_id",
-        (F.col("chunk_id") / 100000).cast("long").alias("doc_id"),
-        (F.col("chunk_id") % 100000).cast("int").alias("chunk_idx"),
+        # integer `div`, not float `/`: double arithmetic loses
+        # exactness past 2^53 while the id encoding itself is exact
+        F.expr("chunk_id div 100000").alias("doc_id"),
+        F.expr("chunk_id % 100000").cast("int").alias("chunk_idx"),
         "score",
         "rank",
     )

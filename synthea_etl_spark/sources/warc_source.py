@@ -259,9 +259,13 @@ class WarcDataSourceWriter(DataSourceWriter):
     concurrent append that published part files but not yet its
     manifest is not destroyed. Between an overwrite's manifest
     publish and its cleanup, readers may transiently observe both
-    generations — the documented cost of lock-free last-wins. Input
-    rows need (target_uri, payload_text | payload binary,
-    warc_type?)."""
+    generations — the documented cost of lock-free last-wins. Two
+    CONCURRENT overwrites resolve deterministically: each publishes
+    _MANIFEST-OVR-<start_ns>-<token>, the lexicographically largest
+    name wins, and both jobs compute the same winner from filenames
+    alone (the later cleaner deletes the loser's generation; a loser
+    that commits after the winner retires its own). Input rows need
+    (target_uri, payload_text | payload binary, warc_type?)."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
         import time
@@ -295,6 +299,19 @@ class WarcDataSourceWriter(DataSourceWriter):
                 if (f == "_MANIFEST" or f.startswith("_MANIFEST-"))
                 and not f.endswith(".tmp")
             }
+        # Overwrite jobs publish under _MANIFEST-OVR-<start_ns>-<token>
+        # so two CONCURRENT overwrites can deterministically pick one
+        # winner (largest (start_ns, token) string wins — both jobs
+        # compute the same order from filenames alone, no coordination).
+        # Append manifests keep the plain _MANIFEST-<token> name;
+        # readers union every _MANIFEST* either way.
+        if overwrite:
+            self.manifest_name = (
+                f"_MANIFEST-OVR-{int(self.job_start * 1e9):020d}"
+                f"-{self.job_token}"
+            )
+        else:
+            self.manifest_name = f"_MANIFEST-{self.job_token}"
 
     def write(self, iterator) -> _WarcWriteCommit:
         import os
@@ -342,7 +359,7 @@ class WarcDataSourceWriter(DataSourceWriter):
         # race on (two appends each publish their own manifest; both
         # stay visible regardless of order). Overwrite-vs-concurrent-
         # append is semantically conflicting and stays last-wins.
-        mpath = os.path.join(self.path, f"_MANIFEST-{self.job_token}")
+        mpath = os.path.join(self.path, self.manifest_name)
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(sorted(manifest, key=lambda e: e["path"]), fh)
@@ -373,28 +390,46 @@ class WarcDataSourceWriter(DataSourceWriter):
             # long-running append's shards can predate our start).
             prior_listed: set[str] = set()
             concurrent_listed: set[str] = set()
+            # Concurrent OVERWRITE-vs-OVERWRITE is resolved by a
+            # deterministic tie-break both jobs compute identically
+            # from manifest filenames: _MANIFEST-OVR-<start_ns>-<token>
+            # orders lexicographically, largest wins. The loser's
+            # generation is deleted by whichever job cleans up later
+            # (winner deletes loser's manifest+shards; a loser that
+            # commits after the winner deletes its OWN generation).
+            losing_ovr: set[str] = set()  # losing overwrite manifests
+            losing_listed: set[str] = set()  # ...and their shards
+            self_loses = False
+            own_name = os.path.basename(mpath)
             for name in os.listdir(self.path):
                 is_manifest = name == "_MANIFEST" or (
                     name.startswith("_MANIFEST-")
                     and not name.endswith(".tmp")
                 )
-                if not is_manifest or name == os.path.basename(mpath):
+                if not is_manifest or name == own_name:
                     continue
                 try:
                     with open(os.path.join(self.path, name)) as fh:
                         listed = {e["path"] for e in json.load(fh)}
                 except (OSError, ValueError):
                     continue  # torn concurrent replace: leave it
-                (
-                    prior_listed
-                    if name in self.preexisting_manifests
-                    else concurrent_listed
-                ).update(listed)
-            superseded = prior_listed - keep
+                if name in self.preexisting_manifests:
+                    prior_listed.update(listed)
+                elif name.startswith("_MANIFEST-OVR-"):
+                    # concurrent overwrite generation: tie-break
+                    if name < own_name:
+                        losing_ovr.add(name)
+                        losing_listed.update(listed)
+                    else:
+                        self_loses = True
+                        concurrent_listed.update(listed)
+                else:
+                    concurrent_listed.update(listed)
+            superseded = (prior_listed | losing_listed) - keep
             for f in os.listdir(self.path):
                 stale_manifest = (
                     f == "_MANIFEST"
-                    or (f.startswith("_MANIFEST-") and f != os.path.basename(mpath))
+                    or (f.startswith("_MANIFEST-") and f != own_name)
                 )
                 stale_shard = (
                     f.endswith((".warc.gz", ".warc")) and f not in keep
@@ -406,6 +441,7 @@ class WarcDataSourceWriter(DataSourceWriter):
                     if (
                         stale_manifest
                         and f not in self.preexisting_manifests
+                        and f not in losing_ovr
                     ):
                         continue  # concurrent job's commit — keep it
                     if stale_shard and f in concurrent_listed:
@@ -419,6 +455,16 @@ class WarcDataSourceWriter(DataSourceWriter):
                     os.remove(full)
                 except OSError:
                     continue  # already gone (another cleaner won)
+            if self_loses:
+                # a concurrent overwrite with a larger tie-break key
+                # committed during our run: last-wins resolves to it,
+                # so this job's generation self-retires (both jobs
+                # agree on the winner from filenames alone)
+                for f in list(keep) + [own_name]:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        continue
 
     def abort(self, messages) -> None:
         import os

@@ -777,3 +777,51 @@ def test_ivf_grouped_survives_zero_norm_members(spark):
         for r in rows:
             assert r.neighbor_id != 500  # NaN sims never beat finite
             assert r.sim == r.sim  # finite (not NaN)
+
+
+def test_proximity_segmentation_parity(spark):
+    """The bounded-row segmentation (ADVICE r9: cap the per-(query,
+    doc) collected occurrence array) must be invisible in results:
+    forcing many tiny segments (segment_positions=window, the
+    minimum) returns bit-identical (query, doc, n_starts) to one
+    giant segment, including starts whose windows straddle segment
+    boundaries, and both match a brute-force recount."""
+    import random
+
+    from synthea_etl_spark.operators.retrieval import (
+        positional_index,
+        proximity_search,
+    )
+
+    rng = random.Random(42)
+    n, window = 600, 7
+    vocab = ["alpha", "beta", "gamma", "filler"]
+    words = [vocab[rng.randrange(4)] for _ in range(n)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    idx = positional_index(docs)
+    ts = spark.createDataFrame(
+        [(10, ["alpha", "beta", "gamma"])],
+        "query_id long, terms array<string>",
+    )
+    tiny = proximity_search(
+        idx, ts, window=window, segment_positions=window
+    ).collect()
+    one = proximity_search(
+        idx, ts, window=window, segment_positions=10**6
+    ).collect()
+    key = lambda r: (r.query_id, r.doc_id, r.n_starts)  # noqa: E731
+    assert sorted(map(key, tiny)) == sorted(map(key, one))
+    # brute force: starts are query-term occurrences whose window
+    # covers all three terms
+    occ = [
+        (i, w) for i, w in enumerate(words) if w in ("alpha", "beta", "gamma")
+    ]
+    starts = sum(
+        1
+        for s, _ in occ
+        if {"alpha", "beta", "gamma"}
+        <= {w for p, w in occ if s <= p < s + window}
+    )
+    assert sorted(map(key, tiny)) == [(10, 1, starts)]

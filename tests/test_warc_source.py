@@ -386,3 +386,57 @@ def test_warc_overwrite_spares_concurrent_commit(spark, tmp_path):
     assert prior_manifests.isdisjoint(names)  # prior generation gone
     back = spark.read.format("warc").load(str(out)).collect()
     assert {r.target_uri for r in back} == {"http://x/9", "http://c/1"}
+
+
+def test_warc_concurrent_overwrites_resolve_to_one_winner(
+    spark, tmp_path
+):
+    """Two CONCURRENT overwrite jobs (both started before either
+    committed) must not leave readers unioning both generations:
+    the _MANIFEST-OVR-<start_ns>-<token> names give both jobs the
+    same deterministic winner (largest name), whichever commits
+    last. Exercised in both commit orders."""
+    import time
+
+    from synthea_etl_spark.sources.warc_source import (
+        WarcDataSourceWriter,
+        _WarcWriteCommit,
+    )
+
+    spark.dataSource.register(WarcDataSource)
+
+    def run_race(winner_commits_first: bool, out) -> None:
+        # generation 0 both overwrites replace
+        spark.createDataFrame(
+            [("http://x/0", "body 0", "response")],
+            "target_uri string, payload_text string, warc_type string",
+        ).repartition(1).write.format("warc").mode("overwrite").save(
+            str(out)
+        )
+        a = WarcDataSourceWriter({"path": str(out)}, overwrite=True)
+        time.sleep(0.01)  # distinct start_ns => unambiguous order
+        b = WarcDataSourceWriter({"path": str(out)}, overwrite=True)
+        assert b.manifest_name > a.manifest_name  # b is the winner
+        shards = {}
+        for job, uri in ((a, "http://job/a"), (b, "http://job/b")):
+            s = out / f"part-{job.job_token}-00000.warc.gz"
+            s.write_bytes(
+                encode_warc_gz([{"uri": uri, "payload": b"p"}])
+            )
+            shards[job] = s
+        order = (b, a) if winner_commits_first else (a, b)
+        for job in order:
+            job.commit(
+                [_WarcWriteCommit(path=str(shards[job]), n_records=1)]
+            )
+        back = spark.read.format("warc").load(str(out)).collect()
+        assert {r.target_uri for r in back} == {"http://job/b"}
+        manifests = [
+            p.name
+            for p in out.iterdir()
+            if p.name.startswith("_MANIFEST")
+        ]
+        assert manifests == [b.manifest_name]
+
+    run_race(False, tmp_path / "loser_last")
+    run_race(True, tmp_path / "winner_last")
