@@ -138,10 +138,12 @@ HEADLINE_OPT = [
     "q199_train_order_manifest",
     "q200_token_budget_curriculum",
     "q201_epoch_repetition_plan",
-    # q202/q203 recall-eval reports are NOT benched: their exact-truth
-    # sides are deliberately quadratic measurement passes (the same
-    # reason q36/q38 stay out of the headline set) — they gate in
-    # CORRECTNESS and run on samples in production.
+    "q204_ivf_rollover_probe",
+    # q202/q203 recall-eval reports (and their q205/q206 sampled
+    # forms) are NOT benched: their exact-truth sides are
+    # deliberately quadratic measurement passes (the same reason
+    # q36/q38 stay out of the headline set) — they gate in
+    # CORRECTNESS and run via the sample_fraction knob in production.
 ]
 
 

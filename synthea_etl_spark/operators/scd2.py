@@ -129,16 +129,27 @@ def scd2_merge(
     )
 
 
-def write_swap(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+def write_swap(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
     """Atomic-ish overwrite: write to a temp sibling, then swap —
     removes the reference's read-overwrite race
     (Patient_datamart.py:57,115). On real deployments use a
-    transactional table format; this is the pure-parquet equivalent."""
+    transactional table format; this is the pure-parquet equivalent.
+    ``partition_by`` keeps a partitioned layout through the swap
+    (e.g. the ANN index's batch_id partitions, which the streaming
+    ingester's dynamic overwrite keys on)."""
     import os
     import shutil
 
     tmp = path.rstrip("/") + "__tmp"
-    df.write.format(fmt).mode("overwrite").save(tmp)
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(tmp)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)

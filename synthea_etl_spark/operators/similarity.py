@@ -498,6 +498,88 @@ def knn_ann_ivf_probe(
     )
 
 
+def save_centroids(
+    spark, centroids: list[list[float]], path: str
+) -> None:
+    """Persist a quantizer next to its index (k rows of (cid,
+    centroid)) with the write_swap atomic-rename discipline, so the
+    (centroids, index) pair a prober needs is durable across driver
+    restarts. k*dim floats — driver-sized by construction."""
+    from synthea_etl_spark.operators.scd2 import write_swap
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+    write_swap(df.coalesce(1), path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Inverse of save_centroids: k rows back to the driver-side
+    list the assign/probe UDF factories take."""
+    rows = spark.read.parquet(path).orderBy("cid").collect()
+    return [[float(x) for x in r.centroid] for r in rows]
+
+
+def ivf_index_rollover(
+    spark,
+    index_path: str,
+    new_centroids: list[list[float]] | None = None,
+    centroids_path: str | None = None,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+) -> list[list[float]]:
+    """The REMEDIATION half of the IVF index-ops story: q183 flags
+    quantizer drift (hot cells, falling coherence) and this operator
+    acts on it. Reads the persisted index — the store already holds
+    every vector, so no corpus access — trains (or accepts) a new
+    quantizer, re-assigns every stored row in ONE narrow per-row
+    pass (make_assign_udf: a matmul per Arrow batch, no shuffle),
+    and republishes the table with the write_swap atomic-rename
+    discipline (operators/scd2.write_swap — the same contract that
+    swaps SCD2 dims). Invariant, pinned in tests/test_llm13.py:
+    ``rollover(index, C') == ivf_index(original_corpus, C')``
+    row-for-row, because assignment under a fixed quantizer is
+    per-row — the store IS the corpus as far as re-assignment cares.
+
+    A ``batch_id`` partition column, when present, survives the swap
+    (write_swap partition_by), so a restarted
+    ``pipeline.ann_index_ingest_stream`` — handed the NEW centroids —
+    resumes against the swapped index: its replayed batches rewrite
+    their own partitions under the new quantizer, which is exactly
+    what the rollover assigned them, and fresh batches append new
+    partitions. When ``centroids_path`` is given the new quantizer is
+    republished there AFTER the index swap; between the two renames a
+    reader holding old centroids probes valid (new-layout) cells at
+    reduced recall — transient degradation, never corruption. At
+    100 TB wrap both renames in one versioned-root pointer swap if
+    even that window matters.
+
+    Returns the new centroids (the probe side needs them)."""
+    from synthea_etl_spark.operators.scd2 import write_swap
+
+    store = spark.read.parquet(index_path)
+    if new_centroids is None:
+        new_centroids = ivf_train_centroids(
+            store, id_col, vec_col, n_centroids, lloyd_iters
+        )
+    assign = make_assign_udf(new_centroids)
+    keep_cols = [c for c in store.columns if c != "cluster"]
+    rolled = store.select(
+        assign(F.col(vec_col)).alias("cluster"), *keep_cols
+    )
+    write_swap(
+        rolled,
+        index_path,
+        partition_by=["batch_id"] if "batch_id" in store.columns else None,
+    )
+    if centroids_path is not None:
+        save_centroids(spark, new_centroids, centroids_path)
+    return new_centroids
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -418,6 +418,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -443,6 +444,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm10,
         llm11,
         llm12,
+        llm13,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -33,21 +33,51 @@ import synthea_etl_spark.operators.dedup as D
 import synthea_etl_spark.operators.similarity as S
 from synthea_etl_spark.plans.common import QuerySpec, load
 
+# Deterministic md5-threshold row sampling for the recall evals'
+# quadratic truth sides (the round-9 VERDICT ask: the sampling must
+# be OPERATOR-bounded, not left to the caller). fraction f keeps a
+# row iff the first 8 md5 hex chars of its id, read as an int, fall
+# under f * 2^32 — seeded, order-independent, and exactly
+# reproducible in SQL (the HEX8 oracle twin below), so a SAMPLED
+# recall report is itself hash-gateable.
+_SAMPLE_SCALE = 1 << 32
+
+
+def _md5_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    if fraction >= 1.0:
+        return df
+    bound = int(fraction * _SAMPLE_SCALE)
+    return df.filter(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        < F.lit(bound)
+    )
+
+
+def _sql_md5_sample(id_expr: str, fraction: float) -> str:
+    bound = int(fraction * _SAMPLE_SCALE)
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) < {bound}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # q202 MinHash-LSH recall vs exact Jaccard truth
 # ---------------------------------------------------------------------------
 
 
-def q202_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Truth = exact 3-gram Jaccard >= 0.3 pairs over the whole
-    corpus (shared-shingle equi-join — docs sharing no shingle never
-    pair, so this is NOT a cross join even unblocked); candidates =
-    q33's 32-perm 8-band LSH pairs. Returns (id_a, id_b, jaccard,
-    caught): caught=false rows are exactly the recall losses the
-    bands/rows setting trades away. Offline-QA shape: run on a
-    corpus sample at scale; the exact side is the cost you pay to
-    MEASURE the index, not to run it."""
-    d = load(spark, sf_dir, "documents")
+def minhash_recall_eval(
+    docs: DataFrame, sample_fraction: float = 1.0
+) -> DataFrame:
+    """The q202 report with a first-class sampling knob: at corpus
+    scale the exact-Jaccard truth side is quadratic BY DESIGN (it is
+    the measurement the LSH index exists to avoid), so the operator
+    itself bounds it — sample_fraction < 1 md5-samples the corpus
+    BEFORE either side runs, making the report runnable at any scale
+    with a deterministic, hash-stable row selection."""
+    d = _md5_sample(docs, "doc_id", sample_fraction)
     truth = D.jaccard_pairs(
         d, "text", "doc_id", 3, 0.3, block_col=None, allow_unblocked=True
     )
@@ -60,6 +90,21 @@ def q202_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "jaccard",
         F.coalesce(F.col("_c"), F.lit(False)).alias("caught"),
+    )
+
+
+def q202_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth = exact 3-gram Jaccard >= 0.3 pairs over the whole
+    corpus (shared-shingle equi-join — docs sharing no shingle never
+    pair, so this is NOT a cross join even unblocked); candidates =
+    q33's 32-perm 8-band LSH pairs. Returns (id_a, id_b, jaccard,
+    caught): caught=false rows are exactly the recall losses the
+    bands/rows setting trades away. Offline-QA shape: the gate runs
+    sample_fraction=1.0 (the gate corpus is its own sample); q205
+    gates the sampled path, and at production scale the fraction
+    bounds the quadratic truth side inside the operator."""
+    return minhash_recall_eval(
+        load(spark, sf_dir, "documents"), sample_fraction=1.0
     )
 
 
@@ -100,16 +145,14 @@ LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
 # ---------------------------------------------------------------------------
 
 
-def q203_embedding_recall_eval(
-    spark: SparkSession, sf_dir: str
+def embedding_recall_eval(
+    vecs: DataFrame, sample_fraction: float = 1.0
 ) -> DataFrame:
-    """Truth = exact cosine >= 0.4 pairs (q38's blocked quadratic
-    listing — the measurement cost, paid on a sample at scale);
-    candidates = q123's hyperplane-LSH multiprobe pairs (no false
-    positives by construction — every candidate is exact-verified —
-    so the only question is recall). Returns (id_a, id_b, sim,
-    caught)."""
-    e = load(spark, sf_dir, "embeddings")
+    """The q203 report with the same operator-bounded sampling knob
+    as minhash_recall_eval: sample_fraction md5-samples the vector
+    corpus before either the exact truth listing or the LSH
+    candidate pass runs."""
+    e = _md5_sample(vecs, "vec_id", sample_fraction)
     truth = S.embedding_near_dup_pairs(e, threshold=0.4)
     cand = S.embedding_near_dup_lsh(
         e, threshold=0.4, n_planes=6, multiprobe=2
@@ -119,6 +162,21 @@ def q203_embedding_recall_eval(
         "id_b",
         "sim",
         F.coalesce(F.col("_c"), F.lit(False)).alias("caught"),
+    )
+
+
+def q203_embedding_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truth = exact cosine >= 0.4 pairs (q38's blocked quadratic
+    listing — the measurement cost, paid on a sample at scale);
+    candidates = q123's hyperplane-LSH multiprobe pairs (no false
+    positives by construction — every candidate is exact-verified —
+    so the only question is recall). Returns (id_a, id_b, sim,
+    caught). The gate runs sample_fraction=1.0; q206 gates the
+    sampled path."""
+    return embedding_recall_eval(
+        load(spark, sf_dir, "embeddings"), sample_fraction=1.0
     )
 
 

@@ -1,0 +1,235 @@
+"""Round-10 tests: IVF index rollover (the remediation half of the
+index-ops story) and the operator-bounded recall-eval sampling knob.
+"""
+
+from __future__ import annotations
+
+import json as _json
+
+import numpy as np
+import pytest
+
+import synthea_etl_spark.operators.similarity as S
+
+
+@pytest.fixture()
+def vec_corpus(spark):
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(150)]
+    return vecs, spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+
+
+def _key(r):
+    return (r.cluster, r.neighbor_id, tuple(r.cv))
+
+
+def test_rollover_equals_fresh_rebuild(spark, tmp_path, vec_corpus):
+    """The core invariant the round-9 VERDICT asked for:
+    ``rollover(index, C') == ivf_index(corpus, C')`` row-for-row —
+    with a LLOYD-REFINED retrain (the production path; the gate's
+    q204 covers the seed-only closed form). The retrain runs FROM
+    THE STORE, so the equality also certifies that the store losslessly
+    carries the corpus vectors."""
+    vecs, corpus = vec_corpus
+    index_path = str(tmp_path / "index")
+    c1 = S.ivf_train_centroids(
+        corpus, "vec_id", "embedding", n_centroids=8, lloyd_iters=1
+    )
+    S.ivf_index(corpus, c1).write.parquet(index_path)
+
+    c2 = S.ivf_index_rollover(
+        spark, index_path, n_centroids=5, lloyd_iters=1
+    )
+    rolled = spark.read.parquet(index_path)
+    fresh = S.ivf_index(corpus, c2)
+    assert sorted(map(_key, rolled.collect())) == sorted(
+        map(_key, fresh.collect())
+    )
+    # and the retrained quantizer matches one trained on the corpus
+    # directly (store ids/vectors == corpus ids/vectors) up to the
+    # order-dependence of Lloyd's float mean — the store is read with
+    # different partitioning, so F.avg partials combine in a different
+    # order (last-ulp differences only; the seed-only closed form is
+    # hash-exact and gated as q204)
+    c2_direct = S.ivf_train_centroids(
+        corpus, "vec_id", "embedding", n_centroids=5, lloyd_iters=1
+    )
+    assert np.allclose(np.array(c2), np.array(c2_direct), atol=1e-12)
+
+
+def test_rollover_explicit_centroids_and_swap_atomicity(
+    spark, tmp_path, vec_corpus
+):
+    """Passing new_centroids skips the retrain; the publish is the
+    write_swap discipline (no __tmp sibling left behind, old
+    generation fully replaced) and the centroid table round-trips."""
+    import os
+
+    vecs, corpus = vec_corpus
+    index_path = str(tmp_path / "index")
+    cent_path = str(tmp_path / "centroids")
+    c1 = S.ivf_train_centroids(
+        corpus, "vec_id", "embedding", n_centroids=8, lloyd_iters=0
+    )
+    S.ivf_index(corpus, c1).write.parquet(index_path)
+
+    new_c = [list(v) for _, v in vecs[:4]]
+    got = S.ivf_index_rollover(
+        spark, index_path, new_centroids=new_c, centroids_path=cent_path
+    )
+    assert got == new_c
+    assert S.load_centroids(spark, cent_path) == new_c
+    assert not os.path.exists(index_path + "__tmp")
+    rolled = spark.read.parquet(index_path)
+    assert sorted(map(_key, rolled.collect())) == sorted(
+        map(_key, S.ivf_index(corpus, new_c).collect())
+    )
+    # every row re-assigned under the 4-cell quantizer
+    assert {r.cluster for r in rolled.select("cluster").distinct().collect()} <= set(range(4))
+
+
+def test_stream_resumes_against_rolled_index(spark, tmp_path):
+    """The stream-compatibility contract from the VERDICT ask:
+    ann_index_ingest_stream ingests two batches under quantizer A;
+    rollover re-assigns the stored partitions under retrained
+    quantizer B (batch_id layout preserved through the swap); the
+    RESTARTED stream — handed B — ingests a third batch, and the
+    accumulated index equals a batch rebuild of the full corpus
+    under B. Also pins the replay contract post-rollover: a replayed
+    batch partition rewrite is a no-op."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.pipeline import ann_index_ingest_stream
+
+    landing = tmp_path / "landing"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    rng = np.random.RandomState(43)
+    vecs = [(i, [float(x) for x in rng.randn(8)]) for i in range(150)]
+    corpus = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cA = [list(v) for _, v in vecs[:6]]
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps({"vec_id": i, "embedding": v}) for i, v in rows
+            )
+        )
+
+    def run(centroids):
+        ann_index_ingest_stream(
+            spark, str(landing), str(index), str(ckpt), schema, centroids
+        ).awaitTermination(120)
+
+    land("b0.json", vecs[:60])
+    run(cA)
+    land("b1.json", vecs[60:100])
+    run(cA)
+
+    # drift remediation between stream runs
+    cB = S.ivf_index_rollover(
+        spark, str(index), n_centroids=4, lloyd_iters=1
+    )
+    # batch_id partition layout survived the swap
+    assert {
+        r.batch_id
+        for r in spark.read.parquet(str(index))
+        .select("batch_id")
+        .distinct()
+        .collect()
+    } == {0, 1}
+
+    land("b2.json", vecs[100:])
+    run(cB)  # restarted stream resumes from checkpoint with B
+
+    streamed = spark.read.parquet(str(index)).drop("batch_id")
+    rebuilt = S.ivf_index(corpus, cB)
+    assert sorted(map(_key, streamed.collect())) == sorted(
+        map(_key, rebuilt.collect())
+    )
+
+    # replayed batch 1 (now under B) rewrites its own partition: no-op
+    full = spark.read.parquet(str(index))
+    b1 = spark.createDataFrame(
+        full.filter("batch_id = 1").collect(), full.schema
+    )
+    (
+        b1.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(index))
+    )
+    again = spark.read.parquet(str(index)).drop("batch_id")
+    assert sorted(map(_key, again.collect())) == sorted(
+        map(_key, rebuilt.collect())
+    )
+    # probes against the maintained index rank identically to the
+    # rebuild (fresh read: the replay rewrite replaced batch 1's files)
+    current = spark.read.parquet(str(index)).drop("batch_id")
+    queries = corpus.filter(F.col("vec_id") < 8)
+    rk = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.rank, r.neighbor_id, r.sim) for r in df.collect()
+    )
+    assert rk(
+        S.knn_ann_ivf_grouped_probe(current, cB, queries, k=3, n_probe=2)
+    ) == rk(S.knn_ann_ivf_grouped_probe(rebuilt, cB, queries, k=3, n_probe=2))
+
+
+def test_recall_eval_sampling_is_a_subset_and_fraction1_is_identity(
+    spark,
+):
+    """sample_fraction=1.0 must be the EXACT q202/q203 report (the
+    unchanged-gate-hash requirement), and a sampled report must be
+    exactly the full report restricted to sampled-id pairs — the
+    md5-threshold selection commutes with the eval."""
+    from pyspark.sql import functions as F
+
+    from synthea_etl_spark.plans.llm12 import (
+        _md5_sample,
+        minhash_recall_eval,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7} shared text body")
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    full = minhash_recall_eval(docs, sample_fraction=1.0)
+    key = lambda r: (r.id_a, r.id_b, r.jaccard, r.caught)  # noqa: E731
+    # fraction >= 1 returns the identical plan (no filter node)
+    assert sorted(map(key, full.collect())) == sorted(
+        map(key, minhash_recall_eval(docs).collect())
+    )
+
+    frac = 0.4
+    sampled_ids = {
+        r.doc_id for r in _md5_sample(docs, "doc_id", frac).collect()
+    }
+    assert 0 < len(sampled_ids) < 40
+    got = minhash_recall_eval(docs, sample_fraction=frac)
+    expect = full.filter(
+        F.col("id_a").isin(sampled_ids) & F.col("id_b").isin(sampled_ids)
+    )
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, expect.collect())
+    )
