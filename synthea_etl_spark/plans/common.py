@@ -278,11 +278,12 @@ def sql_davg(expr: str, alias: str) -> str:
 # keeps rotated-out queries guarded every round. Append each new
 # round's newly-certified names so the rotation keeps advancing.
 DRIVER_CERTIFIED = frozenset({
-    # r1-r3 (50; q39/q123 PULLED from this set in r8: their r1-r3
-    # rows predate the exact bit_count(xor)<=2 twins that landed in
-    # r6 -- the driver's last rows for them are no_oracle, so they
-    # re-enter the never-certified front block until a green
-    # hash-match row lands)
+    # r1-r3 (50; q39/q123 PULLED in r8 and re-certified there;
+    # q43/q101/q102 PULLED in r10: their only rows ever were
+    # `err: no_oracle` -- each is redesigned as a tolerance-verdict
+    # query WITH an oracle (exact fields + deterministic verdict
+    # booleans) and re-enters the never-certified front block until
+    # a green hash-match row lands)
     "q01_pricing_summary", "q02_select_alias", "q03_normalize_names",
     "q04_filter_rlike", "q05_multivalue_split", "q06_regex_fix",
     "q07_null_sentinel", "q08_cast_format", "q09_trim", "q10_dedup_full",
@@ -295,14 +296,12 @@ DRIVER_CERTIFIED = frozenset({
     "q33_minhash_lsh_candidates", "q34_simhash", "q35_simhash_near_pairs",
     "q36_jaccard_pairs", "q37_knn_bruteforce", "q38_embedding_near_dup",
     "q40_multimodal_meta", "q41_token_stats",
-    "q42_bottomk_sketch", "q43_knn_ann_ivf", "q48_winnow_fingerprints",
+    "q42_bottomk_sketch", "q48_winnow_fingerprints",
     "q49_corpus_filter", "q71_near_dup_clusters", "q72_tfidf_top_terms",
     "q77_sentence_udtf", "q79_repetition_signals", "q80_pii_redaction",
     "q81_cdc_apply", "q82_scd2_asof",
     "q124_image_header_dims",
-    # r4 (50; q101/q102 gated rows-only by design -- approximate
-    # sketches, tolerance-tested in tests/test_packing.py, exact
-    # twins q53/q54)
+    # r4 (50 minus the r10-pulled q101/q102)
     "q44_jsonl_source", "q45_partition_pruned_read", "q46_salted_agg",
     "q50_events_hourly", "q51_sessionize", "q52_session_window",
     "q53_distinct_agg", "q54_percentiles", "q55_rollup", "q56_pivot",
@@ -313,8 +312,7 @@ DRIVER_CERTIFIED = frozenset({
     "q70_fuzzy_pairs", "q73_group_median_pandas", "q74_profile_table",
     "q75_stratified_sample", "q78_corrupt_records",
     "q83_time_range_window", "q84_tpch_q7", "q85_tpch_q8",
-    "q86_tpch_q10", "q87_tpch_q13", "q101_approx_distinct",
-    "q102_approx_percentiles", "q103_zorder_key", "q111_expectations",
+    "q86_tpch_q10", "q87_tpch_q13", "q103_zorder_key", "q111_expectations",
     "q112_gap_fill", "q113_incremental_agg", "q114_orc_source",
     "q115_variant_extract", "q116_heavy_hitters", "q117_listagg",
     "q118_pagerank", "q119_skew_profile", "q120_funnel",
@@ -364,10 +362,7 @@ DRIVER_CERTIFIED = frozenset({
     "q172_raster_exact_dedup", "q173_phrase_search",
     "q174_proximity_search", "q175_cluster_top_terms",
     "q176_corpus_overlap", "q177_chunk_retrieval",
-    # r9 (26; CORRECTNESS_r09.json 50/50 green -- closes
-    # certification at 195 hash-green of 198 declared; the 3
-    # remaining no_oracle-by-design rows q43/q101/q102 have exact
-    # twins q160/q53/q54)
+    # r9 (26; CORRECTNESS_r09.json 50/50 green)
     "q178_corpus_overlap_from_store", "q179_hybrid_rrf_retrieval",
     "q180_canonical_near_dup_reps", "q181_language_quota",
     "q182_temperature_mixture", "q183_ivf_index_stats",

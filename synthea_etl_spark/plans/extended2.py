@@ -47,37 +47,155 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 
 def q101_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct customers and distinct order dates per
-    order priority. At scale this replaces a full (priority, key)
-    shuffle with a fixed ~1.5 KB sketch per group that merges
-    associatively — the only way a 100 TB COUNT(DISTINCT) stays one
-    pass. rsd=0.01 (~1% relative error; bound asserted in tests)."""
+    order priority. At scale the sketch replaces a full (priority,
+    key) shuffle with a fixed ~1.5 KB mergeable register set — the
+    only way a 100 TB COUNT(DISTINCT) stays one pass. GATE SHAPE
+    (round-9 VERDICT ask — retire the standing `no_oracle` row): the
+    query computes the EXACT counts alongside and returns them plus
+    the sketch's tolerance verdict (rsd=0.01, checked at ±3% ≈ 3σ;
+    HLL++ is hash-based and merge-order-independent, so the verdict
+    is deterministic). The exact side is the certification cost paid
+    at gate scale; production reads the sketch alone (exact twin:
+    q53)."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-        F.approx_count_distinct("o_orderdate", rsd=0.01).alias("approx_dates"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_ac"),
+            F.approx_count_distinct("o_orderdate", rsd=0.01).alias("_ad"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
+            F.count_distinct("o_orderdate").alias("exact_dates"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "exact_customers",
+            "exact_dates",
+            # integer tolerance: |approx-exact|*100 <= exact*3
+            (
+                (
+                    F.abs(F.col("_ac") - F.col("exact_customers")) * 100
+                    <= F.col("exact_customers") * 3
+                )
+                & (
+                    F.abs(F.col("_ad") - F.col("exact_dates")) * 100
+                    <= F.col("exact_dates") * 3
+                )
+            ).alias("hll_ok"),
+        )
     )
+
+
+ORACLE_Q101 = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       COUNT(DISTINCT o_orderdate) AS exact_dates,
+       TRUE AS hll_ok
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def q102_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna quantile sketch: p50/p95/p99 of extended price
-    per return flag at accuracy 10000 (error <= 0.01%%-ile). Exact
+    per return flag at accuracy 10000 (rank error <= n/10000). Exact
     percentiles need a full sort per group; the sketch is one pass and
-    mergeable. Tolerance vs the exact interpolated percentiles is
-    asserted in tests."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    mergeable. GATE SHAPE (round-9 VERDICT ask — retire the standing
+    `no_oracle` row): the query also computes the EXACT discrete
+    percentiles (the element at rank ceil(p*n) — pure element
+    selection, no interpolation arithmetic, so both engines agree
+    bit-for-bit) and a verdict that each GK value lies within a
+    ±0.5%-of-rank window around its exact element — 50x the sketch's
+    guarantee, so merge-order wiggle in the sketch can never flip it.
+    All rank arithmetic is integer ceil/floor-div, identical in both
+    engines. Exact twin: q54."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+
+    def pick(num: int, den: int, alias: str):
+        # element at rank ceil(num*n/den), integer ceil-div
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"-((-{num} * n) div {den})"),
+                F.col("l_extendedprice"),
+            )
+        ).alias(alias)
+
+    def bound(num: int, den: int, alias: str, hi: bool):
+        # window edges: floor((p-0.005)*n) clamped >=1, or
+        # ceil((p+0.005)*n) clamped <=n
+        rank = (
+            F.expr(f"least(n, -((-{num} * n) div {den}))")
+            if hi
+            else F.expr(f"greatest(1, ({num} * n) div {den})")
+        )
+        return F.max(
+            F.when(F.col("rn") == rank, F.col("l_extendedprice"))
+        ).alias(alias)
+
+    exact = ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_rows"),
+        pick(1, 2, "p50_exact"),
+        pick(19, 20, "p95_exact"),
+        pick(99, 100, "p99_exact"),
+        bound(495, 1000, "_lo50", False),
+        bound(505, 1000, "_hi50", True),
+        bound(945, 1000, "_lo95", False),
+        bound(955, 1000, "_hi95", True),
+        bound(985, 1000, "_lo99", False),
+        bound(995, 1000, "_hi99", True),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.percentile_approx(
             "l_extendedprice", [0.5, 0.95, 0.99], 10000
-        ).alias("pcts"),
-        F.count(F.lit(1)).alias("n_rows"),
-    ).select(
-        "l_returnflag",
-        F.col("pcts")[0].alias("p50"),
-        F.col("pcts")[1].alias("p95"),
-        F.col("pcts")[2].alias("p99"),
-        "n_rows",
+        ).alias("_p")
     )
+    return exact.join(F.broadcast(approx), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        (
+            F.col("_p")[0].between(F.col("_lo50"), F.col("_hi50"))
+            & F.col("_p")[1].between(F.col("_lo95"), F.col("_hi95"))
+            & F.col("_p")[2].between(F.col("_lo99"), F.col("_hi99"))
+        ).alias("gk_ok"),
+    )
+
+
+ORACLE_Q102 = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(n) AS n_rows,
+       MAX(CASE WHEN rn = -((-1 * n) // 2) THEN l_extendedprice END)
+         AS p50_exact,
+       MAX(CASE WHEN rn = -((-19 * n) // 20) THEN l_extendedprice END)
+         AS p95_exact,
+       MAX(CASE WHEN rn = -((-99 * n) // 100) THEN l_extendedprice END)
+         AS p99_exact,
+       TRUE AS gk_ok
+FROM r GROUP BY l_returnflag
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -89,14 +207,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "q101_approx_distinct": QuerySpec(
         q101_approx_distinct,
-        None,
-        "HLL++ approx distinct by priority (exact twin: q53; tolerance-tested)",
+        ORACLE_Q101,
+        "HLL++ distinct counts gated as exact counts + tolerance"
+        " verdict (exact twin: q53)",
         ("agg", "approx"),
     ),
     "q102_approx_percentiles": QuerySpec(
         q102_approx_percentiles,
-        None,
-        "GK-sketch approx percentiles (exact twin: q54; tolerance-tested)",
+        ORACLE_Q102,
+        "GK-sketch percentiles gated as exact discrete percentiles +"
+        " tolerance verdict (exact twin: q54)",
         ("agg", "approx"),
     ),
 }
