@@ -203,12 +203,22 @@ def q201_epoch_repetition_plan(
     any engine. Returns (doc_id, source, n_repeats); per-source
     sums equal n_s exactly.
 
-    Scale: one source-sized aggregate broadcast back, one rank
-    window per source (the q181/q182 skew note applies: for one
-    dominant source, replace the rank window with aggregated hash
-    thresholds). The repeat EXPANSION (explode to n_repeats rows)
-    is the consumer's narrow map — the plan itself stays one row
-    per doc."""
+    Scale: one source-sized aggregate broadcast back, and the
+    remainder rank runs BUCKETED (the q200 histogram discipline,
+    promoted here after the r10 above-floor probe measured the
+    per-source window at a 1.89x marginal): docs hash into 1024
+    md5-range buckets per source, a (source, bucket) histogram —
+    at most 20k rows — cumulates to per-bucket rank offsets, and
+    the row_number window partitions by (source, bucket), so the
+    sort is 1024-way parallel within every source instead of one
+    task per source. extra = (in-bucket rank <= remainder -
+    docs-in-lower-buckets) reproduces the global (md5, doc_id)
+    rank verdict exactly (bucket id is monotone in the hash), so
+    the gate hash is unchanged. One dominant language/source — the
+    100 TB norm — now costs 1024 bounded sorts, not one giant one.
+    The repeat EXPANSION (explode to n_repeats rows) is the
+    consumer's narrow map — the plan itself stays one row per
+    doc."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -243,16 +253,37 @@ def q201_epoch_repetition_plan(
         "_cnt",
         F.expr("(_w * _n) div _tw").alias("_ns"),
     )
-    w = Window.partitionBy("source").orderBy(F.asc("_h"), F.asc("doc_id"))
+    # _h < 2^32; div 2^22 -> 1024 hash-range buckets, monotone in _h
+    db = d.withColumn("_b", F.expr("_h div 4194304").cast("int"))
+    hw = (
+        Window.partitionBy("source")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        db.groupBy("source", "_b")
+        .agg(F.count("*").cast("long").alias("_bc"))
+        .withColumn(
+            "_cbefore", F.coalesce(F.sum("_bc").over(hw), F.lit(0))
+        )
+        .select("source", "_b", "_cbefore")
+    )
+    w = Window.partitionBy("source", "_b").orderBy(
+        F.asc("_h"), F.asc("doc_id")
+    )
     return (
-        d.withColumn("_rank", F.row_number().over(w))
+        db.withColumn("_brank", F.row_number().over(w))
+        .join(F.broadcast(hist), ["source", "_b"])
         .join(F.broadcast(alloc), "source")
         .select(
             "doc_id",
             "source",
             (
                 F.expr("_ns div _cnt")
-                + (F.col("_rank") <= F.expr("_ns % _cnt")).cast("long")
+                + (
+                    F.col("_brank")
+                    <= F.expr("_ns % _cnt") - F.col("_cbefore")
+                ).cast("long")
             )
             .cast("long")
             .alias("n_repeats"),
