@@ -21,8 +21,20 @@ Marginal value distributions are byte-for-byte those of the driver's
 generator; only key ranges grow. Output goes OUTSIDE the repo (default
 /tmp/sparkgraft_sf1) — ~200 MB of parquet has no business in git.
 
+``--organic`` (round-10 VERDICT ask #5) replaces the uniform tiling
+of documents/embeddings with a SEEDED near-dup process so scale
+evidence for the dedup/recall family stops riding on degenerate
+K-cliques: each base row draws a cluster size from a mixed
+distribution (50% singletons, 30% pairs, 15% size-4, 5% full-mult
+cliques — all md5-seeded, reproducible), copies inside the cluster
+are token-level mutations (documents: every ~12th token replaced
+per copy; embeddings: per-dim jitter, cosine ~0.99 to the base) and
+copies outside it are independent rows (md5 token soup / fresh
+pseudo-random vectors). Key shifting and all other tables are
+identical to the tiled mode.
+
 Usage: python tools/gen_sf.py [--base /root/testdata/sf0.1] [--mult 10]
-       [--out /tmp/sparkgraft_sf1]
+       [--out /tmp/sparkgraft_sf1] [--organic]
 """
 
 from __future__ import annotations
@@ -59,7 +71,66 @@ KEY_OF = {
 COPY_AS_IS = ["region", "nation"]
 
 
-def generate(base: str, out: str, mult: int) -> None:
+def _cluster_size(key: str, mult: int) -> str:
+    """Seeded mixed cluster-size distribution over the base key:
+    50% singletons, 30% pairs, 15% size-4, 5% full-mult cliques."""
+    h = f"CAST(concat('0x', substr(md5('cs' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    return (
+        f"CASE WHEN ({h}) < 50 THEN 1"
+        f" WHEN ({h}) < 80 THEN LEAST(2, {mult})"
+        f" WHEN ({h}) < 95 THEN LEAST(4, {mult})"
+        f" ELSE {mult} END"
+    )
+
+
+def _organic_text(mult: int) -> str:
+    """Copy i of a base doc: i=0 original; 0<i<cluster_size a
+    token-mutated near-dup (every ~12th token replaced with a
+    copy-specific marker — shingle overlap stays high); otherwise an
+    independent md5 token soup (60-119 tokens, negligible overlap)."""
+    s = _cluster_size("doc_id", mult)
+    soup_len = (
+        "60 + CAST(concat('0x', substr(md5('sl' || CAST(doc_id AS VARCHAR)"
+        " || '_' || i), 1, 8)) AS BIGINT) % 60"
+    )
+    soup = (
+        "(SELECT string_agg('w' || substr(md5(CAST(doc_id AS VARCHAR) ||"
+        " '_' || i || '_' || r.range), 1, 6), ' ')"
+        f" FROM range(120) r WHERE r.range < ({soup_len}))"
+    )
+    mutated = (
+        "array_to_string(list_transform("
+        "string_split_regex(trim(text), '\\s+'),"
+        " (t, j) -> CASE WHEN (j + i) % 12 = 0 THEN 'm' ||"
+        " CAST(i AS VARCHAR) ELSE t END), ' ')"
+    )
+    return (
+        f"CASE WHEN i = 0 THEN text"
+        f" WHEN i < ({s}) THEN {mutated}"
+        f" ELSE {soup} END AS text"
+    )
+
+
+def _organic_embedding(mult: int) -> str:
+    """Copy i of a base vector: i=0 original; in-cluster copies get
+    seeded per-dim jitter (uniform +-0.05 — cosine ~0.99 to the
+    base on the generator's unit-scale dims); out-of-cluster copies
+    are fresh seeded uniform[-1,1] vectors."""
+    s = _cluster_size("vec_id", mult)
+    u = (
+        "((CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR) || '_' ||"
+        " i || '_' || j), 1, 8)) AS BIGINT) % 2001) - 1000) / 1000.0"
+    )
+    return (
+        f"CASE WHEN i = 0 THEN embedding"
+        f" WHEN i < ({s}) THEN list_transform(embedding,"
+        f" (x, j) -> x + ({u}) * 0.05)"
+        f" ELSE list_transform(embedding, (x, j) -> ({u})) END"
+        f" AS embedding"
+    )
+
+
+def generate(base: str, out: str, mult: int, organic: bool = False) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     maxes = {
@@ -90,8 +161,12 @@ def generate(base: str, out: str, mult: int) -> None:
                 exprs.append("ts + i * INTERVAL 1 SECOND AS ts")
             elif t == "documents" and c == "text":
                 exprs.append(
-                    "CASE WHEN i = 0 THEN text ELSE text || ' c' || i END AS text"
+                    _organic_text(mult)
+                    if organic
+                    else "CASE WHEN i = 0 THEN text ELSE text || ' c' || i END AS text"
                 )
+            elif organic and t == "embeddings" and c == "embedding":
+                exprs.append(_organic_embedding(mult))
             else:
                 exprs.append(c)
         con.sql(
@@ -108,5 +183,6 @@ if __name__ == "__main__":
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--out", default="/tmp/sparkgraft_sf1")
+    ap.add_argument("--organic", action="store_true")
     a = ap.parse_args()
-    generate(a.base, a.out, a.mult)
+    generate(a.base, a.out, a.mult, organic=a.organic)
