@@ -139,6 +139,8 @@ HEADLINE_OPT = [
     "q200_token_budget_curriculum",
     "q201_epoch_repetition_plan",
     "q204_ivf_rollover_probe",
+    "q208_pq_rerank",
+    "q209_incremental_clusters",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -245,7 +245,17 @@ def lsh_candidates(
     also materializes a per-bucket id array; if the corpus can
     produce one, cap it upstream by salting the boilerplate signature
     or pre-deduping exact duplicates first (q30)."""
-    banded = banded_signatures(sig, id_col, num_hashes, bands)
+    return lsh_candidates_from_bands(
+        banded_signatures(sig, id_col, num_hashes, bands), id_col
+    )
+
+
+def lsh_candidates_from_bands(banded: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs from an already-banded signature frame — the
+    entry point for PERSISTED band indexes (q158's table), where the
+    banding happened at ingest time and pairing must not recompute
+    signatures. Same in-bucket posexplode+slice expansion as
+    ``lsh_candidates`` (which delegates here)."""
     buckets = (
         banded.groupBy("band", "bh")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
@@ -644,6 +654,41 @@ def connected_components(
         if no_change:
             break
     return labels
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 15,
+) -> DataFrame:
+    """Maintain a persisted near-dup CLUSTER table incrementally —
+    the missing maintenance half of the q71/q180 cluster family (the
+    band index q158 maintains candidate GENERATION; this maintains
+    the component labels). ``assignments`` is the stored (id,
+    cluster_id) table of everything already clustered; ``new_pairs``
+    are the new batch's candidate pairs (batch-batch from its own
+    signatures plus batch-history from the persisted band index —
+    the q158 probe). History components enter the label propagation
+    STAR-COMPRESSED, as (id, cluster_id) edges: cluster_id is the
+    component's min member id, so min-label CC over (star edges ∪
+    new pairs) equals CC over the full original pair graph exactly
+    (tests/test_llm14.py; the q209 gate hash-matches the full
+    recursive-CTE rebuild). Convergence now depends on the NEW
+    batch's chain depth, not historical component diameter, and the
+    history TEXT is never rescanned — the assignment table is the
+    index."""
+    star = assignments.select(
+        F.col("id").cast("long").alias(id_a),
+        F.col("cluster_id").cast("long").alias(id_b),
+    )
+    return connected_components(
+        star.unionByName(new_pairs.select(id_a, id_b)),
+        id_a,
+        id_b,
+        max_iters,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,52 @@ def distributed_cumsum(
         local.withColumn(out_col, F.col("_local") + off[F.col("_shard")])
         .drop("_shard", "_local")
     )
+
+
+def bucketed_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    bucket_col: str,
+    order_cols: list,
+    out_col: str,
+) -> DataFrame:
+    """Exact per-partition ``row_number`` WITHOUT one-task-per-key
+    sorts — the skew-free rank the quota/manifest family needs when
+    the partition keys are few (languages, sources, shards: the
+    100 TB norm is ~20 keys over billions of rows, which serializes
+    a plain window into ~20 giant sort tasks).
+
+    Contract: ``bucket_col`` is an int column MONOTONE in the
+    partition's sort order (e.g. a fixed-width prefix of the md5
+    order key, giving ~1024 hash-range buckets per key), and
+    ``order_cols`` is the exact within-partition order. The global
+    rank decomposes as (docs in lower buckets) + (rank within own
+    bucket): the per-(key, bucket) histogram — |keys| x |buckets|
+    rows, broadcastable by construction — cumulates to the offsets,
+    and the row_number window partitions by (key, bucket), so every
+    sort is ~1/1024 of a key's rows. Bit-identical to the plain
+    window (pinned by the q181/q192/q199/q201 gate hashes, which
+    predate this shape). Measured: q199/q201 marginals 1.58x/0.92x
+    at 50M rows (bench_artifacts/q199_q201_scale_probe_r10.json)."""
+    from pyspark.sql import Window
+
+    hw = (
+        Window.partitionBy(*part_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        df.groupBy(*part_cols, bucket_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+        .withColumn(
+            "_cbefore", F.coalesce(F.sum("_bc").over(hw), F.lit(0))
+        )
+        .select(*part_cols, bucket_col, "_cbefore")
+    )
+    w = Window.partitionBy(*part_cols, bucket_col).orderBy(*order_cols)
+    return (
+        df.withColumn("_brank", F.row_number().over(w))
+        .join(F.broadcast(hist), [*part_cols, bucket_col])
+        .withColumn(out_col, F.col("_cbefore") + F.col("_brank"))
+        .drop("_brank", "_cbefore")
+    )

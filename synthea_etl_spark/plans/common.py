@@ -414,6 +414,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm11,
         llm12,
         llm13,
+        llm14,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -440,6 +441,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm11,
         llm12,
         llm13,
+        llm14,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -299,29 +299,15 @@ def q199_train_order_manifest(
         )
         .withColumn("_b", F.expr("_h15 div 1125899906842624").cast("int"))
     )
-    hw = (
-        Window.partitionBy("shard")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hist = (
-        db.groupBy("shard", "_b")
-        .agg(F.count("*").cast("long").alias("_bc"))
-        .withColumn(
-            "_cbefore", F.coalesce(F.sum("_bc").over(hw), F.lit(0))
-        )
-        .select("shard", "_b", "_cbefore")
-    )
-    w = Window.partitionBy("shard", "_b").orderBy("_h15", "_ph", "doc_id")
-    return (
-        db.withColumn("_brank", F.row_number().over(w))
-        .join(F.broadcast(hist), ["shard", "_b"])
-        .select(
-            "doc_id",
-            "shard",
-            (F.col("_cbefore") + F.col("_brank")).cast("int").alias("pos"),
-        )
-    )
+    from synthea_etl_spark.operators.util import bucketed_rank
+
+    return bucketed_rank(
+        db,
+        ["shard"],
+        "_b",
+        [F.col("_h15"), F.col("_ph"), F.col("doc_id")],
+        "_pos",
+    ).select("doc_id", "shard", F.col("_pos").cast("int").alias("pos"))
 
 
 ORACLE_Q199 = f"""

@@ -254,36 +254,20 @@ def q201_epoch_repetition_plan(
         F.expr("(_w * _n) div _tw").alias("_ns"),
     )
     # _h < 2^32; div 2^22 -> 1024 hash-range buckets, monotone in _h
+    from synthea_etl_spark.operators.util import bucketed_rank
+
     db = d.withColumn("_b", F.expr("_h div 4194304").cast("int"))
-    hw = (
-        Window.partitionBy("source")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    hist = (
-        db.groupBy("source", "_b")
-        .agg(F.count("*").cast("long").alias("_bc"))
-        .withColumn(
-            "_cbefore", F.coalesce(F.sum("_bc").over(hw), F.lit(0))
-        )
-        .select("source", "_b", "_cbefore")
-    )
-    w = Window.partitionBy("source", "_b").orderBy(
-        F.asc("_h"), F.asc("doc_id")
-    )
     return (
-        db.withColumn("_brank", F.row_number().over(w))
-        .join(F.broadcast(hist), ["source", "_b"])
+        bucketed_rank(
+            db, ["source"], "_b", [F.asc("_h"), F.asc("doc_id")], "_rank"
+        )
         .join(F.broadcast(alloc), "source")
         .select(
             "doc_id",
             "source",
             (
                 F.expr("_ns div _cnt")
-                + (
-                    F.col("_brank")
-                    <= F.expr("_ns % _cnt") - F.col("_cbefore")
-                ).cast("long")
+                + (F.col("_rank") <= F.expr("_ns % _cnt")).cast("long")
             )
             .cast("long")
             .alias("n_repeats"),

@@ -69,20 +69,27 @@ def _sql_md5_sample(id_expr: str, fraction: float) -> str:
 
 
 def minhash_recall_eval(
-    docs: DataFrame, sample_fraction: float = 1.0
+    docs: DataFrame,
+    sample_fraction: float = 1.0,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """The q202 report with a first-class sampling knob: at corpus
     scale the exact-Jaccard truth side is quadratic BY DESIGN (it is
     the measurement the LSH index exists to avoid), so the operator
     itself bounds it — sample_fraction < 1 md5-samples the corpus
     BEFORE either side runs, making the report runnable at any scale
-    with a deterministic, hash-stable row selection."""
+    with a deterministic, hash-stable row selection. num_hashes/bands
+    parametrize the index under evaluation: the report is the
+    instrument that picks them (the r10 organic-sf10 run measured
+    32/8 catching only 27% of the 0.3-0.5 jaccard band — the retuned
+    32/16 setting is gated as q207)."""
     d = _md5_sample(docs, "doc_id", sample_fraction)
     truth = D.jaccard_pairs(
         d, "text", "doc_id", 3, 0.3, block_col=None, allow_unblocked=True
     )
-    sig = D.minhash_signature(d, "text", "doc_id", 32, 3)
-    cand = D.lsh_candidates(sig, "doc_id", 32, 8).select(
+    sig = D.minhash_signature(d, "text", "doc_id", num_hashes, 3)
+    cand = D.lsh_candidates(sig, "doc_id", num_hashes, bands).select(
         "id_a", "id_b", F.lit(True).alias("_c")
     )
     return truth.join(cand, ["id_a", "id_b"], "left").select(
@@ -108,14 +115,14 @@ def q202_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q202_oracle() -> str:
+def _q202_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     from synthea_etl_spark.plans.llm import (
         SQL_SHINGLES,
         SQL_TOKS,
         _sql_minhash_oracle,
     )
 
-    cand = _sql_minhash_oracle().strip()
+    cand = _sql_minhash_oracle(num_hashes, bands).strip()
     return f"""
 WITH {SQL_TOKS.strip()}, {SQL_SHINGLES.strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 import synthea_etl_spark.operators.dedup as D
 import synthea_etl_spark.operators.similarity as S
 import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.operators.util import bucketed_rank
 from synthea_etl_spark.plans.common import QuerySpec, load
 
 # ---------------------------------------------------------------------------
@@ -299,17 +300,21 @@ def q181_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_h"),
     )
-    w = Window.partitionBy("lang_guess").orderBy(
-        F.asc("_h"), F.asc("doc_id")
+    # skew-free rank: ~20 language keys over the corpus would make a
+    # plain window ~20 giant sort tasks; the bucketed form is exact
+    # (util.bucketed_rank) and keeps this gate hash byte-identical
+    ranked = bucketed_rank(
+        lang.withColumn("_b", F.expr("_h div 4194304").cast("int")),
+        ["lang_guess"],
+        "_b",
+        [F.asc("_h"), F.asc("doc_id")],
+        "_lr",
     )
-    return (
-        lang.withColumn("lang_rank", F.row_number().over(w).cast("int"))
-        .select(
-            "doc_id",
-            "lang_guess",
-            "lang_rank",
-            (F.col("lang_rank") <= _LANG_QUOTA).alias("keep"),
-        )
+    return ranked.select(
+        "doc_id",
+        "lang_guess",
+        F.col("_lr").cast("int").alias("lang_rank"),
+        (F.col("_lr") <= _LANG_QUOTA).alias("keep"),
     )
 
 

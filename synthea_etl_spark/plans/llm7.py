@@ -271,6 +271,13 @@ def _pq_seed_matrix(spark: SparkSession, sf_dir: str):
 
 
 def q189_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gated PQ query: ADC top-_PQ_TOPK (see pq_adc_topk)."""
+    return pq_adc_topk(spark, sf_dir, _PQ_TOPK)
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, topk: int
+) -> DataFrame:
     """Product-quantization ANN: codebook j's 16 centroids are the
     j-th 8-dim subvectors of the 16 seed vectors (smallest
     md5(vec_id) — q160's quantizer seeding); every corpus vector is
@@ -365,11 +372,12 @@ def q189_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", score.alias("adc_dist")
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _PQ_TOPK)
+        .filter(F.col("rank") <= topk)
     )
 
 
-ORACLE_Q189 = f"""
+def _q189_oracle(topk: int = _PQ_TOPK) -> str:
+    return f"""
 WITH v AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
@@ -419,8 +427,11 @@ FROM (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
   FROM scored
-) WHERE rank <= {_PQ_TOPK}
+) WHERE rank <= {topk}
 """
+
+
+ORACLE_Q189 = _q189_oracle()
 
 
 # ---------------------------------------------------------------------------

@@ -236,11 +236,26 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("_q_ok")
         & F.coalesce(F.col("_r_ok"), F.lit(False)),
     )
-    qw = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # skew-free quota rank over filter survivors (util.bucketed_rank:
+    # a handful of language keys would serialize a plain window into
+    # one sort task per language; exact, gate hash unchanged)
+    from synthea_etl_spark.operators.util import bucketed_rank
+
+    survivors = staged.filter("_pass").withColumn(
+        "_qh", F.md5(F.col("doc_id").cast("string"))
     )
-    only_pass = staged.filter("_pass").withColumn(
-        "_qrn", F.row_number().over(qw)
+    only_pass = bucketed_rank(
+        survivors.withColumn(
+            "_qb",
+            F.expr(
+                "CAST(conv(substring(_qh, 1, 8), 16, 10) AS BIGINT)"
+                " div 4194304"
+            ).cast("int"),
+        ),
+        ["lang"],
+        "_qb",
+        [F.col("_qh"), F.col("doc_id")],
+        "_qrn",
     )
     staged = staged.join(
         only_pass.select("doc_id", "_qrn"), "doc_id", "left"
