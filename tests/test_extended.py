@@ -193,6 +193,7 @@ def test_no_accidental_cartesian_products(spark):
         "q194_dsir_importance",       # crossJoins of the two 1-row LM totals
         "q200_token_budget_curriculum",  # crossJoin of the 1-row token total
         "q201_epoch_repetition_plan",    # crossJoin of the 1-row weight total
+        "q208_pq_rerank",                # q189's bounded query-batch crossJoin
     }
     bad = []
     for name, fn in ent.queries().items():
