@@ -141,6 +141,8 @@ HEADLINE_OPT = [
     "q204_ivf_rollover_probe",
     "q208_pq_rerank",
     "q209_incremental_clusters",
+    "q210_url_dedup",
+    "q211_content_hash_split",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -414,6 +414,50 @@ def ann_index_ingest_stream(
     )
 
 
+def sketch_store_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    k: int = 64,
+):
+    """Streaming maintenance of the corpus SKETCH STORE — the fifth
+    and last index family (exact fingerprints, MinHash bands, IVF
+    cells, lexical postings, and now bottom-k sketches) gains the
+    same restartable ingest the others have. Each micro-batch of
+    landed documents computes ONLY its own k-row bottom-k sketch and
+    publishes it as one slice partition (operators/dedup.
+    corpus_sketch_store — dynamic partition overwrite, so a replayed
+    batch rewrites its own slice; slice_id = "batch<id>").
+
+    No merge step at ingest because the sketch is MERGEABLE by
+    construction: ``merge_bottomk_sketches`` over any subset of the
+    accumulated partitions IS the sketch of those slices' union
+    (dedup.py's union invariant), so overlap/governance questions
+    (q178/q186) are answered from the store between (or during)
+    ingests in k-row arithmetic — the corpus text is read exactly
+    once, at landing time."""
+    from synthea_etl_spark.operators.dedup import corpus_sketch_store
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus_sketch_store(
+            batch_df, store_dir, slice_id=f"batch{batch_id}", k=k
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def curation_ingest_stream(
     spark: SparkSession,
     landing_dir: str,

@@ -415,6 +415,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         llm14,
+        llm15,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -442,6 +443,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm12,
         llm13,
         llm14,
+        llm15,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

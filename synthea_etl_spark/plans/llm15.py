@@ -1,0 +1,236 @@
+"""Round-10 LLM-pipeline additions, part 3 — crawl-side curation
+ops:
+
+- q210: URL canonicalization + URL-level dedup — the crawl-pipeline
+  step BEFORE any content dedup: raw crawl URLs differ in case,
+  explicit default ports, fragments, tracking parameters, parameter
+  order, and trailing index.html while naming the same resource.
+  Canonicalization (lowercase scheme/host, drop port + fragment,
+  strip utm_* params, sort the rest, strip trailing index.html)
+  collapses them; dedup keeps the min doc_id per canonical URL. The
+  engine parses with the JVM's parse_url (the real URL grammar);
+  the DuckDB twin parses with regexes, so the hash match
+  cross-checks the two grammars row by row (the q147 discipline).
+- q211: LEAKAGE-SAFE train/val/test split — split assignment keyed
+  on the CONTENT fingerprint, not the doc id, so exact duplicates
+  (and their future re-crawls) always land in the same split — the
+  train/eval contamination guarantee a doc_id-hash split cannot
+  give. Deterministic md5 bucketing (80/10/10), exact in SQL.
+
+Beyond-reference surface (the reference's four Glue scripts are
+boto3 orchestration; Glue_Scripts/Raw_To_Staging.py:100-180 is the
+closest analog — per-row normalize-then-dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.plans.common import QuerySpec, load
+
+# ---------------------------------------------------------------------------
+# q210 URL canonicalization + dedup
+# ---------------------------------------------------------------------------
+
+
+def canonical_url(url) -> F.Column:
+    """RFC-3986-flavored crawl canonicalization as one JVM column
+    expression: lowercase scheme and host, drop the port (crawl URLs
+    are default-port; parse_url's HOST excludes it), drop the
+    fragment, strip a trailing index.html, drop utm_* tracking
+    params and sort the survivors. Pure codegen — no UDF."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")),
+        r"/index\.html$",
+        "/",
+    )
+    q = F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def _synth_url() -> F.Column:
+    """Three raw variants per canonical resource, synthesized from
+    doc_id (the corpus has no URL column; the q147 convention):
+    v0 plain, v1 uppercase + explicit :443 + fragment + index.html +
+    swapped param order, v2 utm-polluted."""
+    base = F.expr("doc_id div 3")
+    v = F.col("doc_id") % 3
+    site = F.concat(F.lit("site"), (base % 40).cast("string"))
+    page = (base % 10).cast("string")
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://"), site, F.lit(".com/p/"), page,
+                F.lit("/?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://"), F.upper(site),
+                F.lit(".COM:443/p/"), page,
+                F.lit("/index.html?b=2&a=1#sec"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), site, F.lit(".com/p/"), page,
+                F.lit("/?utm_source=tw&b=2&a=1&utm_campaign=x"),
+            ),
+        )
+    )
+
+
+def q210_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize every raw URL and keep the min doc_id per
+    canonical form. Returns per-doc (doc_id, canonical_url, keep) —
+    by construction each canonical group here has up to 3 raw
+    variants, so ~2/3 of rows are keep=false when all variants are
+    present.
+
+    100 TB shape: canonicalization is one zero-shuffle expression;
+    dedup is one (canonical_url -> min doc_id) aggregate joined
+    back — the same single-fingerprint-shuffle plan as exact text
+    dedup (q30), keyed on the canonical string."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = docs.select(
+        "doc_id", canonical_url(_synth_url()).alias("canonical_url")
+    )
+    winners = d.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    return d.join(winners, "canonical_url").select(
+        "doc_id",
+        "canonical_url",
+        (F.col("doc_id") == F.col("_keeper")).alias("keep"),
+    )
+
+
+ORACLE_Q210 = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'https://site' || ((doc_id // 3) % 40) || '.com/p/'
+                || ((doc_id // 3) % 10) || '/?a=1&b=2'
+           WHEN 1 THEN 'HTTPS://SITE' || ((doc_id // 3) % 40)
+                || '.COM:443/p/' || ((doc_id // 3) % 10)
+                || '/index.html?b=2&a=1#sec'
+           ELSE 'https://site' || ((doc_id // 3) % 40) || '.com/p/'
+                || ((doc_id // 3) % 10)
+                || '/?utm_source=tw&b=2&a=1&utm_campaign=x'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)) AS host,
+         regexp_replace(
+             regexp_extract(url, '^[^:]+://[^/?#]*(/[^?#]*)', 1),
+             '/index\.html$', '/') AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+  FROM (
+    SELECT doc_id, scheme, host, path,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND x NOT LIKE 'utm_%')), '&') AS qs
+    FROM parts
+  )
+)
+SELECT c.doc_id, c.canonical_url,
+       c.doc_id = w.keeper AS keep
+FROM canon c
+JOIN (SELECT canonical_url, MIN(doc_id) AS keeper
+      FROM canon GROUP BY canonical_url) w USING (canonical_url)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q211 leakage-safe content-hash split
+# ---------------------------------------------------------------------------
+
+
+def q211_content_hash_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assign train/val/test by hashing the CONTENT fingerprint
+    (md5 of normalized text — the q30/q192 exact-dup key), bucketed
+    80/10/10: two byte-identical documents can never straddle the
+    split boundary, which is the leakage guarantee a doc_id-keyed
+    split cannot give (a duplicate of a test doc in train IS
+    contamination). One zero-shuffle expression per row; the split
+    histogram is a groupBy away. Returns (doc_id, source, split)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    hv = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sp"), T.fingerprint("text"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(hv < 80, F.lit("train"))
+        .when(hv < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+ORACLE_Q211 = r"""
+SELECT doc_id, source,
+       CASE WHEN hv < 80 THEN 'train'
+            WHEN hv < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5('sp' ||
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ), 1, 8)) AS BIGINT) % 100 AS hv
+  FROM documents
+)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q210_url_dedup": QuerySpec(
+        q210_url_dedup,
+        ORACLE_Q210,
+        "URL canonicalization (ports/fragments/utm/param-order/"
+        "index.html) + min-id dedup",
+        ("llm", "dedup", "crawl"),
+    ),
+    "q211_content_hash_split": QuerySpec(
+        q211_content_hash_split,
+        ORACLE_Q211,
+        "leakage-safe train/val/test split keyed on the content"
+        " fingerprint",
+        ("llm", "curation"),
+    ),
+}

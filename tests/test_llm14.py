@@ -118,3 +118,81 @@ def test_pq_rerank_is_exact_over_candidates(spark):
             )
         ]
         assert [n for _, n in mine] == [n for _, n in sims]
+
+
+def test_sketch_store_ingest_stream(spark, tmp_path):
+    """The fifth index family's streaming maintenance: batches of
+    docs land as JSON; each publishes only its own k-row bottom-k
+    sketch as a slice partition. The merged accumulated store must
+    equal a fresh sketch of the union corpus (mergeability through
+    parquet + the stream), a replayed slice partition is a no-op,
+    and the q178-style overlap question is answerable mid-ingest
+    from the store alone."""
+    import json as _json
+
+    from synthea_etl_spark.operators.dedup import (
+        corpus_bottomk_sketch,
+        corpus_sketch_store,
+        merge_bottomk_sketches,
+    )
+    from synthea_etl_spark.pipeline import sketch_store_ingest_stream
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    landing = tmp_path / "landing"
+    store = tmp_path / "store"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    rows = [(i, f"document body number {i} with shared tokens") for i in range(90)]
+
+    def land(name, batch):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t}) for i, t in batch
+            )
+        )
+
+    def run():
+        sketch_store_ingest_stream(
+            spark, str(landing), str(store), str(ckpt), schema, k=16
+        ).awaitTermination(120)
+
+    land("b0.json", rows[:40])
+    run()
+    land("b1.json", rows[40:])
+    run()  # restart resumes: only b1 is new
+
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    merged = merge_bottomk_sketches(spark.read.parquet(str(store)), k=16)
+    fresh = corpus_bottomk_sketch(corpus, "text", 16)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in fresh.collect()
+    )
+    # slice partitions: one per committed batch
+    slices = {
+        r.slice_id
+        for r in spark.read.parquet(str(store))
+        .select("slice_id")
+        .distinct()
+        .collect()
+    }
+    assert slices == {"batch0", "batch1"}
+    # replayed slice rewrite is a no-op (idempotent publication)
+    b1 = spark.createDataFrame(
+        rows[40:], "doc_id long, text string"
+    )
+    corpus_sketch_store(b1, str(store), slice_id="batch1", k=16)
+    again = merge_bottomk_sketches(spark.read.parquet(str(store)), k=16)
+    assert sorted(r.h for r in again.collect()) == sorted(
+        r.h for r in fresh.collect()
+    )
