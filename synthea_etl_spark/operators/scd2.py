@@ -141,7 +141,19 @@ def write_swap(
     transactional table format; this is the pure-parquet equivalent.
     ``partition_by`` keeps a partitioned layout through the swap
     (e.g. the ANN index's batch_id partitions, which the streaming
-    ingester's dynamic overwrite keys on)."""
+    ingester's dynamic overwrite keys on).
+
+    READ-FAILURE WINDOW (round-10 ADVICE): between ``rmtree(path)``
+    and ``os.replace`` the path does not exist, so a reader that
+    *starts* inside that window fails with path-not-found (distinct
+    from the documented stale-centroids transient, which only
+    degrades recall). The window is rename-length, not
+    write-length, but it is nonzero. Readers that cannot tolerate
+    it (e.g. a restartable stream resuming concurrently with
+    ``ivf_index_rollover``) should publish with
+    :func:`write_versioned` / resolve with :func:`read_current`
+    instead — the versioned-root pointer swap has no moment where
+    the current version's data is absent."""
     import os
     import shutil
 
@@ -153,3 +165,55 @@ def write_swap(
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def write_versioned(
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Zero-window publish via a versioned root + pointer file
+    (round-10 ADVICE close): data lands in ``root/v=<n+1>/`` and the
+    tiny ``root/_CURRENT`` pointer is swapped with ``os.replace``
+    (atomic on POSIX). A reader that resolved the pointer a moment
+    earlier keeps reading the old version's files — which are never
+    deleted here — so there is NO moment where the current version's
+    data is absent, unlike :func:`write_swap`'s rmtree→replace
+    window. Multi-artifact publishes (the IVF index + centroids
+    pair) version BOTH under one root and swap ONE pointer, removing
+    the stale-centroids transient as well. Old versions are pruned
+    by the caller after a read-grace (the WARC-manifest mtime-grace
+    discipline). Returns the new version's data path."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    nxt = max(versions, default=0) + 1
+    vpath = os.path.join(root, f"v={nxt}")
+    writer = df.write.format(fmt).mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(vpath)
+    ptr_tmp = os.path.join(root, "_CURRENT.tmp")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(ptr_tmp, os.path.join(root, "_CURRENT"))
+    return vpath
+
+
+def read_current(root: str) -> str:
+    """Resolve a :func:`write_versioned` root's current data path.
+
+    One tiny pointer read; the returned ``root/v=<n>/`` stays valid
+    for the whole query even if a publish lands mid-read, because
+    publishes never touch prior version directories."""
+    import os
+
+    with open(os.path.join(root, "_CURRENT")) as f:
+        n = int(f.read().strip())
+    return os.path.join(root, f"v={n}")

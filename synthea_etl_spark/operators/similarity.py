@@ -553,9 +553,15 @@ def ivf_index_rollover(
     partitions. When ``centroids_path`` is given the new quantizer is
     republished there AFTER the index swap; between the two renames a
     reader holding old centroids probes valid (new-layout) cells at
-    reduced recall — transient degradation, never corruption. At
-    100 TB wrap both renames in one versioned-root pointer swap if
-    even that window matters.
+    reduced recall — transient degradation, never corruption. There
+    is additionally a rename-length read-FAILURE window inside each
+    write_swap (round-10 ADVICE; see its docstring): a reader that
+    starts between rmtree and rename sees path-not-found. Both
+    windows disappear under ``scd2.write_versioned``: publish index
+    + centroids under ONE versioned root and swap the single
+    ``_CURRENT`` pointer (readers resolve via ``scd2.read_current``);
+    tests/test_llm13.py proves the pointer flip leaves a
+    concurrently-resolved old version fully readable.
 
     Returns the new centroids (the probe side needs them)."""
     from synthea_etl_spark.operators.scd2 import write_swap

@@ -376,6 +376,14 @@ DRIVER_CERTIFIED = frozenset({
     "q198_token_fertility", "q199_train_order_manifest",
     "q200_token_budget_curriculum", "q201_epoch_repetition_plan",
     "q202_minhash_recall_eval", "q203_embedding_recall_eval",
+    # r10 (CORRECTNESS_r10.json 50/50 green -- the redesigned
+    # tolerance-verdict trio q43/q101/q102 landed hash-match rows,
+    # closing certification at 206/206 declared queries)
+    "q43_knn_ann_ivf", "q101_approx_distinct", "q102_approx_percentiles",
+    "q204_ivf_rollover_probe", "q205_sampled_minhash_recall",
+    "q206_sampled_embedding_recall", "q207_minhash_retuned_recall",
+    "q208_pq_rerank", "q209_incremental_clusters",
+    "q210_url_dedup", "q211_content_hash_split",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -383,7 +391,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 10
+GATE_ROUND = 11
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -118,7 +118,12 @@ def q102_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±0.5%-of-rank window around its exact element — 50x the sketch's
     guarantee, so merge-order wiggle in the sketch can never flip it.
     All rank arithmetic is integer ceil/floor-div, identical in both
-    engines. Exact twin: q54."""
+    engines: true ceil-div is ``(num*n + den - 1) div den`` (round-10
+    ADVICE — the earlier ``-((-x) div d)`` idiom truncates toward
+    zero in BOTH Spark and DuckDB and therefore computed floor, and
+    floor(p*n) can be 0 for tiny groups, silently NULLing the
+    "exact" percentile; ceil(p*n) >= 1 whenever n >= 1, so no clamp
+    is needed). Exact twin: q54."""
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem").select(
@@ -135,10 +140,12 @@ def q102_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pick(num: int, den: int, alias: str):
-        # element at rank ceil(num*n/den), integer ceil-div
+        # element at rank ceil(num*n/den): true int ceil-div (both
+        # Spark `div` and DuckDB `//` truncate toward zero, so the
+        # negate-divide-negate trick floors -- round-10 ADVICE)
         return F.max(
             F.when(
-                F.col("rn") == F.expr(f"-((-{num} * n) div {den})"),
+                F.col("rn") == F.expr(f"(({num} * n + {den - 1}) div {den})"),
                 F.col("l_extendedprice"),
             )
         ).alias(alias)
@@ -147,7 +154,7 @@ def q102_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # window edges: floor((p-0.005)*n) clamped >=1, or
         # ceil((p+0.005)*n) clamped <=n
         rank = (
-            F.expr(f"least(n, -((-{num} * n) div {den}))")
+            F.expr(f"least(n, ({num} * n + {den - 1}) div {den})")
             if hi
             else F.expr(f"greatest(1, ({num} * n) div {den})")
         )
@@ -196,11 +203,11 @@ WITH r AS (
 )
 SELECT l_returnflag,
        MAX(n) AS n_rows,
-       MAX(CASE WHEN rn = -((-1 * n) // 2) THEN l_extendedprice END)
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN l_extendedprice END)
          AS p50_exact,
-       MAX(CASE WHEN rn = -((-19 * n) // 20) THEN l_extendedprice END)
+       MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN l_extendedprice END)
          AS p95_exact,
-       MAX(CASE WHEN rn = -((-99 * n) // 100) THEN l_extendedprice END)
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN l_extendedprice END)
          AS p99_exact,
        TRUE AS gk_ok
 FROM r GROUP BY l_returnflag

@@ -5,9 +5,11 @@ ops:
   step BEFORE any content dedup: raw crawl URLs differ in case,
   explicit default ports, fragments, tracking parameters, parameter
   order, and trailing index.html while naming the same resource.
-  Canonicalization (lowercase scheme/host, drop port + fragment,
-  strip utm_* params, sort the rest, strip trailing index.html)
-  collapses them; dedup keeps the min doc_id per canonical URL. The
+  Canonicalization (lowercase scheme/host, drop DEFAULT ports only
+  + fragment, strip utm_* params, sort the rest, strip trailing
+  index.html) collapses them; a non-default port is preserved — it
+  names a distinct resource (round-10 ADVICE). Dedup keeps the min
+  doc_id per canonical URL. The
   engine parses with the JVM's parse_url (the real URL grammar);
   the DuckDB twin parses with regexes, so the hash match
   cross-checks the two grammars row by row (the q147 discipline).
@@ -37,13 +39,27 @@ from synthea_etl_spark.plans.common import QuerySpec, load
 
 def canonical_url(url) -> F.Column:
     """RFC-3986-flavored crawl canonicalization as one JVM column
-    expression: lowercase scheme and host, drop the port (crawl URLs
-    are default-port; parse_url's HOST excludes it), drop the
+    expression: lowercase scheme and host, drop DEFAULT ports only
+    (80 for http, 443 for https — a non-default port names a
+    distinct resource and is preserved; round-10 ADVICE), drop the
     fragment, strip a trailing index.html, drop utm_* tracking
-    params and sort the survivors. Pure codegen — no UDF."""
+    params and sort the survivors. parse_url's HOST excludes the
+    port, so the port is re-extracted from AUTHORITY. Pure
+    codegen — no UDF."""
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
     host = F.lower(F.parse_url(c, F.lit("HOST")))
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(c, F.lit("AUTHORITY")), F.lit("")),
+        r":(\d+)$",
+        1,
+    )
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    portpart = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
     path = F.regexp_replace(
         F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")),
         r"/index\.html$",
@@ -59,18 +75,22 @@ def canonical_url(url) -> F.Column:
         scheme,
         F.lit("://"),
         host,
+        portpart,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
 
 
 def _synth_url() -> F.Column:
-    """Three raw variants per canonical resource, synthesized from
+    """Four raw variants per canonical resource, synthesized from
     doc_id (the corpus has no URL column; the q147 convention):
     v0 plain, v1 uppercase + explicit :443 + fragment + index.html +
-    swapped param order, v2 utm-polluted."""
-    base = F.expr("doc_id div 3")
-    v = F.col("doc_id") % 3
+    swapped param order, v2 utm-polluted (all three collapse to one
+    canonical form), v3 explicit NON-default :8080 — a genuinely
+    distinct resource that must survive canonicalization with its
+    port intact (round-10 ADVICE: default-port-only dropping)."""
+    base = F.expr("doc_id div 4")
+    v = F.col("doc_id") % 4
     site = F.concat(F.lit("site"), (base % 40).cast("string"))
     page = (base % 10).cast("string")
     return (
@@ -89,10 +109,17 @@ def _synth_url() -> F.Column:
                 F.lit("/index.html?b=2&a=1#sec"),
             ),
         )
-        .otherwise(
+        .when(
+            v == 2,
             F.concat(
                 F.lit("https://"), site, F.lit(".com/p/"), page,
                 F.lit("/?utm_source=tw&b=2&a=1&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), site, F.lit(".com:8080/p/"), page,
+                F.lit("/?a=1&b=2"),
             ),
         )
     )
@@ -101,9 +128,9 @@ def _synth_url() -> F.Column:
 def q210_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalize every raw URL and keep the min doc_id per
     canonical form. Returns per-doc (doc_id, canonical_url, keep) —
-    by construction each canonical group here has up to 3 raw
-    variants, so ~2/3 of rows are keep=false when all variants are
-    present.
+    by construction the v0/v1/v2 variants collapse to one canonical
+    group (~half of all rows keep=false) while the v3 :8080 variant
+    survives as its own resource (keep=true).
 
     100 TB shape: canonicalization is one zero-shuffle expression;
     dedup is one (canonical_url -> min doc_id) aggregate joined
@@ -126,15 +153,17 @@ def q210_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q210 = r"""
 WITH raw AS (
   SELECT doc_id,
-         CASE doc_id % 3
-           WHEN 0 THEN 'https://site' || ((doc_id // 3) % 40) || '.com/p/'
-                || ((doc_id // 3) % 10) || '/?a=1&b=2'
-           WHEN 1 THEN 'HTTPS://SITE' || ((doc_id // 3) % 40)
-                || '.COM:443/p/' || ((doc_id // 3) % 10)
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://site' || ((doc_id // 4) % 40) || '.com/p/'
+                || ((doc_id // 4) % 10) || '/?a=1&b=2'
+           WHEN 1 THEN 'HTTPS://SITE' || ((doc_id // 4) % 40)
+                || '.COM:443/p/' || ((doc_id // 4) % 10)
                 || '/index.html?b=2&a=1#sec'
-           ELSE 'https://site' || ((doc_id // 3) % 40) || '.com/p/'
-                || ((doc_id // 3) % 10)
+           WHEN 2 THEN 'https://site' || ((doc_id // 4) % 40) || '.com/p/'
+                || ((doc_id // 4) % 10)
                 || '/?utm_source=tw&b=2&a=1&utm_campaign=x'
+           ELSE 'https://site' || ((doc_id // 4) % 40) || '.com:8080/p/'
+                || ((doc_id // 4) % 10) || '/?a=1&b=2'
          END AS url
   FROM documents
 ),
@@ -142,6 +171,7 @@ parts AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
          lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[^:]+://[^/:?#]+:(\d+)', 1) AS port,
          regexp_replace(
              regexp_extract(url, '^[^:]+://[^/?#]*(/[^?#]*)', 1),
              '/index\.html$', '/') AS path,
@@ -150,12 +180,18 @@ parts AS (
 ),
 canon AS (
   SELECT doc_id,
-         scheme || '://' || host || path ||
+         scheme || '://' || host ||
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END || path ||
          CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
   FROM (
-    SELECT doc_id, scheme, host, path,
+    SELECT doc_id, scheme, host, port, path,
+           -- '_' is a LIKE wildcard: regexp anchors the literal
+           -- prefix (round-10 ADVICE -- LIKE 'utm_%' also dropped
+           -- e.g. utmXsource)
            array_to_string(list_sort(list_filter(string_split(q, '&'),
-               x -> x <> '' AND x NOT LIKE 'utm_%')), '&') AS qs
+               x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS qs
     FROM parts
   )
 )

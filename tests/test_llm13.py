@@ -233,3 +233,48 @@ def test_recall_eval_sampling_is_a_subset_and_fraction1_is_identity(
     assert sorted(map(key, got.collect())) == sorted(
         map(key, expect.collect())
     )
+
+
+def test_write_versioned_pointer_swap_has_no_absence_window(
+    spark, tmp_path
+):
+    """round-10 ADVICE close: a reader that resolved the pointer
+    BEFORE a publish keeps a fully-readable path AFTER the publish
+    (old versions are never deleted), and a post-publish resolve
+    sees the new data. Contrast write_swap, whose rmtree->rename
+    leaves a path-not-found window."""
+    from synthea_etl_spark.operators.scd2 import (
+        read_current,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "dim")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, val string"), root
+    )
+    old = read_current(root)
+    assert old == v1
+    v2 = write_versioned(
+        spark.createDataFrame([(2, "b")], "id long, val string"), root
+    )
+    # the pre-publish resolution is STILL fully readable
+    assert [r.val for r in spark.read.parquet(old).collect()] == ["a"]
+    # and a fresh resolution sees the new version
+    new = read_current(root)
+    assert new == v2 and new != old
+    assert [r.val for r in spark.read.parquet(new).collect()] == ["b"]
+    # partitioned layout survives versioned publish too
+    v3 = write_versioned(
+        spark.createDataFrame(
+            [(3, 0, "c"), (4, 1, "d")],
+            "id long, batch_id long, val string",
+        ),
+        root,
+        partition_by=["batch_id"],
+    )
+    import os
+
+    assert read_current(root) == v3
+    assert sorted(
+        d for d in os.listdir(v3) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]

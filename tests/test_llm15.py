@@ -31,6 +31,15 @@ def test_canonical_url_rules(spark):
         ),
         # utm-only query: the '?' disappears entirely
         ("https://example.com/x?utm_source=a", "https://example.com/x"),
+        # default port drops per scheme; NON-default ports are
+        # distinct resources and survive (round-10 ADVICE)
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com:8443/x?b=2&a=1",
+         "https://example.com:8443/x?a=1&b=2"),
+        # a param merely STARTING with 'utm' but not 'utm_' is kept
+        ("https://example.com/x?utmXsource=1&a=1",
+         "https://example.com/x?a=1&utmXsource=1"),
     ]
     df = spark.createDataFrame(cases, "url string, expected string")
     out = df.select("expected", canonical_url("url").alias("got")).collect()
