@@ -143,6 +143,12 @@ HEADLINE_OPT = [
     "q209_incremental_clusters",
     "q210_url_dedup",
     "q211_content_hash_split",
+    "q212_boilerplate_line_removal",
+    "q213_c4_line_filters",
+    "q214_split_leakage_audit",
+    "q215_host_reputation",
+    "q216_snapshot_churn",
+    "q217_blocklist_scores",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

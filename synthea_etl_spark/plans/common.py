@@ -424,6 +424,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm13,
         llm14,
         llm15,
+        llm16,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -452,6 +453,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm13,
         llm14,
         llm15,
+        llm16,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -208,6 +208,37 @@ JOIN (SELECT canonical_url, MIN(doc_id) AS keeper
 # ---------------------------------------------------------------------------
 
 
+def split_expr(text_col: str = "text") -> F.Column:
+    """The content-fingerprint 80/10/10 split assignment as one
+    zero-shuffle expression (q211's key contract, reused by the
+    q214 leakage audit): md5 of the exact-dup fingerprint, first 8
+    hex digits as an int, mod 100."""
+    hv = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sp"), T.fingerprint(text_col))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        F.when(hv < 80, F.lit("train"))
+        .when(hv < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+# the same assignment as a SQL scalar over a `text` column (the
+# ORACLE_Q211 inner expression, shared with ORACLE_Q214)
+SQL_SPLIT_HV = (
+    "CAST(concat('0x', substr(md5('sp' || "
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    "), 1, 8)) AS BIGINT) % 100"
+)
+
+
 def q211_content_hash_split(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -221,22 +252,7 @@ def q211_content_hash_split(
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    hv = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("sp"), T.fingerprint("text"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    return docs.select(
-        "doc_id",
-        "source",
-        F.when(hv < 80, F.lit("train"))
-        .when(hv < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
+    return docs.select("doc_id", "source", split_expr("text").alias("split"))
 
 
 ORACLE_Q211 = r"""

@@ -1,0 +1,698 @@
+"""Round-11 LLM-pipeline additions — corpus line-level curation and
+crawl governance:
+
+- q212: corpus-frequency BOILERPLATE line removal with text
+  reassembly — the CCNet/RefinedWeb step (Wenzek et al. 2019 §4.1;
+  Penedo et al. 2023 §3.2): a line that recurs across >= MIN_DOCS
+  distinct documents is site boilerplate (nav bars, footers, cookie
+  banners) and is removed from EVERY document, and the cleaned
+  document text is reassembled in line order. Distinct from q187
+  (paragraph dedup elects one winner per duplicate group and counts
+  removals): boilerplate removal keeps NO copy and rewrites the
+  corpus.
+- q213: C4 line-level quality filters (Raffel et al. 2020 §2.2):
+  keep lines that end in terminal punctuation, have >= 5 words, and
+  contain no blocklisted word; keep the document only if >= 3 lines
+  survive. The corpus is punctuation-free word salad, so terminal
+  punctuation is synthesized deterministically per line (md5 rule,
+  identical in both engines) — the rule logic is fully exercised.
+- q214: near-dup LEAKAGE audit across the q211 content-hash split —
+  the eval-integrity report every lab runs before trusting a
+  held-out set: exact duplicates cannot straddle the split (q211's
+  guarantee) but NEAR duplicates can; MinHash/LSH candidate pairs
+  (the certified q33 machinery) that connect a train doc to a
+  val/test doc are leaks. Per eval doc: distinct train partners +
+  leaked flag.
+- q215: host reputation / crawl-frontier prioritization — per-host
+  doc volume, URL dup-rate (q210's canonicalization), Gopher
+  quality share (q188's rule set) and token mass rolled into a
+  deterministic tier, the signal a recrawl scheduler consumes.
+- q216: crawl snapshot CHURN — previous-vs-current snapshot diff by
+  stable key + content fingerprint: new / deleted / changed /
+  unchanged per resource, the recrawl-rate input. The corpus has
+  one snapshot, so the previous one is synthesized
+  deterministically (docstring documents the rule).
+- q217: blocklist scoring — category wordlists (severity-weighted)
+  evaluated as zero-shuffle array expressions per document; at
+  100 TB the blocklist is a broadcast-sized literal and scoring
+  never shuffles (the C4 "bad words" filter generalized to
+  severity categories).
+
+Beyond-reference surface (the reference's four Glue scripts are
+boto3 orchestration — Glue_Scripts/Raw_To_Staging.py:100-180 is the
+closest analog, per-row normalize-then-filter). Public knowledge
+only: C4 (Raffel et al. 2020), CCNet (Wenzek et al. 2019),
+RefinedWeb (Penedo et al. 2023), Gopher (Rae et al. 2021).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.dedup as D
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm15 import (
+    SQL_SPLIT_HV,
+    canonical_url,
+    split_expr,
+    _synth_url,
+)
+
+MICRO = 1_000_000
+
+# "Lines": the corpus has no newlines, so a line is a non-overlapping
+# 10-token chunk (the q187 _PARA_W convention at line granularity).
+_LINE_W = 10
+# boilerplate = line recurring in >= MIN_DOCS distinct documents
+_MIN_DOCS = 2
+
+
+def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line_idx, line_tokens, line_text, fp) — one narrow
+    no-shuffle explode (chunk_by_tokens is pure codegen)."""
+    return T.chunk_by_tokens(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        window=_LINE_W,
+        overlap=0,
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").alias("line_idx"),
+        F.col("chunk_tokens").alias("line_tokens"),
+        F.col("chunk_text").alias("line_text"),
+        F.md5("chunk_text").alias("fp"),
+    )
+
+
+# the shared lines CTE for the oracles (mirrors chunk_by_tokens with
+# overlap=0: n_chunks = max(1, ceil(n/W)), slice k covers
+# [k*W+1, (k+1)*W] 1-based)
+_SQL_LINES = f"""
+t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(CEIL(len(toks) / {_LINE_W}.0) AS BIGINT))
+           AS n_chunks
+  FROM t
+),
+lines AS (
+  SELECT doc_id, CAST(k.range AS INTEGER) AS line_idx,
+         len(toks[k.range * {_LINE_W} + 1 :
+                  k.range * {_LINE_W} + {_LINE_W}]) AS line_tokens,
+         array_to_string(
+             toks[k.range * {_LINE_W} + 1 :
+                  k.range * {_LINE_W} + {_LINE_W}], ' ') AS line_text,
+         md5(array_to_string(
+             toks[k.range * {_LINE_W} + 1 :
+                  k.range * {_LINE_W} + {_LINE_W}], ' ')) AS fp
+  FROM g, range(200) k WHERE k.range < n_chunks
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q212 corpus boilerplate line removal + reassembly
+# ---------------------------------------------------------------------------
+
+
+def q212_boilerplate_line_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Remove every line that occurs in >= MIN_DOCS distinct
+    documents (corpus-wide boilerplate — no copy survives, unlike
+    q187's winner-keeps dedup) and reassemble each document's
+    cleaned text in line order. Returns per doc: line counts, lines
+    removed, tokens removed, and the cleaned text.
+
+    100 TB shape: the chunker is a narrow explode; boilerplate
+    detection is ONE shuffle on the 16-byte line fingerprint
+    (count-distinct-docs, map-side combined via the (fp, doc_id)
+    pre-distinct); the verdict rejoins on fp and reassembly is one
+    doc_id aggregate with an order-preserving in-group sort
+    (array_sort over (line_idx, text) structs — no global sort).
+    Nothing ever pairs lines; both shuffles are hash-keyed."""
+    lines = _lines(spark, sf_dir)
+    freq = (
+        lines.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    marked = lines.join(freq, "fp").select(
+        "doc_id",
+        "line_idx",
+        "line_tokens",
+        "line_text",
+        (F.col("n_docs") >= _MIN_DOCS).alias("_boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("_boiler"), F.struct("line_idx", "line_text")
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_boiler").cast("long")).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(F.col("_boiler"), F.col("line_tokens")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("tokens_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["line_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+ORACLE_Q212 = f"""
+WITH {_SQL_LINES},
+freq AS (
+  SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM lines GROUP BY fp
+),
+marked AS (
+  SELECT l.*, f.n_docs >= {_MIN_DOCS} AS boiler
+  FROM lines l JOIN freq f USING (fp)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN boiler THEN line_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       COALESCE(string_agg(CASE WHEN NOT boiler THEN line_text END,
+                           ' ' ORDER BY line_idx), '') AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q213 C4 line-level quality filters
+# ---------------------------------------------------------------------------
+
+_LINE_BLOCKLIST = ("dup", "corrupt")
+_MIN_LINE_WORDS = 5
+_MIN_KEPT_LINES = 3
+# deterministic terminal-punctuation synthesis: ~80% of lines "end in
+# a period" (md5 of the line fp, identical rule in both engines)
+_PUNCT_MOD = 5
+
+
+def q213_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line filters (Raffel et al. 2020 §2.2): a line survives
+    iff it ends in terminal punctuation, has >= 5 words, and
+    contains no blocklisted word; the document survives iff >= 3
+    lines do. The corpus is punctuation-free, so the
+    terminal-punctuation bit is synthesized per line from its
+    fingerprint (hv % 5 < 4 — deterministic, engine == oracle) and
+    then the REAL rule (text ends with '.', '!' or '?') runs on the
+    synthesized line text. Returns per doc: line counts, kept
+    counts, kept tokens, doc_kept.
+
+    100 TB shape: everything up to the final doc_id aggregate is
+    zero-shuffle codegen (the chunker explode + per-line boolean
+    expressions); one hash aggregate on doc_id ends the plan. The
+    blocklist is a literal array — no join, no broadcast needed at
+    any scale."""
+    lines = _lines(spark, sf_dir)
+    hv = F.conv(F.substring(F.md5(F.concat(F.lit("lp"), F.col("fp"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    synth = F.when(
+        hv % _PUNCT_MOD < _PUNCT_MOD - 1,
+        F.concat(F.col("line_text"), F.lit(".")),
+    ).otherwise(F.col("line_text"))
+    toks = F.split(synth, r"\s+")
+    block = F.array(*[F.lit(w) for w in _LINE_BLOCKLIST])
+    keep = (
+        synth.rlike(r"[.!?]$")
+        & (F.col("line_tokens") >= _MIN_LINE_WORDS)
+        & (F.size(F.array_intersect(toks, block)) == 0)
+    )
+    per_line = lines.select(
+        "doc_id",
+        "line_tokens",
+        keep.alias("_keep"),
+    )
+    return per_line.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.col("line_tokens")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_tokens"),
+        (
+            F.sum(F.col("_keep").cast("long")) >= _MIN_KEPT_LINES
+        ).alias("doc_kept"),
+    )
+
+
+ORACLE_Q213 = f"""
+WITH {_SQL_LINES},
+synth AS (
+  SELECT doc_id, line_tokens,
+         CASE WHEN CAST(concat('0x', substr(md5('lp' || fp), 1, 8))
+                   AS BIGINT) % {_PUNCT_MOD} < {_PUNCT_MOD - 1}
+              THEN line_text || '.' ELSE line_text END AS line_text
+  FROM lines
+),
+judged AS (
+  SELECT doc_id, line_tokens,
+         regexp_matches(line_text, '[.!?]$')
+         AND line_tokens >= {_MIN_LINE_WORDS}
+         AND NOT EXISTS (
+           SELECT 1 FROM (SELECT UNNEST(
+               string_split_regex(line_text, '\\s+')) AS w)
+           WHERE w IN {_LINE_BLOCKLIST!r}
+         ) AS keep
+  FROM synth
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN line_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) >= {_MIN_KEPT_LINES}
+         AS doc_kept
+FROM judged GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q214 near-dup leakage across the content-hash split
+# ---------------------------------------------------------------------------
+
+
+def q214_split_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup leakage report over the q211 split: every val/test
+    document with the count of DISTINCT train documents it shares a
+    MinHash/LSH band bucket with (the certified q33 candidate
+    machinery, 32 perms / 8 bands) and a leaked flag. Exact dups
+    cannot straddle (q211 keys the split on the content
+    fingerprint); near dups can, and this is the audit that finds
+    them before an eval is trusted.
+
+    100 TB shape: one banding pass over the corpus (the persisted
+    band index of q158 serves the same pairs incrementally); leak
+    pairing is the band-bucket equi-join — never all-pairs; the
+    report is one aggregate on the eval doc id plus a right join
+    back to the eval side (so clean eval docs report 0)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    splits = docs.select("doc_id", split_expr("text").alias("split"))
+    sig = D.minhash_signature(docs, "text", "doc_id", 32, 3)
+    pairs = D.lsh_candidates(sig, "doc_id", 32, 8)
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.join(sa, "id_a").join(sb, "id_b")
+    leaks = (
+        tagged.filter(
+            (F.col("split_a") == "train") != (F.col("split_b") == "train")
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id"),
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("_train_id"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_train_id").cast("long").alias("n_train_partners"))
+    )
+    eval_docs = splits.filter(F.col("split") != "train")
+    return eval_docs.join(leaks, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce(F.col("n_train_partners"), F.lit(0))
+        .cast("long")
+        .alias("n_train_partners"),
+        (F.coalesce(F.col("n_train_partners"), F.lit(0)) > 0).alias("leaked"),
+    )
+
+
+def _oracle_q214() -> str:
+    from synthea_etl_spark.plans.llm import _sql_minhash_oracle
+
+    return f"""
+WITH pairs AS ({_sql_minhash_oracle()}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN hv < 80 THEN 'train'
+              WHEN hv < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, {SQL_SPLIT_HV} AS hv FROM documents)
+),
+leaks AS (
+  SELECT CASE WHEN a.split = 'train' THEN p.id_b ELSE p.id_a END AS doc_id,
+         CAST(COUNT(DISTINCT CASE WHEN a.split = 'train'
+                    THEN p.id_a ELSE p.id_b END) AS BIGINT)
+           AS n_train_partners
+  FROM pairs p
+  JOIN splits a ON a.doc_id = p.id_a
+  JOIN splits b ON b.doc_id = p.id_b
+  WHERE (a.split = 'train') <> (b.split = 'train')
+  GROUP BY 1
+)
+SELECT s.doc_id, s.split,
+       COALESCE(l.n_train_partners, 0) AS n_train_partners,
+       COALESCE(l.n_train_partners, 0) > 0 AS leaked
+FROM splits s LEFT JOIN leaks l USING (doc_id)
+WHERE s.split <> 'train'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q215 host reputation / crawl-frontier tiers
+# ---------------------------------------------------------------------------
+
+
+def q215_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl governance rollup: doc volume, URL duplicate
+    rate (1 - distinct canonical URLs / docs, q210's
+    canonicalization), Gopher-quality share (q188's composite rule)
+    and token mass, reduced to a deterministic crawl-priority tier —
+    the table a recrawl scheduler reads. All rates in exact int64
+    micro-units.
+
+    100 TB shape: canonicalization + quality + token count are
+    zero-shuffle expressions; ONE hash aggregate on host (40 hosts
+    here, ~1e6 on a real crawl — either way a map-side-combined
+    aggregate with no skew concern because every per-doc row is
+    pre-reduced to scalars)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = docs.select(
+        canonical_url(_synth_url()).alias("curl"),
+        F.parse_url(_synth_url(), F.lit("HOST")).alias("_host_raw"),
+        T.gopher_quality_ok("text").alias("_ok"),
+        T.token_count("text").cast("long").alias("_ntok"),
+    ).select(
+        F.lower(F.col("_host_raw")).alias("host"),
+        "curl",
+        "_ok",
+        "_ntok",
+    )
+    agg = per_doc.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("curl").cast("long").alias("n_resources"),
+        F.sum(F.col("_ok").cast("long")).cast("long").alias("n_quality"),
+        F.sum("_ntok").cast("long").alias("total_tokens"),
+    )
+    dup_rate = F.expr(
+        f"(n_docs - n_resources) * {MICRO} div n_docs"
+    ).cast("long")
+    q_share = F.expr(f"n_quality * {MICRO} div n_docs").cast("long")
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_resources",
+        "total_tokens",
+        dup_rate.alias("dup_rate_micro"),
+        q_share.alias("quality_share_micro"),
+        F.when(
+            (q_share >= 600_000) & (dup_rate <= 900_000), F.lit("high")
+        )
+        .when(q_share >= 400_000, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("crawl_tier"),
+    )
+
+
+# gopher_quality_ok in SQL — the exact q188 bound set (integer
+# product comparisons; stopword list = text.STOPWORDS_EN)
+def _sql_gopher_ok() -> str:
+    stops = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+    return f"""(
+  len(w) >= 50 AND len(w) <= 100000
+  AND len(list_filter(w, x -> x <> '')) = len(w)
+  AND (SELECT SUM(length(x)) FROM (SELECT UNNEST(w) AS x)) >= 3 * len(w)
+  AND (SELECT SUM(length(x)) FROM (SELECT UNNEST(w) AS x)) <= 10 * len(w)
+  AND 5 * len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+      >= 4 * len(w)
+  AND len(list_filter(w, x -> x IN ({stops}))) >= 2
+)"""
+
+
+def _oracle_q215() -> str:
+    # raw URL synthesis + canonicalization mirrors ORACLE_Q210's CTEs
+    return f"""
+WITH raw AS (
+  SELECT doc_id, text,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://site' || ((doc_id // 4) % 40) || '.com/p/'
+                || ((doc_id // 4) % 10) || '/?a=1&b=2'
+           WHEN 1 THEN 'HTTPS://SITE' || ((doc_id // 4) % 40)
+                || '.COM:443/p/' || ((doc_id // 4) % 10)
+                || '/index.html?b=2&a=1#sec'
+           WHEN 2 THEN 'https://site' || ((doc_id // 4) % 40) || '.com/p/'
+                || ((doc_id // 4) % 10)
+                || '/?utm_source=tw&b=2&a=1&utm_campaign=x'
+           ELSE 'https://site' || ((doc_id // 4) % 40) || '.com:8080/p/'
+                || ((doc_id // 4) % 10) || '/?a=1&b=2'
+         END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, text, url,
+         lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[^:]+://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^[^:]+://[^/:?#]+:(\\d+)', 1) AS port,
+         regexp_replace(
+             regexp_extract(url, '^[^:]+://[^/?#]*(/[^?#]*)', 1),
+             '/index\\.html$', '/') AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM raw
+),
+canon AS (
+  SELECT doc_id, host, scheme || '://' || host ||
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END || path ||
+         CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS curl,
+         string_split_regex(trim(text), '\\s+') AS w
+  FROM (
+    SELECT doc_id, text, scheme, host, port, path,
+           array_to_string(list_sort(list_filter(string_split(q, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS qs
+    FROM parts
+  )
+),
+perdoc AS (
+  SELECT doc_id, host, curl,
+         {_sql_gopher_ok()} AS ok,
+         CAST(len(w) AS BIGINT) AS ntok
+  FROM canon
+),
+agg AS (
+  SELECT host,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_resources,
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(ntok) AS BIGINT) AS total_tokens
+  FROM perdoc GROUP BY host
+)
+SELECT host, n_docs, n_resources, total_tokens,
+       (n_docs - n_resources) * {MICRO} // n_docs AS dup_rate_micro,
+       n_quality * {MICRO} // n_docs AS quality_share_micro,
+       CASE WHEN n_quality * {MICRO} // n_docs >= 600000
+                 AND (n_docs - n_resources) * {MICRO} // n_docs <= 900000
+            THEN 'high'
+            WHEN n_quality * {MICRO} // n_docs >= 400000 THEN 'medium'
+            ELSE 'low' END AS crawl_tier
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q216 crawl snapshot churn
+# ---------------------------------------------------------------------------
+
+
+def q216_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous-vs-current snapshot diff by stable resource key +
+    content fingerprint: new (in current only), deleted (in previous
+    only), changed (both, fingerprint differs), unchanged. The
+    recrawl-scheduler input (change rate per resource feeds q215's
+    tiers). The corpus carries one snapshot, so the previous one is
+    synthesized deterministically: resources with doc_id % 7 == 1
+    did not exist yet (NEW), % 7 == 5 are absent from the current
+    snapshot (DELETED), % 7 in (2, 3) had different content
+    (CHANGED — previous text carries a revision marker token);
+    everything else is UNCHANGED. In production the key is the
+    canonical URL (q210) and the fingerprint the q30 content hash.
+
+    100 TB shape: both sides are zero-shuffle projections of the
+    same scan; the diff is ONE full-outer equi-join on the resource
+    key. Fingerprints compare as 16-byte strings — content never
+    moves, only (key, fp)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = T.fingerprint("text")
+    prev = (
+        docs.filter(F.col("doc_id") % 7 != 1)
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 7).isin(2, 3),
+                T.fingerprint(F.concat(F.col("text"), F.lit(" rev0marker"))),
+            )
+            .otherwise(fp)
+            .alias("prev_fp"),
+        )
+    )
+    cur = docs.filter(F.col("doc_id") % 7 != 5).select(
+        "doc_id", fp.alias("cur_fp")
+    )
+    return prev.join(cur, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("prev_fp").isNull(), F.lit("new"))
+        .when(F.col("cur_fp").isNull(), F.lit("deleted"))
+        .when(F.col("prev_fp") != F.col("cur_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+ORACLE_Q216 = r"""
+WITH fps AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         md5(regexp_replace(lower(trim(text || ' rev0marker')),
+             '\s+', ' ', 'g')) AS rev_fp
+  FROM documents
+),
+prev AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 IN (2, 3) THEN rev_fp ELSE fp END AS prev_fp
+  FROM fps WHERE doc_id % 7 <> 1
+),
+cur AS (
+  SELECT doc_id, fp AS cur_fp FROM fps WHERE doc_id % 7 <> 5
+)
+SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+       CASE WHEN p.doc_id IS NULL THEN 'new'
+            WHEN c.doc_id IS NULL THEN 'deleted'
+            WHEN p.prev_fp <> c.cur_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q217 blocklist scoring
+# ---------------------------------------------------------------------------
+
+_BLOCK_SEVERE = ("dup", "corrupt")  # severity 4
+_BLOCK_MILD = ("slow", "big")  # severity 1
+_BLOCK_THRESHOLD = 8
+
+
+def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Severity-weighted blocklist scoring (the C4 bad-words filter
+    generalized): per document, OCCURRENCE counts against two
+    category wordlists, a weighted score (4x severe + 1x mild), and
+    a blocked verdict (any severe hit, or score >= 8). Wordlists
+    here are corpus-vocabulary stand-ins; the operator shape is the
+    real one.
+
+    100 TB shape: the blocklist is a literal array inside the plan
+    (broadcast-sized by construction) and scoring is a zero-shuffle
+    codegen filter over the token array — per-doc verdicts with NO
+    join and NO aggregate; the whole query is one narrow
+    projection."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = T.tokens("text")
+    sev = F.array(*[F.lit(w) for w in _BLOCK_SEVERE])
+    mild = F.array(*[F.lit(w) for w in _BLOCK_MILD])
+    n_sev = F.size(F.filter(toks, lambda t: F.array_contains(sev, t))).cast(
+        "long"
+    )
+    n_mild = F.size(F.filter(toks, lambda t: F.array_contains(mild, t))).cast(
+        "long"
+    )
+    score = (n_sev * 4 + n_mild).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sev.alias("hits_severe"),
+        n_mild.alias("hits_mild"),
+        score.alias("block_score"),
+        ((n_sev > 0) | (score >= _BLOCK_THRESHOLD)).alias("blocked"),
+    )
+
+
+ORACLE_Q217 = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\\s+')
+              ELSE [] END AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(w, x -> x IN {_BLOCK_SEVERE!r})) AS BIGINT)
+         AS hits_severe,
+       CAST(len(list_filter(w, x -> x IN {_BLOCK_MILD!r})) AS BIGINT)
+         AS hits_mild,
+       CAST(4 * len(list_filter(w, x -> x IN {_BLOCK_SEVERE!r}))
+            + len(list_filter(w, x -> x IN {_BLOCK_MILD!r})) AS BIGINT)
+         AS block_score,
+       len(list_filter(w, x -> x IN {_BLOCK_SEVERE!r})) > 0
+       OR 4 * len(list_filter(w, x -> x IN {_BLOCK_SEVERE!r}))
+          + len(list_filter(w, x -> x IN {_BLOCK_MILD!r}))
+          >= {_BLOCK_THRESHOLD} AS blocked
+FROM t
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q212_boilerplate_line_removal": QuerySpec(
+        q212_boilerplate_line_removal,
+        ORACLE_Q212,
+        "corpus-frequency boilerplate line removal with cleaned-text"
+        " reassembly (CCNet/RefinedWeb)",
+        ("llm", "dedup", "curation"),
+    ),
+    "q213_c4_line_filters": QuerySpec(
+        q213_c4_line_filters,
+        ORACLE_Q213,
+        "C4 line-level quality filters + >=3-kept-lines doc survival",
+        ("llm", "quality"),
+    ),
+    "q214_split_leakage_audit": QuerySpec(
+        q214_split_leakage_audit,
+        _oracle_q214(),
+        "near-dup (MinHash/LSH) leakage audit across the"
+        " content-hash train/val/test split",
+        ("llm", "dedup", "governance"),
+    ),
+    "q215_host_reputation": QuerySpec(
+        q215_host_reputation,
+        _oracle_q215(),
+        "per-host crawl reputation: dup rate + Gopher-quality share"
+        " -> crawl tier",
+        ("llm", "crawl", "governance"),
+    ),
+    "q216_snapshot_churn": QuerySpec(
+        q216_snapshot_churn,
+        ORACLE_Q216,
+        "crawl snapshot diff: new/deleted/changed/unchanged by"
+        " content fingerprint",
+        ("llm", "crawl"),
+    ),
+    "q217_blocklist_scores": QuerySpec(
+        q217_blocklist_scores,
+        ORACLE_Q217,
+        "severity-weighted blocklist scoring, zero-shuffle literal"
+        " wordlists",
+        ("llm", "quality"),
+    ),
+}

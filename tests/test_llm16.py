@@ -1,0 +1,220 @@
+"""Round-11 tests: corpus boilerplate-line removal semantics, C4
+line filters, the split leakage audit, crawl churn, host tiers, and
+blocklist scoring."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_boilerplate_removal_drops_every_copy_and_reassembles(spark):
+    """A line shared by two docs disappears from BOTH (no winner —
+    unlike paragraph dedup), a within-doc repeat is NOT boilerplate,
+    and the cleaned text preserves original line order."""
+    from synthea_etl_spark.plans.llm16 import (
+        q212_boilerplate_line_removal,
+    )
+
+    boiler = "nav home about contact login cart search help terms faq"
+    a_only = "alpha one two three four five six seven eight nine"
+    b_only = "beta one two three four five six seven eight nine"
+    selfrep = "gamma gamma gamma gamma gamma gamma gamma gamma gamma gamma"
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [
+                # doc 0: boiler + unique + boiler again (order test)
+                (0, f"{a_only} {boiler} {selfrep} {selfrep}", "en", "s"),
+                (1, f"{boiler} {b_only}", "en", "s"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in q212_boilerplate_line_removal(spark, d).collect()
+        }
+    # the shared nav line vanished from BOTH docs
+    assert "nav home" not in out[0].clean_text
+    assert "nav home" not in out[1].clean_text
+    # within-doc repeated line (selfrep x2, 1 doc) is NOT boilerplate
+    assert out[0].clean_text.count("gamma") == 20
+    # unique lines survive, in order
+    assert out[0].clean_text.startswith("alpha one")
+    assert out[1].clean_text == b_only
+    assert out[0].n_removed == 1 and out[1].n_removed == 1
+    assert out[1].tokens_removed == 10
+
+
+def test_c4_line_filters_each_rule(spark):
+    """Blocklist hits kill a line; short lines die; the >=3-kept-lines
+    doc rule flips doc_kept. (Terminal punctuation is synthesized at
+    ~80%, so a 5-line doc keeps >=3 with overwhelming margin when no
+    other rule fires; exact counts are gate-checked, here we pin the
+    rule directions on crafted docs.)"""
+    from synthea_etl_spark.plans.llm16 import q213_c4_line_filters
+
+    ten = "one two three four five six seven eight nine ten"
+    blocked = "dup two three four five six seven eight nine ten"
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [
+                (0, " ".join([ten] * 5), "en", "s"),  # 5 clean lines
+                (1, " ".join([blocked] * 5), "en", "s"),  # all blocked
+                (2, "short", "en", "s"),  # one 1-token line
+            ],
+        )
+        out = {r.doc_id: r for r in q213_c4_line_filters(spark, d).collect()}
+    assert out[1].n_kept == 0 and not out[1].doc_kept
+    assert out[2].n_kept == 0 and not out[2].doc_kept
+    assert out[0].n_lines == 5
+    # 0 or more lines lose the synthesized-punct coin flip, but every
+    # kept line must be one of the clean ones
+    assert 0 <= out[0].n_kept <= 5
+    assert out[0].kept_tokens == out[0].n_kept * 10
+
+
+def test_split_leakage_finds_planted_near_dup(spark):
+    """Plant a train/test near-dup pair (one token differs out of 60 —
+    MinHash bands collide with overwhelming probability) and assert
+    the audit reports the eval doc as leaked; unrelated docs don't
+    leak. Split membership is read from q211 so the plant adapts to
+    the hash assignment instead of assuming it."""
+    from synthea_etl_spark.plans.llm15 import q211_content_hash_split
+    from synthea_etl_spark.plans.llm16 import q214_split_leakage_audit
+
+    import random
+
+    rng = random.Random(7)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+    def doc(i):
+        return " ".join(rng.choice(vocab) + str(rng.randint(0, 99)) for _ in range(60))
+
+    # generate candidate texts, then pick a (train, eval) pair by
+    # actual q211 assignment: mutate ONE token of a train doc until
+    # the mutant lands in val/test
+    base = [doc(i) for i in range(30)]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [(i, t, "en", "s") for i, t in enumerate(base)],
+        )
+        split0 = {
+            r.doc_id: r.split
+            for r in q211_content_hash_split(spark, d).collect()
+        }
+    train_ids = [i for i, s in split0.items() if s == "train"]
+    assert train_ids, "need at least one train doc"
+    src = train_ids[0]
+    mutant = None
+    for suffix in range(200):
+        cand = base[src].rsplit(" ", 1)[0] + f" zz{suffix}"
+        # compute its split via the same expression on a tiny frame
+        from synthea_etl_spark.plans.llm15 import split_expr
+
+        s = (
+            spark.createDataFrame([(cand,)], "text string")
+            .select(split_expr("text").alias("sp"))
+            .first()
+            .sp
+        )
+        if s != "train":
+            mutant = cand
+            break
+    assert mutant is not None
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [(i, t, "en", "s") for i, t in enumerate(base)]
+            + [(999, mutant, "en", "s")],
+        )
+        out = {r.doc_id: r for r in q214_split_leakage_audit(spark, d).collect()}
+    assert 999 in out, "mutant must be an eval doc"
+    assert out[999].leaked and out[999].n_train_partners >= 1
+
+
+def test_snapshot_churn_statuses(spark):
+    """Status assignment follows the documented doc_id rule and the
+    full-outer join loses no resource."""
+    from synthea_etl_spark.plans.llm16 import q216_snapshot_churn
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [(i, f"text body number {i}", "en", "s") for i in range(21)],
+        )
+        out = {r.doc_id: r.status for r in q216_snapshot_churn(spark, d).collect()}
+    assert len(out) == 21
+    for i in range(21):
+        want = (
+            "new"
+            if i % 7 == 1
+            else "deleted"
+            if i % 7 == 5
+            else "changed"
+            if i % 7 in (2, 3)
+            else "unchanged"
+        )
+        assert out[i] == want, (i, out[i], want)
+
+
+def test_blocklist_scoring_counts_occurrences(spark):
+    """Occurrence counting (not set membership), severity weighting,
+    and both blocked triggers (any severe hit; mild-only >= 8)."""
+    from synthea_etl_spark.plans.llm16 import q217_blocklist_scores
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [
+                (0, "clean words only here", "en", "s"),
+                (1, "dup appears once", "en", "s"),  # severe -> blocked
+                (2, " ".join(["slow"] * 7), "en", "s"),  # 7 mild < 8
+                (3, " ".join(["slow"] * 8), "en", "s"),  # 8 mild -> blocked
+                (4, "slow dup slow dup big", "en", "s"),
+            ],
+        )
+        out = {r.doc_id: r for r in q217_blocklist_scores(spark, d).collect()}
+    assert not out[0].blocked and out[0].block_score == 0
+    assert out[1].blocked and out[1].hits_severe == 1
+    assert not out[2].blocked and out[2].block_score == 7
+    assert out[3].blocked and out[3].block_score == 8
+    assert out[4].hits_severe == 2 and out[4].hits_mild == 3
+    assert out[4].block_score == 11 and out[4].blocked
+
+
+def test_host_reputation_tiers_and_dup_rate(spark):
+    """Tier thresholds on the documented micro-unit boundaries, and
+    dup-rate derived from canonical (not raw) URLs. Runs against the
+    real sf0.001 tables since the URL synthesis is doc_id-keyed."""
+    from synthea_etl_spark.plans.llm16 import q215_host_reputation
+
+    out = q215_host_reputation(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_resources <= r.n_docs
+        assert 0 <= r.dup_rate_micro <= 1_000_000
+        want = (
+            "high"
+            if r.quality_share_micro >= 600_000
+            and r.dup_rate_micro <= 900_000
+            else "medium"
+            if r.quality_share_micro >= 400_000
+            else "low"
+        )
+        assert r.crawl_tier == want
