@@ -918,3 +918,76 @@ def corpus_overlap_estimate(
         corpus_bottomk_sketch(b, text_col, k),
         k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-frequency store (streaming boilerplate maintenance, round 11)
+# ---------------------------------------------------------------------------
+
+
+def line_frequency_slice(
+    docs: DataFrame,
+    line_window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One slice's per-line-fingerprint distinct-document counts —
+    the mergeable unit of the boilerplate store (q212's corpus
+    frequency, decomposed per ingest batch): (fp, n_docs). Because
+    landing is append-only (a document arrives in exactly one
+    slice), summing n_docs across slices IS the corpus-wide
+    distinct-document count per line, so the boilerplate verdict
+    (sum >= min_docs) never rescans text."""
+    from synthea_etl_spark.operators.text import chunk_by_tokens
+
+    lines = chunk_by_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col=text_col,
+        id_col="doc_id",
+        window=line_window,
+        overlap=0,
+    ).select(F.md5("chunk_text").alias("fp"), "id")
+    return (
+        lines.distinct()
+        .groupBy("fp")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def line_frequency_store(
+    docs: DataFrame,
+    store_path: str,
+    slice_id: str,
+    line_window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Publish one slice's line-frequency counts under ``store_path``
+    (parquet, partitioned by slice_id, dynamic partition overwrite —
+    the corpus_sketch_store idempotent-replay contract: a replayed
+    batch rewrites its own partition)."""
+    (
+        line_frequency_slice(docs, line_window, text_col, id_col)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def boilerplate_from_store(spark, store_path: str, min_docs: int = 2) -> DataFrame:
+    """Corpus-wide boilerplate line fingerprints from the
+    accumulated store: sum the per-slice distinct-doc counts per fp
+    and keep fps at or above the threshold. Store-sized arithmetic —
+    the corpus text is never reread; cleaning any document set is
+    then ONE anti-join on the line fingerprint (the q212 verdict
+    join with the store standing in for the inline frequency
+    aggregate)."""
+    store = spark.read.parquet(store_path)
+    return (
+        store.groupBy("fp")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp", "n_docs")
+    )

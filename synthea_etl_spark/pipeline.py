@@ -600,3 +600,50 @@ def curation_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def boilerplate_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+    line_window: int = 10,
+    min_docs: int = 2,
+):
+    """Streaming maintenance of the BOILERPLATE line-frequency store
+    (q212's corpus line frequency, kept current per ingest batch) —
+    the sixth stream-maintained artifact family. Each micro-batch of
+    landed documents publishes ONLY its own per-line-fingerprint
+    distinct-doc counts as one slice partition
+    (operators/dedup.line_frequency_store — dynamic partition
+    overwrite, replay-idempotent). Because landing is append-only
+    (each document arrives in exactly one batch), summing n_docs
+    across slices equals the corpus-wide distinct-document count per
+    line, so ``dedup.boilerplate_from_store`` answers the
+    boilerplate verdict (and any document set is cleaned by one
+    anti-join on the line fingerprint) WITHOUT rescanning history —
+    the same mergeability contract as the sketch store.
+    ``min_docs`` is a read-time parameter, not baked into the store,
+    so governance can re-threshold retroactively."""
+    from synthea_etl_spark.operators.dedup import line_frequency_store
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        line_frequency_store(
+            batch_df,
+            store_dir,
+            slice_id=f"batch{batch_id}",
+            line_window=line_window,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

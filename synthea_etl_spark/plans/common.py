@@ -425,6 +425,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm14,
         llm15,
         llm16,
+        llm17,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -454,6 +455,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm14,
         llm15,
         llm16,
+        llm17,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
