@@ -149,6 +149,9 @@ HEADLINE_OPT = [
     "q215_host_reputation",
     "q216_snapshot_churn",
     "q217_blocklist_scores",
+    "q218_link_graph",
+    "q219_recrawl_schedule",
+    "q220_bigram_lm_quality",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason
