@@ -194,6 +194,7 @@ def test_no_accidental_cartesian_products(spark):
         "q200_token_budget_curriculum",  # crossJoin of the 1-row token total
         "q201_epoch_repetition_plan",    # crossJoin of the 1-row weight total
         "q208_pq_rerank",                # q189's bounded query-batch crossJoin
+        "q220_bigram_lm_quality",        # crossJoins of the 1-row vocab size / OOV nll
     }
     bad = []
     for name, fn in ent.queries().items():
