@@ -983,11 +983,98 @@ def boilerplate_from_store(spark, store_path: str, min_docs: int = 2) -> DataFra
     the corpus text is never reread; cleaning any document set is
     then ONE anti-join on the line fingerprint (the q212 verdict
     join with the store standing in for the inline frequency
-    aggregate)."""
+    aggregate). Batch partitions at or below the compaction
+    watermark are ignored (their counts live in the ``compacted``
+    partition; a crash that left both behind therefore never double
+    counts — see compact_line_frequency_store)."""
     store = spark.read.parquet(store_path)
+    wm = compaction_watermark(store_path)
+    if wm >= 0:
+        num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+        store = store.filter(
+            (F.col("slice_id") == "compacted")
+            | ((num != "") & (num.cast("long") > wm))
+        )
     return (
         store.groupBy("fp")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
         .select("fp", "n_docs")
     )
+
+
+def _compaction_watermark_path(store_path: str) -> str:
+    import os
+
+    return os.path.join(store_path, "_COMPACTED_UPTO")
+
+
+def compaction_watermark(store_path: str) -> int:
+    """Highest batch number folded into the ``slice_id=compacted``
+    partition, or -1 if the store was never compacted. Tiny pointer
+    file, atomic-rename published (the write_versioned discipline)."""
+    import os
+
+    p = _compaction_watermark_path(store_path)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def compact_line_frequency_store(
+    spark, store_path: str, upto_batch: int
+) -> None:
+    """Fold every ``slice_id=batch<k>`` partition with k <=
+    ``upto_batch`` (plus any previous ``compacted`` partition) into
+    ONE re-aggregated ``slice_id=compacted`` partition — the
+    read-amplification fix for long-running ingest streams (a year
+    of 5-minute batches is ~100k slice partitions; the counts are
+    additive, so compaction is one fp-keyed aggregate over the
+    folded slices).
+
+    CRASH-SAFE ORDER: (1) publish the new compacted partition
+    (dynamic overwrite), (2) atomically publish the watermark,
+    (3) garbage-collect the folded batch partitions. Readers
+    (``boilerplate_from_store``) ignore batch partitions at or
+    below the watermark, so a crash between (2) and (3) leaves
+    stale directories but NEVER double counts; a crash between (1)
+    and (2) leaves the old watermark, so the rewritten compacted
+    partition is simply re-derived on retry (same input slices —
+    idempotent). The ingest stream skips publishing batches at or
+    below the watermark, so replay of a folded batch is a no-op."""
+    import os
+    import shutil
+
+    store = spark.read.parquet(store_path)
+    wm = compaction_watermark(store_path)
+    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+    # fold ONLY batches above the existing watermark: anything at or
+    # below it already lives inside the compacted partition, and a
+    # crash-leftover batch dir (publish succeeded, GC didn't) would
+    # otherwise be counted twice — caught by the compaction test's
+    # crash simulation
+    folded = store.filter(
+        (F.col("slice_id") == "compacted")
+        | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
+    )
+    merged = (
+        folded.groupBy("fp")
+        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        .withColumn("slice_id", F.lit("compacted"))
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+    tmp = _compaction_watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto_batch))
+    os.replace(tmp, _compaction_watermark_path(store_path))
+    for d in os.listdir(store_path):
+        if d.startswith("slice_id=batch"):
+            k = d.split("slice_id=batch", 1)[1]
+            if k.isdigit() and int(k) <= upto_batch:
+                shutil.rmtree(os.path.join(store_path, d))

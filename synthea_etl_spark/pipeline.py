@@ -626,10 +626,19 @@ def boilerplate_ingest_stream(
     the same mergeability contract as the sketch store.
     ``min_docs`` is a read-time parameter, not baked into the store,
     so governance can re-threshold retroactively."""
-    from synthea_etl_spark.operators.dedup import line_frequency_store
+    from synthea_etl_spark.operators.dedup import (
+        compaction_watermark,
+        line_frequency_store,
+    )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # a replayed batch already folded into the compacted
+        # partition must NOT republish (its counts live there);
+        # above the watermark the dynamic-overwrite idempotence
+        # contract applies as before
+        if batch_id <= compaction_watermark(store_dir):
             return
         line_frequency_store(
             batch_df,

@@ -169,3 +169,77 @@ def test_boilerplate_stream_store_matches_batch_frequency(spark, tmp_path):
     assert boiler_fp in flagged
     # unique lines are not flagged: flagged set is small
     assert len(flagged) < 10
+
+
+def test_line_store_compaction_preserves_counts_and_replay_safety(
+    spark, tmp_path
+):
+    """Compaction folds batch slices into one partition with
+    identical per-fp sums; a crash that leaves folded batch dirs
+    behind never double-counts (watermark filter); a replayed folded
+    batch is a no-op; post-watermark batches still publish."""
+    import os
+
+    from synthea_etl_spark.operators.dedup import (
+        boilerplate_from_store,
+        compact_line_frequency_store,
+        compaction_watermark,
+        line_frequency_slice,
+        line_frequency_store,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(10)) + " shared line "
+         "of ten tokens exactly here okay fine done")
+        for i in range(40)
+    ]
+    mk = lambda lo, hi: spark.createDataFrame(
+        rows[lo:hi], "doc_id long, text string"
+    )
+    for b, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 30), (30, 40)]):
+        line_frequency_store(mk(lo, hi), store, slice_id=f"batch{b}")
+    corpus_freq = {
+        r.fp: r.n_docs
+        for r in line_frequency_slice(mk(0, 40)).collect()
+    }
+
+    def store_sums():
+        return {
+            r.fp: r.n_docs
+            for r in boilerplate_from_store(spark, store, min_docs=1).collect()
+        }
+
+    assert store_sums() == corpus_freq
+    compact_line_frequency_store(spark, store, upto_batch=2)
+    assert compaction_watermark(store) == 2
+    slices = {
+        d.split("=", 1)[1]
+        for d in os.listdir(store)
+        if d.startswith("slice_id=")
+    }
+    assert slices == {"compacted", "batch3"}
+    assert store_sums() == corpus_freq
+    # crash simulation: a folded batch dir left behind must be
+    # invisible to readers (watermark filter, no double counting)
+    line_frequency_store(mk(10, 20), store, slice_id="batch1")
+    assert store_sums() == corpus_freq
+    # re-compaction folds the leftover dir away again + the next batch
+    compact_line_frequency_store(spark, store, upto_batch=3)
+    assert store_sums() == corpus_freq
+    # second compaction is idempotent on counts
+    compact_line_frequency_store(spark, store, upto_batch=3)
+    assert store_sums() == corpus_freq
+    # a NEW post-watermark batch still lands and counts
+    extra = [(100 + i, f"brand new doc {i} " * 3) for i in range(5)]
+    line_frequency_store(
+        spark.createDataFrame(extra, "doc_id long, text string"),
+        store,
+        slice_id="batch9",
+    )
+    full = line_frequency_slice(
+        spark.createDataFrame(
+            rows + extra, "doc_id long, text string"
+        )
+    ).collect()
+    assert store_sums() == {r.fp: r.n_docs for r in full}
