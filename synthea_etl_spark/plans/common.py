@@ -426,6 +426,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm15,
         llm16,
         llm17,
+        llm18,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -456,6 +457,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm15,
         llm16,
         llm17,
+        llm18,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

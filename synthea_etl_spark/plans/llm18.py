@@ -1,0 +1,332 @@
+"""Round-11 LLM-pipeline additions, part 3 — classifier data
+assembly and corpus drift monitoring:
+
+- q221: quality-classifier TRAINING TABLE assembly — the step
+  between heuristic filtering and model-based filtering in
+  CCNet/LLaMA-style pipelines (Wenzek et al. 2019 §4.3; Touvron et
+  al. 2023): one wide feature row per document (token counts, mean
+  word length, alphabetic share, stopword hits, the q188 Gopher
+  verdict, the q217 blocklist score, the q185 unigram-NLL score)
+  plus the weak label (reference slice vs crawl). q161 is the
+  INFERENCE side of this pair; this is the table its classifier
+  trains on.
+- q222: per-source token-distribution DRIFT monitor — smoothed
+  KL(source || reference) over unigram distributions, the
+  data-quality alarm that catches a source gone bad between
+  snapshots (encoding breakage, spam floods, language shift)
+  before it pollutes a mixture. All KL terms are quantized once
+  per (source, token) dim row and summed in exact int64 — the
+  q185/q220 discipline.
+
+Beyond-reference surface. Public knowledge only: CCNet (Wenzek et
+al. 2019), Gopher (Rae et al. 2021), KL divergence (Kullback &
+Leibler 1951).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm16 import (
+    _BLOCK_MILD,
+    _BLOCK_SEVERE,
+    _SQL_WB,
+    _SQL_WB_MILD,
+    _sql_gopher_ok,
+)
+
+MICRO = 1_000_000
+
+# reference slice convention shared with q220
+_REF_MOD = 10
+_REF_LT = 3
+
+
+def q221_quality_feature_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One wide feature row per document for quality-classifier
+    training: surface statistics, rule verdicts, the unigram-LM
+    score, and the weak label (doc_id % 10 < 3 -> 'ref', else
+    'crawl' — the CCNet convention of treating a trusted corpus
+    slice as positives). Every feature reuses a certified
+    expression or plan (q31/q188/q217/q185 shapes).
+
+    100 TB shape: the surface features and verdicts are one
+    zero-shuffle projection; the NLL feature is the q185 plan
+    (vocab aggregate + broadcast nll join + doc aggregate); the two
+    doc-keyed frames join on doc_id. The docs are repartitioned by
+    doc_id up front so the per-doc NLL aggregate AND the final join
+    reuse one partitioning (the q220 lesson) — total: the vocab
+    shuffle, the doc_id repartition, nothing else corpus-sized."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.length(F.trim("text")) > 0)
+        .repartition("doc_id")
+    )
+    toks = T.tokens("text")
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
+        "long"
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+
+    def wb_count(words) -> F.Column:
+        gate = None
+        for w in words:
+            c = F.contains(F.col("text"), F.lit(w))
+            gate = c if gate is None else (gate | c)
+        alt = "|".join(words)
+        return (
+            F.when(gate, F.regexp_count("text", F.lit(rf"\b({alt})\b")))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    block_score = (wb_count(_BLOCK_SEVERE) * 4 + wb_count(_BLOCK_MILD)).cast(
+        "long"
+    )
+    scalars = (
+        d.select(
+            "doc_id",
+            "text",
+            n.alias("_n"),
+            sum_len.alias("_sum_len"),
+            n_alpha.alias("_n_alpha"),
+            n_stop.alias("_n_stop"),
+        )
+        .select(
+            "doc_id",
+            F.col("_n").alias("n_tokens"),
+            F.expr(f"_sum_len * {MICRO} div greatest(_n, 1)")
+            .cast("long")
+            .alias("mean_word_len_micro"),
+            F.expr(f"_n_alpha * {MICRO} div greatest(_n, 1)")
+            .cast("long")
+            .alias("alpha_share_micro"),
+            F.col("_n_stop").alias("stopword_hits"),
+            T.gopher_quality_ok("text").alias("gopher_ok"),
+            block_score.alias("block_score"),
+            F.when(F.col("doc_id") % _REF_MOD < _REF_LT, F.lit("ref"))
+            .otherwise(F.lit("crawl"))
+            .alias("label"),
+        )
+    )
+    # unigram NLL (q185's plan riding the doc_id partitioning)
+    tok = d.select("doc_id", F.explode(toks).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("_nn"))
+    nll = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.floor(
+            F.round(-F.log(F.col("cnt") / F.col("_nn")), 6) * MICRO
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    doc_nll = (
+        tok.join(F.broadcast(nll), "t")
+        .groupBy("doc_id")
+        .agg(F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"))
+    )
+    return scalars.join(doc_nll, "doc_id")
+
+
+def _oracle_q221() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, UNNEST(w) AS tk FROM t),
+vocab AS (SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk),
+nll AS (
+  SELECT tk,
+         CAST(floor(round(-ln(cnt / (SELECT SUM(cnt) FROM vocab)), 6)
+              * {MICRO} + 0.5) AS BIGINT) AS nll_micro
+  FROM vocab
+),
+doc_nll AS (
+  SELECT doc_id, CAST(SUM(nll_micro) // count(*) AS BIGINT)
+           AS nll_micro_mean
+  FROM tok JOIN nll USING (tk) GROUP BY doc_id
+),
+scalars AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST((SELECT SUM(length(x)) FROM (SELECT UNNEST(w) AS x))
+              * {MICRO} // GREATEST(len(w), 1) AS BIGINT)
+           AS mean_word_len_micro,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+              * {MICRO} // GREATEST(len(w), 1) AS BIGINT)
+           AS alpha_share_micro,
+         CAST(len(list_filter(w, x -> x IN
+             ({", ".join(f"'{s}'" for s in T.STOPWORDS_EN)})))
+           AS BIGINT) AS stopword_hits,
+         {_sql_gopher_ok()} AS gopher_ok,
+         CAST(4 * ({_SQL_WB}) + ({_SQL_WB_MILD}) AS BIGINT) AS block_score,
+         CASE WHEN doc_id % {_REF_MOD} < {_REF_LT}
+              THEN 'ref' ELSE 'crawl' END AS label
+  FROM t
+)
+SELECT s.*, d.nll_micro_mean
+FROM scalars s JOIN doc_nll d USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q222 per-source token-distribution drift
+# ---------------------------------------------------------------------------
+
+_DRIFT_THRESHOLD_MICRO = 15_000  # corpus-calibrated: the homogeneous
+# synthetic sources sit at 3-16 mnats, so 15 mnats exercises both
+# verdict branches; a real deployment calibrates against a clean epoch
+
+
+def q222_token_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source distribution drift vs the reference slice:
+    smoothed KL(source || ref) over unigram token distributions,
+    with a drift verdict. p_ref is add-one smoothed over the union
+    vocabulary so a token unseen in the reference cannot produce an
+    infinite term. The KL log-ratio is quantized ONCE per
+    (source, token) dim row (vocab x sources sized — planning
+    scale), and the per-source sum is exact int64:
+    kl_micro = sum_t c_st * q(ln(p_s(t)/p_ref(t))) div n_s.
+
+    100 TB shape: one (source, token) aggregate (map-side combined)
+    + a broadcast join of the vocab-sized reference distribution +
+    one source-sized aggregate. The corpus is read once; everything
+    after the first aggregate is dim-sized."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select(
+        "source", "doc_id", F.explode(T.tokens("text")).alias("t")
+    )
+    st = tok.groupBy("source", "t").agg(
+        F.count("*").cast("long").alias("c_st")
+    )
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    ref = tok.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
+    rt = ref.groupBy("t").agg(F.count("*").cast("long").alias("c_rt"))
+    # union vocabulary size + ref total for add-one smoothing
+    vstats = (
+        st.select("t")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("v"))
+        .crossJoin(
+            F.broadcast(
+                rt.agg(F.sum("c_rt").cast("long").alias("n_ref"))
+            )
+        )
+    )
+    terms = (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(rt), "t", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "source",
+            "n_s",
+            "c_st",
+            # lr = ln( (c_st/n_s) / ((c_rt+1)/(n_ref+v)) ), quantized
+            # once per (source, token) row
+            F.floor(
+                F.round(
+                    F.log(
+                        (
+                            F.col("c_st").cast("double")
+                            * (F.col("n_ref") + F.col("v")).cast("double")
+                        )
+                        / (
+                            F.col("n_s").cast("double")
+                            * (F.coalesce(F.col("c_rt"), F.lit(0)) + 1).cast(
+                                "double"
+                            )
+                        )
+                    ),
+                    6,
+                )
+                * MICRO
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    out = terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.expr("sum(c_st * lr_micro) div max(n_s)").alias("kl_micro"),
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "kl_micro",
+        (F.col("kl_micro") >= _DRIFT_THRESHOLD_MICRO).alias("drifted"),
+    )
+
+
+ORACLE_Q222 = f"""
+WITH tok AS (
+  SELECT source, doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+st AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY source, t
+),
+ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+rt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c_rt
+  FROM tok WHERE doc_id % {_REF_MOD} < {_REF_LT} GROUP BY t
+),
+vstats AS (
+  SELECT (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) FROM st) AS v,
+         (SELECT CAST(COALESCE(SUM(c_rt), 0) AS BIGINT) FROM rt) AS n_ref
+),
+terms AS (
+  SELECT st.source, ns.n_s, st.c_st,
+         CAST(floor(round(ln(
+             (st.c_st * CAST(vs.n_ref + vs.v AS DOUBLE)) /
+             (ns.n_s * CAST(COALESCE(rt.c_rt, 0) + 1 AS DOUBLE))
+           ), 6) * {MICRO} + 0.5) AS BIGINT) AS lr_micro
+  FROM st
+  JOIN ns USING (source)
+  LEFT JOIN rt USING (t)
+  CROSS JOIN vstats vs
+)
+SELECT source,
+       MAX(n_s) AS n_tokens,
+       CAST(SUM(c_st * lr_micro) // MAX(n_s) AS BIGINT) AS kl_micro,
+       CAST(SUM(c_st * lr_micro) // MAX(n_s) AS BIGINT)
+         >= {_DRIFT_THRESHOLD_MICRO} AS drifted
+FROM terms GROUP BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q221_quality_feature_frame": QuerySpec(
+        q221_quality_feature_frame,
+        _oracle_q221(),
+        "classifier training table: surface + rule + LM features"
+        " with weak labels, one wide row per doc",
+        ("llm", "quality"),
+    ),
+    "q222_token_drift_monitor": QuerySpec(
+        q222_token_drift_monitor,
+        ORACLE_Q222,
+        "per-source smoothed KL drift vs the reference slice,"
+        " exact int64 terms",
+        ("llm", "governance"),
+    ),
+}

@@ -1,0 +1,77 @@
+"""Round-11 tests, part 3: feature-frame assembly semantics and the
+KL drift monitor."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+
+def _write_docs(spark, d, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_feature_frame_features_and_labels(spark):
+    """Feature semantics on crafted docs: labels follow the slice
+    rule, blocklist score matches q217's arithmetic, NLL is the
+    q185 value, and surface stats are exact micro-units."""
+    from synthea_etl_spark.plans.llm18 import q221_quality_feature_frame
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [
+                (0, "aa bb cc", "en", "s"),  # ref slice
+                (13, "aa bb dup", "en", "s"),  # crawl + severe hit
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in q221_quality_feature_frame(spark, d).collect()
+        }
+    assert out[0].label == "ref" and out[13].label == "crawl"
+    assert out[0].n_tokens == 3
+    # mean word len: all 2-char tokens -> exactly 2.0
+    assert out[0].mean_word_len_micro == 2_000_000
+    assert out[0].block_score == 0
+    assert out[13].block_score == 4  # one severe hit
+    # NLL hand-check: corpus tokens = aa(x2) bb(x2) cc dup, N=6
+    # doc0 = aa bb cc -> mean of q(-ln(2/6)) x2 and q(-ln(1/6))
+    q = lambda p: int(math.floor(round(-math.log(p), 6) * 1_000_000 + 0.5))
+    want = (q(2 / 6) + q(2 / 6) + q(1 / 6)) // 3
+    assert out[0].nll_micro_mean == want
+
+
+def test_drift_monitor_flags_shifted_source(spark):
+    """A source whose token distribution diverges from the reference
+    slice gets a large KL; a source matching the reference scores
+    near zero; smoothing keeps unseen-in-ref tokens finite."""
+    from synthea_etl_spark.plans.llm18 import q222_token_drift_monitor
+
+    ref_like = "alpha beta gamma delta " * 10
+    shifted = "zz yy xx ww " * 10  # no overlap with the reference
+    rows = []
+    # a LARGE reference slice (ids with doc_id % 10 < 3) so the
+    # add-one smoothing bias on a matching source stays well under
+    # the drift threshold; crawl ids use % 10 >= 3
+    for d10 in range(0, 100, 10):
+        for k in range(3):
+            rows.append((d10 + k, ref_like.strip(), "en", "clean"))
+    for i in range(3):
+        rows.append((13 + i * 10, ref_like.strip(), "en", "clean"))
+    for i in range(3):
+        rows.append((17 + i * 10, shifted.strip(), "en", "spammy"))
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        out = {
+            r.source: r for r in q222_token_drift_monitor(spark, d).collect()
+        }
+    assert out["spammy"].kl_micro > out["clean"].kl_micro
+    assert out["spammy"].drifted
+    assert not out["clean"].drifted
+    # all terms finite (smoothed): kl is a real number, not huge
+    assert out["spammy"].kl_micro < 50_000_000
