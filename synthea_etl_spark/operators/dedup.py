@@ -1078,3 +1078,65 @@ def compact_line_frequency_store(
             k = d.split("slice_id=batch", 1)[1]
             if k.isdigit() and int(k) <= upto_batch:
                 shutil.rmtree(os.path.join(store_path, d))
+
+
+def compact_batch_partitions(
+    spark, store_path: str, upto_batch: int, partition_col: str = "batch_id"
+) -> None:
+    """Generic compaction for the numeric ``batch_id``-partitioned
+    stores (the near-dedup corpus + band index, the postings and ANN
+    index stores): fold every partition with watermark < batch_id <=
+    ``upto_batch`` (plus the prior compacted partition) into ONE
+    partition at ``batch_id = -1`` — rows pass through unchanged
+    (these stores are row-sets, not aggregates; the line-frequency
+    store's additive variant is compact_line_frequency_store).
+
+    ``-1`` is chosen so existing probe filters of the form
+    ``batch_id < current_batch`` keep seeing compacted history with
+    NO reader change; the watermark filter (batch_watermark_filter)
+    additionally hides crash-leftover folded dirs. Same crash-safe
+    order and replay contract as the line store: publish → atomic
+    watermark → GC; the ingest stream skips batches at or below the
+    watermark."""
+    import os
+    import shutil
+
+    store = spark.read.parquet(store_path)
+    wm = compaction_watermark(store_path)
+    col = F.col(partition_col)
+    folded = store.filter(
+        (col == -1) | ((col > wm) & (col <= upto_batch))
+    ).withColumn(partition_col, F.lit(-1))
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(store_path)
+    )
+    tmp = _compaction_watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto_batch))
+    os.replace(tmp, _compaction_watermark_path(store_path))
+    for d in os.listdir(store_path):
+        if d.startswith(f"{partition_col}="):
+            k = d.split("=", 1)[1]
+            try:
+                kn = int(k)
+            except ValueError:
+                continue
+            if 0 <= kn <= upto_batch:
+                shutil.rmtree(os.path.join(store_path, d))
+
+
+def batch_watermark_filter(
+    df: DataFrame, store_path: str, partition_col: str = "batch_id"
+) -> DataFrame:
+    """Reader-side guard for compacted batch stores: keep the
+    compacted partition (-1) and live partitions above the
+    watermark; hide crash-leftover folded dirs so a crash between
+    compaction publish and GC never double-reads."""
+    wm = compaction_watermark(store_path)
+    if wm < 0:
+        return df
+    col = F.col(partition_col)
+    return df.filter((col == -1) | (col > wm))

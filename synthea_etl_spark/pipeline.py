@@ -185,7 +185,14 @@ def near_dedup_ingest_stream(
     replay must not see the half-written bands of its first
     attempt). At 100 TB the index is the ~50-byte-per-row band
     table, never the corpus — the same scale shape the q158 gate
-    certifies, plus idempotent publication."""
+    certifies, plus idempotent publication.
+
+    COMPACTION: long-running streams fold old batch partitions with
+    ``dedup.compact_batch_partitions`` (call it on corpus_dir AND
+    index_dir with the same ``upto_batch``). Compacted rows land at
+    batch_id = -1, which existing ``batch_id < current`` probes keep
+    seeing; the watermark filter hides crash leftovers, and this
+    ingest skips replayed batches at or below the watermark."""
     from synthea_etl_spark.operators.dedup import (
         banded_signatures,
         exploded_shingles,
@@ -231,7 +238,16 @@ def near_dedup_ingest_stream(
         )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from synthea_etl_spark.operators.dedup import (
+            batch_watermark_filter,
+            compaction_watermark,
+        )
+
         if batch_df.isEmpty():
+            return
+        # a replayed batch already folded into the compacted (-1)
+        # partition must not republish — its rows live there now
+        if batch_id <= compaction_watermark(index_dir):
             return
         batch_df = batch_df.localCheckpoint()  # read many times below
         sig = minhash_signature(
@@ -241,7 +257,12 @@ def near_dedup_ingest_stream(
         if os.path.isdir(index_dir) and any(
             e.startswith("batch_id=") for e in os.listdir(index_dir)
         ):
-            history = spark.read.parquet(index_dir).filter(
+            # batch_id < current keeps seeing the compacted partition
+            # (-1); the watermark filter additionally hides
+            # crash-leftover folded dirs (publish succeeded, GC not)
+            history = batch_watermark_filter(
+                spark.read.parquet(index_dir), index_dir
+            ).filter(
                 F.col("batch_id") < batch_id
             ).select("doc_id", "band", "bh")
             cands = incremental_lsh_candidates(bands_df, history, "doc_id")
@@ -252,7 +273,9 @@ def near_dedup_ingest_stream(
                 F.col("hist_id").alias("doc_id")
             ).distinct()
             hist_docs = (
-                spark.read.parquet(corpus_dir)
+                batch_watermark_filter(
+                    spark.read.parquet(corpus_dir), corpus_dir
+                )
                 .filter(F.col("batch_id") < batch_id)
                 .select("doc_id", "text")
                 .join(hist_ids, "doc_id")

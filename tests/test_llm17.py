@@ -243,3 +243,90 @@ def test_line_store_compaction_preserves_counts_and_replay_safety(
         )
     ).collect()
     assert store_sums() == {r.fp: r.n_docs for r in full}
+
+
+def test_near_dedup_store_compaction_transparent_to_stream(
+    spark, tmp_path
+):
+    """compact_batch_partitions on the near-dedup corpus + band index:
+    post-compaction the stream keeps deduplicating against FOLDED
+    history (the -1 partition rides the batch_id < current probe), a
+    replayed folded batch is a no-op, and crash-leftover folded dirs
+    are invisible to readers."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.operators.dedup import (
+        batch_watermark_filter,
+        compact_batch_partitions,
+        compaction_watermark,
+    )
+    from synthea_etl_spark.pipeline import near_dedup_ingest_stream
+
+    from tests.test_llm3 import NEAR_A, OTHER
+
+    landing = tmp_path / "landing"
+    corpus = tmp_path / "corpus"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        near_dedup_ingest_stream(
+            spark, str(landing), str(corpus), str(index), str(ckpt), schema
+        ).awaitTermination(120)
+
+    def corpus_ids():
+        return sorted(
+            r.doc_id
+            for r in batch_watermark_filter(
+                spark.read.parquet(str(corpus)), str(corpus)
+            ).collect()
+        )
+
+    land("b0.json", [(0, NEAR_A), (2, OTHER)])
+    run()
+    land("b1.json", [(11, "genuinely novel content here ok")])
+    run()
+    assert corpus_ids() == [0, 2, 11]
+
+    # fold batches 0..1 in BOTH stores
+    compact_batch_partitions(spark, str(corpus), upto_batch=1)
+    compact_batch_partitions(spark, str(index), upto_batch=1)
+    assert compaction_watermark(str(corpus)) == 1
+    assert {
+        d for d in os.listdir(str(index)) if d.startswith("batch_id=")
+    } == {"batch_id=-1"}
+    assert corpus_ids() == [0, 2, 11]
+
+    # a new batch near-duplicating FOLDED history still dedups
+    land("b2.json", [(20, NEAR_A + " tail"), (21, "another brand new doc entirely")])
+    run()
+    assert corpus_ids() == [0, 2, 11, 21]
+
+    # crash leftover: a folded batch dir reappears -> readers blind to it
+    leftover = spark.createDataFrame(
+        [(0, NEAR_A, 0)], "doc_id long, text string, batch_id long"
+    )
+    (
+        leftover.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(corpus))
+    )
+    assert corpus_ids() == [0, 2, 11, 21]
