@@ -965,7 +965,21 @@ def line_frequency_store(
     """Publish one slice's line-frequency counts under ``store_path``
     (parquet, partitioned by slice_id, dynamic partition overwrite —
     the corpus_sketch_store idempotent-replay contract: a replayed
-    batch rewrites its own partition)."""
+    batch rewrites its own partition).
+
+    ``slice_id`` must match ``batch<k>``: compaction and the
+    watermark filters key on that numbering, and a free-form id
+    would be SILENTLY excluded from the corpus frequency after the
+    first compaction (round-11 self-review finding) — better to
+    refuse at publish time."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            "line_frequency_store slice_id must be 'batch<k>' "
+            f"(got {slice_id!r}): compaction watermarks key on the "
+            "numeric batch suffix"
+        )
     (
         line_frequency_slice(docs, line_window, text_col, id_col)
         .withColumn("slice_id", F.lit(slice_id))
@@ -984,17 +998,25 @@ def boilerplate_from_store(spark, store_path: str, min_docs: int = 2) -> DataFra
     then ONE anti-join on the line fingerprint (the q212 verdict
     join with the store standing in for the inline frequency
     aggregate). Batch partitions at or below the compaction
-    watermark are ignored (their counts live in the ``compacted``
-    partition; a crash that left both behind therefore never double
-    counts — see compact_line_frequency_store)."""
+    watermark are ignored (their counts live in the current
+    ``compacted<wm>`` partition) and so is any ``compacted<k>``
+    with k != wm — a crash in ANY window of
+    compact_line_frequency_store leaves either leftover batch dirs
+    or a half-published next compacted partition, and both are
+    invisible here, so readers never double count."""
     store = spark.read.parquet(store_path)
     wm = compaction_watermark(store_path)
+    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
     if wm >= 0:
-        num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
         store = store.filter(
-            (F.col("slice_id") == "compacted")
+            (F.col("slice_id") == f"compacted{wm}")
             | ((num != "") & (num.cast("long") > wm))
         )
+    else:
+        # never compacted: only batch slices count (a crash before
+        # the FIRST watermark publish may have left an orphan
+        # compacted<k> partition — it must stay invisible)
+        store = store.filter(num != "")
     return (
         store.groupBy("fp")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
@@ -1033,35 +1055,45 @@ def compact_line_frequency_store(
     additive, so compaction is one fp-keyed aggregate over the
     folded slices).
 
-    CRASH-SAFE ORDER: (1) publish the new compacted partition
-    (dynamic overwrite), (2) atomically publish the watermark,
-    (3) garbage-collect the folded batch partitions. Readers
-    (``boilerplate_from_store``) ignore batch partitions at or
-    below the watermark, so a crash between (2) and (3) leaves
-    stale directories but NEVER double counts; a crash between (1)
-    and (2) leaves the old watermark, so the rewritten compacted
-    partition is simply re-derived on retry (same input slices —
-    idempotent). The ingest stream skips publishing batches at or
-    below the watermark, so replay of a folded batch is a no-op."""
+    CRASH-SAFE ORDER with a VERSIONED compacted partition (the
+    first cut wrote a single ``compacted`` partition and was NOT
+    safe in the publish→watermark window — a crash there left the
+    new partition already containing the batch counts, and a retry
+    folded it together with the still-present batch dirs, doubling
+    every count; found in round-11 self-review): the new partition
+    is named ``compacted<upto_batch>``. (1) Write it from the OLD
+    compacted partition (``compacted<wm>``) + batches in
+    (wm, upto] — inputs that do not change until the watermark
+    flips, so a retry overwrites the same partition with the same
+    data (idempotent). (2) Atomically publish the watermark:
+    readers switch from ``compacted<old_wm>`` to
+    ``compacted<upto>`` in one pointer flip and always IGNORE any
+    ``compacted<k>`` with k != watermark, so the half-published
+    partition is invisible before the flip. (3) GC folded batch
+    dirs and superseded compacted partitions. A crash anywhere
+    leaves readers correct and the retry convergent. The ingest
+    stream skips publishing batches at or below the watermark, so
+    replay of a folded batch is a no-op."""
     import os
     import shutil
 
-    store = spark.read.parquet(store_path)
     wm = compaction_watermark(store_path)
+    if wm >= upto_batch:
+        # already compacted to (or past) this point: re-running would
+        # read and dynamically overwrite the SAME partition (the
+        # read-overwrite race write_swap exists to prevent) for no
+        # semantic change — no-op instead
+        return
+    store = spark.read.parquet(store_path)
     num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
-    # fold ONLY batches above the existing watermark: anything at or
-    # below it already lives inside the compacted partition, and a
-    # crash-leftover batch dir (publish succeeded, GC didn't) would
-    # otherwise be counted twice — caught by the compaction test's
-    # crash simulation
     folded = store.filter(
-        (F.col("slice_id") == "compacted")
+        (F.col("slice_id") == f"compacted{wm}")
         | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
     )
     merged = (
         folded.groupBy("fp")
         .agg(F.sum("n_docs").cast("long").alias("n_docs"))
-        .withColumn("slice_id", F.lit("compacted"))
+        .withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
     )
     (
         merged.write.mode("overwrite")
@@ -1078,6 +1110,10 @@ def compact_line_frequency_store(
             k = d.split("slice_id=batch", 1)[1]
             if k.isdigit() and int(k) <= upto_batch:
                 shutil.rmtree(os.path.join(store_path, d))
+        elif d.startswith("slice_id=compacted"):
+            k = d.split("slice_id=compacted", 1)[1]
+            if k.isdigit() and int(k) != upto_batch:
+                shutil.rmtree(os.path.join(store_path, d))
 
 
 def compact_batch_partitions(
@@ -1091,22 +1127,31 @@ def compact_batch_partitions(
     (these stores are row-sets, not aggregates; the line-frequency
     store's additive variant is compact_line_frequency_store).
 
-    ``-1`` is chosen so existing probe filters of the form
-    ``batch_id < current_batch`` keep seeing compacted history with
-    NO reader change; the watermark filter (batch_watermark_filter)
-    additionally hides crash-leftover folded dirs. Same crash-safe
-    order and replay contract as the line store: publish → atomic
-    watermark → GC; the ingest stream skips batches at or below the
-    watermark."""
+    The compacted partition is VERSIONED at ``-(upto_batch + 2)``
+    (negative, so ``batch_id < current_batch`` probes keep seeing
+    compacted history with no reader change; versioned, so the
+    publish→watermark crash window is safe — the first cut's single
+    ``-1`` partition doubled every row on a retry in that window,
+    found in round-11 self-review). Order: (1) write
+    ``-(upto+2)`` from the OLD compacted partition ``-(wm+2)`` +
+    batches in (wm, upto] — inputs stable until the watermark
+    flips, so a retry is idempotent; (2) atomic watermark publish —
+    readers flip partitions in one pointer swap and always ignore
+    any other negative partition; (3) GC folded batch dirs and
+    superseded compacted partitions. The ingest stream skips
+    batches at or below the watermark."""
     import os
     import shutil
 
-    store = spark.read.parquet(store_path)
     wm = compaction_watermark(store_path)
+    if wm >= upto_batch:
+        return  # already folded to this point (see line-store note)
+    store = spark.read.parquet(store_path)
     col = F.col(partition_col)
+    new_part = -(upto_batch + 2)
     folded = store.filter(
-        (col == -1) | ((col > wm) & (col <= upto_batch))
-    ).withColumn(partition_col, F.lit(-1))
+        (col == -(wm + 2)) | ((col > wm) & (col >= 0) & (col <= upto_batch))
+    ).withColumn(partition_col, F.lit(new_part))
     (
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1124,7 +1169,7 @@ def compact_batch_partitions(
                 kn = int(k)
             except ValueError:
                 continue
-            if 0 <= kn <= upto_batch:
+            if (0 <= kn <= upto_batch) or (kn < 0 and kn != new_part):
                 shutil.rmtree(os.path.join(store_path, d))
 
 
@@ -1132,11 +1177,16 @@ def batch_watermark_filter(
     df: DataFrame, store_path: str, partition_col: str = "batch_id"
 ) -> DataFrame:
     """Reader-side guard for compacted batch stores: keep the
-    compacted partition (-1) and live partitions above the
-    watermark; hide crash-leftover folded dirs so a crash between
-    compaction publish and GC never double-reads."""
+    CURRENT compacted partition ``-(wm + 2)`` and live partitions
+    above the watermark; hide everything else — crash-leftover
+    folded batch dirs AND half-published next compacted partitions
+    alike — so a crash in any compaction window never
+    double-reads."""
     wm = compaction_watermark(store_path)
-    if wm < 0:
-        return df
     col = F.col(partition_col)
-    return df.filter((col == -1) | (col > wm))
+    if wm < 0:
+        # never compacted: only non-negative batch partitions count
+        # (an orphan compacted partition from a crash before the
+        # FIRST watermark publish must stay invisible)
+        return df.filter(col >= 0)
+    return df.filter((col == -(wm + 2)) | (col > wm))

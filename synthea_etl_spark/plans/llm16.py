@@ -87,7 +87,11 @@ def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the shared lines CTE for the oracles (mirrors chunk_by_tokens with
 # overlap=0: n_chunks = max(1, ceil(n/W)), slice k covers
-# [k*W+1, (k+1)*W] 1-based)
+# [k*W+1, (k+1)*W] 1-based). The range(200) bound caps the oracle at
+# 200 lines = 2000 tokens per document — safe for every TESTDATA SF
+# (docs are <= 2048 chars, the ORACLE_Q146 bound, so <= ~400 tokens);
+# the engine chunker is unbounded, so a corpus with longer docs needs
+# this constant raised or the gates report a (loud) rowcount mismatch
 _SQL_LINES = f"""
 t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
@@ -228,7 +232,10 @@ def q213_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hv % _PUNCT_MOD < _PUNCT_MOD - 1,
         F.concat(F.col("line_text"), F.lit(".")),
     ).otherwise(F.col("line_text"))
-    toks = F.split(synth, r"\s+")
+    # blocklist runs on the ORIGINAL tokens, not the synthesized
+    # text: a line-final blocklisted word would otherwise read as
+    # 'dup.' and escape the equality check (round-11 self-review)
+    toks = F.split(F.col("line_text"), " ")
     block = F.array(*[F.lit(w) for w in _LINE_BLOCKLIST])
     keep = (
         synth.rlike(r"[.!?]$")
@@ -255,19 +262,21 @@ def q213_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q213 = f"""
 WITH {_SQL_LINES},
 synth AS (
-  SELECT doc_id, line_tokens,
+  SELECT doc_id, line_tokens, line_text,
          CASE WHEN CAST(concat('0x', substr(md5('lp' || fp), 1, 8))
                    AS BIGINT) % {_PUNCT_MOD} < {_PUNCT_MOD - 1}
-              THEN line_text || '.' ELSE line_text END AS line_text
+              THEN line_text || '.' ELSE line_text END AS synth_text
   FROM lines
 ),
 judged AS (
   SELECT doc_id, line_tokens,
-         regexp_matches(line_text, '[.!?]$')
+         regexp_matches(synth_text, '[.!?]$')
          AND line_tokens >= {_MIN_LINE_WORDS}
+         -- blocklist on the ORIGINAL tokens (not the synthesized
+         -- text): a line-final 'dup' must not escape as 'dup.'
          AND NOT EXISTS (
            SELECT 1 FROM (SELECT UNNEST(
-               string_split_regex(line_text, '\\s+')) AS w)
+               string_split(line_text, ' ')) AS w)
            WHERE w IN {_LINE_BLOCKLIST!r}
          ) AS keep
   FROM synth
@@ -596,6 +605,30 @@ _BLOCK_MILD = ("slow", "big")  # severity 1
 _BLOCK_THRESHOLD = 8
 
 
+def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
+    """Occurrence count of a category wordlist as ONE alternation
+    regex GUARDED by a literal substring gate: `contains` is a plain
+    indexOf scan (~4x cheaper than JVM regex per char), so documents
+    containing none of the category's terms — the overwhelming
+    majority for a real bad-words list — never pay the regex at all.
+    The guard is exact: no substring hit implies zero word-boundary
+    hits. (Measured at sf10: tokenize + lambda filters 3.40 s,
+    unguarded alternation 1.25 s, guarded 0.87 s with a 5%-selective
+    severe gate — the cheap-gate-then-verify discipline of the
+    banded near-dup indexes.) Shared by q217 and the q221 feature
+    frame so the two can never drift apart."""
+    gate = None
+    for w in words:
+        c = F.contains(F.col(text_col), F.lit(w))
+        gate = c if gate is None else (gate | c)
+    alt = "|".join(words)
+    return (
+        F.when(gate, F.regexp_count(text_col, F.lit(rf"\b({alt})\b")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+
+
 def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Severity-weighted blocklist scoring (the C4 bad-words filter
     generalized): per document, OCCURRENCE counts against two
@@ -619,31 +652,8 @@ def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q72/q185's join plan) — alternation size loses to one hash
     probe as K grows."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def wb_count(words) -> F.Column:
-        # ONE alternation regex per category, GUARDED by a literal
-        # substring gate: `contains` is a plain indexOf scan (~4x
-        # cheaper than JVM regex per char), so documents containing
-        # none of the category's terms — the overwhelming majority
-        # for a real bad-words list — never pay the regex at all.
-        # The guard is exact: no substring hit implies zero
-        # word-boundary hits. (Measured at sf10: unguarded
-        # alternation 1.25 s, guarded 0.87 s with a 5%-selective
-        # severe gate; the same cheap-gate-then-verify discipline as
-        # the banded near-dup indexes.)
-        gate = None
-        for w in words:
-            c = F.contains(F.col("text"), F.lit(w))
-            gate = c if gate is None else (gate | c)
-        alt = "|".join(words)
-        return (
-            F.when(gate, F.regexp_count("text", F.lit(rf"\b({alt})\b")))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-
-    n_sev = wb_count(_BLOCK_SEVERE)
-    n_mild = wb_count(_BLOCK_MILD)
+    n_sev = blocklist_wb_count(_BLOCK_SEVERE)
+    n_mild = blocklist_wb_count(_BLOCK_MILD)
     score = (n_sev * 4 + n_mild).cast("long")
     return docs.select(
         "doc_id",

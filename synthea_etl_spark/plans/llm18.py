@@ -36,6 +36,7 @@ from synthea_etl_spark.plans.llm16 import (
     _SQL_WB,
     _SQL_WB_MILD,
     _sql_gopher_ok,
+    blocklist_wb_count,
 )
 
 MICRO = 1_000_000
@@ -79,21 +80,11 @@ def q221_quality_feature_frame(
     )
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
 
-    def wb_count(words) -> F.Column:
-        gate = None
-        for w in words:
-            c = F.contains(F.col("text"), F.lit(w))
-            gate = c if gate is None else (gate | c)
-        alt = "|".join(words)
-        return (
-            F.when(gate, F.regexp_count("text", F.lit(rf"\b({alt})\b")))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-
-    block_score = (wb_count(_BLOCK_SEVERE) * 4 + wb_count(_BLOCK_MILD)).cast(
-        "long"
-    )
+    # the SAME guarded-alternation helper q217 scores with — shared
+    # so the feature and the verdict can never drift apart
+    block_score = (
+        blocklist_wb_count(_BLOCK_SEVERE) * 4 + blocklist_wb_count(_BLOCK_MILD)
+    ).cast("long")
     scalars = (
         d.select(
             "doc_id",

@@ -195,6 +195,8 @@ def test_no_accidental_cartesian_products(spark):
         "q201_epoch_repetition_plan",    # crossJoin of the 1-row weight total
         "q208_pq_rerank",                # q189's bounded query-batch crossJoin
         "q220_bigram_lm_quality",        # crossJoins of the 1-row vocab size / OOV nll
+        "q221_quality_feature_frame",    # q185's 1-row token-total crossJoin
+        "q222_token_drift_monitor",      # crossJoins of the 1-row n_ref / vstats
     }
     bad = []
     for name, fn in ent.queries().items():

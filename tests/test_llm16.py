@@ -64,6 +64,10 @@ def test_c4_line_filters_each_rule(spark):
 
     ten = "one two three four five six seven eight nine ten"
     blocked = "dup two three four five six seven eight nine ten"
+    # blocklisted word in LINE-FINAL position: the synthesized '.'
+    # lands right after it ('dup.') — the filter must still catch it
+    # (round-11 self-review: the check runs on ORIGINAL tokens)
+    blocked_tail = "one two three four five six seven eight nine dup"
     with tempfile.TemporaryDirectory() as d:
         _write_docs(
             spark,
@@ -72,11 +76,13 @@ def test_c4_line_filters_each_rule(spark):
                 (0, " ".join([ten] * 5), "en", "s"),  # 5 clean lines
                 (1, " ".join([blocked] * 5), "en", "s"),  # all blocked
                 (2, "short", "en", "s"),  # one 1-token line
+                (3, " ".join([blocked_tail] * 5), "en", "s"),
             ],
         )
         out = {r.doc_id: r for r in q213_c4_line_filters(spark, d).collect()}
     assert out[1].n_kept == 0 and not out[1].doc_kept
     assert out[2].n_kept == 0 and not out[2].doc_kept
+    assert out[3].n_kept == 0 and not out[3].doc_kept
     assert out[0].n_lines == 5
     # 0 or more lines lose the synthesized-punct coin flip, but every
     # kept line must be one of the clean ones

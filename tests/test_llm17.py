@@ -211,6 +211,23 @@ def test_line_store_compaction_preserves_counts_and_replay_safety(
         }
 
     assert store_sums() == corpus_freq
+    # CRASH WINDOW 1 (publish -> watermark): simulate a compaction
+    # that wrote its versioned partition but died before the
+    # watermark flip — readers must not see it, and the retry must
+    # converge (the unversioned first cut double-counted here)
+    import pyspark.sql.functions as SF
+
+    orphan = (
+        line_frequency_slice(mk(0, 30))
+        .withColumn("slice_id", SF.lit("compacted2"))
+    )
+    (
+        orphan.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store)
+    )
+    assert store_sums() == corpus_freq  # orphan invisible (wm=-1)
     compact_line_frequency_store(spark, store, upto_batch=2)
     assert compaction_watermark(store) == 2
     slices = {
@@ -218,7 +235,7 @@ def test_line_store_compaction_preserves_counts_and_replay_safety(
         for d in os.listdir(store)
         if d.startswith("slice_id=")
     }
-    assert slices == {"compacted", "batch3"}
+    assert slices == {"compacted2", "batch3"}
     assert store_sums() == corpus_freq
     # crash simulation: a folded batch dir left behind must be
     # invisible to readers (watermark filter, no double counting)
@@ -305,13 +322,28 @@ def test_near_dedup_store_compaction_transparent_to_stream(
     run()
     assert corpus_ids() == [0, 2, 11]
 
-    # fold batches 0..1 in BOTH stores
+    # fold batches 0..1 in BOTH stores (versioned partition -(1+2))
     compact_batch_partitions(spark, str(corpus), upto_batch=1)
     compact_batch_partitions(spark, str(index), upto_batch=1)
     assert compaction_watermark(str(corpus)) == 1
     assert {
         d for d in os.listdir(str(index)) if d.startswith("batch_id=")
-    } == {"batch_id=-1"}
+    } == {"batch_id=-3"}
+    assert corpus_ids() == [0, 2, 11]
+    # CRASH WINDOW 1: a half-published NEXT compacted partition (no
+    # watermark flip yet) must be invisible, and re-compaction to the
+    # same upto must converge rather than double
+    (
+        spark.read.parquet(str(corpus))
+        .filter("batch_id = -3")
+        .withColumn("batch_id", F.lit(-4))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(str(corpus))
+    )
+    assert corpus_ids() == [0, 2, 11]
+    compact_batch_partitions(spark, str(corpus), upto_batch=1)
     assert corpus_ids() == [0, 2, 11]
 
     # a new batch near-duplicating FOLDED history still dedups
