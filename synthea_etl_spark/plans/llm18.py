@@ -305,6 +305,90 @@ FROM terms GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# q223 per-site boilerplate (the RefinedWeb-faithful variant)
+# ---------------------------------------------------------------------------
+
+_SITE_MIN_DOCS = 2
+
+
+def q223_site_boilerplate_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SITE boilerplate line removal — the RefinedWeb-faithful
+    form (Penedo et al. 2023 SS3.2: templates, nav bars and footers
+    recur WITHIN a host, so line-dedup scoped per site removes them
+    without collapsing legitimate cross-site quotations the way a
+    corpus-global rule can). A line is boilerplate iff it occurs in
+    >= _SITE_MIN_DOCS distinct documents OF THE SAME HOST (the q215
+    doc_id -> host mapping); removal and counts are per doc, like
+    q212 but keyed on (host, fp) instead of fp.
+
+    100 TB shape: identical to q212 with a compound shuffle key —
+    one (host, fp) aggregate (the host component makes hot
+    fingerprints LESS skewed than the global rule, since a
+    web-wide boilerplate line splits across its hosts), one verdict
+    rejoin, one doc aggregate. Returns (doc_id, host, n_lines,
+    n_removed, tokens_removed)."""
+    from synthea_etl_spark.plans.llm16 import _lines
+
+    host = F.concat(
+        F.lit("site"),
+        (F.expr("doc_id div 4") % 40).cast("string"),
+        F.lit(".com"),
+    )
+    lines = _lines(spark, sf_dir).withColumn("host", host)
+    freq = (
+        lines.select("host", "fp", "doc_id")
+        .distinct()
+        .groupBy("host", "fp")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    marked = lines.join(freq, ["host", "fp"]).select(
+        "doc_id",
+        "host",
+        "line_tokens",
+        (F.col("n_docs") >= _SITE_MIN_DOCS).alias("_boiler"),
+    )
+    return marked.groupBy("doc_id", "host").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_boiler").cast("long")).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(F.col("_boiler"), F.col("line_tokens")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+
+
+def _oracle_q223() -> str:
+    from synthea_etl_spark.plans.llm16 import _SQL_LINES
+
+    return f"""
+WITH {_SQL_LINES},
+hosted AS (
+  SELECT l.*, 'site' || ((doc_id // 4) % 40) || '.com' AS host
+  FROM lines l
+),
+freq AS (
+  SELECT host, fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM hosted GROUP BY host, fp
+),
+marked AS (
+  SELECT h.doc_id, h.host, h.line_tokens,
+         f.n_docs >= {_SITE_MIN_DOCS} AS boiler
+  FROM hosted h JOIN freq f USING (host, fp)
+)
+SELECT doc_id, host,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN boiler THEN line_tokens ELSE 0 END) AS BIGINT)
+         AS tokens_removed
+FROM marked GROUP BY doc_id, host
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q221_quality_feature_frame": QuerySpec(
         q221_quality_feature_frame,
@@ -319,5 +403,12 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source smoothed KL drift vs the reference slice,"
         " exact int64 terms",
         ("llm", "governance"),
+    ),
+    "q223_site_boilerplate_removal": QuerySpec(
+        q223_site_boilerplate_removal,
+        _oracle_q223(),
+        "RefinedWeb-faithful PER-SITE boilerplate line removal"
+        " ((host, fp)-keyed)",
+        ("llm", "dedup", "crawl"),
     ),
 }

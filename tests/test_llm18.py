@@ -75,3 +75,37 @@ def test_drift_monitor_flags_shifted_source(spark):
     assert not out["clean"].drifted
     # all terms finite (smoothed): kl is a real number, not huge
     assert out["spammy"].kl_micro < 50_000_000
+
+
+def test_site_boilerplate_is_host_scoped(spark):
+    """A line shared across docs of DIFFERENT hosts is NOT site
+    boilerplate; the same line shared within one host is. Host
+    mapping: doc_id div 4 -> site, so ids 0-3 share a host and id 4
+    is the next host."""
+    from synthea_etl_spark.plans.llm18 import (
+        q223_site_boilerplate_removal,
+    )
+
+    shared = "nav home about contact login cart search help terms faq"
+    uniq = lambda i: " ".join(f"u{i}w{j}" for j in range(10))
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(
+            spark,
+            d,
+            [
+                # host site0: two docs sharing the nav line
+                (0, uniq(0) + " " + shared, "en", "s"),
+                (1, uniq(1) + " " + shared, "en", "s"),
+                # host site1: ONE doc with the same nav line — not
+                # boilerplate within ITS host
+                (4, uniq(4) + " " + shared, "en", "s"),
+            ],
+        )
+        out = {
+            r.doc_id: r
+            for r in q223_site_boilerplate_removal(spark, d).collect()
+        }
+    assert out[0].host == "site0.com" and out[4].host == "site1.com"
+    assert out[0].n_removed == 1 and out[1].n_removed == 1
+    assert out[4].n_removed == 0  # cross-host share is NOT removed
+    assert out[0].tokens_removed == 10
