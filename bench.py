@@ -155,6 +155,7 @@ HEADLINE_OPT = [
     "q221_quality_feature_frame",
     "q222_token_drift_monitor",
     "q223_site_boilerplate_removal",
+    "q224_drift_from_store",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -1073,47 +1073,9 @@ def compact_line_frequency_store(
     dirs and superseded compacted partitions. A crash anywhere
     leaves readers correct and the retry convergent. The ingest
     stream skips publishing batches at or below the watermark, so
-    replay of a folded batch is a no-op."""
-    import os
-    import shutil
-
-    wm = compaction_watermark(store_path)
-    if wm >= upto_batch:
-        # already compacted to (or past) this point: re-running would
-        # read and dynamically overwrite the SAME partition (the
-        # read-overwrite race write_swap exists to prevent) for no
-        # semantic change — no-op instead
-        return
-    store = spark.read.parquet(store_path)
-    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
-    folded = store.filter(
-        (F.col("slice_id") == f"compacted{wm}")
-        | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
-    )
-    merged = (
-        folded.groupBy("fp")
-        .agg(F.sum("n_docs").cast("long").alias("n_docs"))
-        .withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
-    )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("slice_id")
-        .parquet(store_path)
-    )
-    tmp = _compaction_watermark_path(store_path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(upto_batch))
-    os.replace(tmp, _compaction_watermark_path(store_path))
-    for d in os.listdir(store_path):
-        if d.startswith("slice_id=batch"):
-            k = d.split("slice_id=batch", 1)[1]
-            if k.isdigit() and int(k) <= upto_batch:
-                shutil.rmtree(os.path.join(store_path, d))
-        elif d.startswith("slice_id=compacted"):
-            k = d.split("slice_id=compacted", 1)[1]
-            if k.isdigit() and int(k) != upto_batch:
-                shutil.rmtree(os.path.join(store_path, d))
+    replay of a folded batch is a no-op. (Thin wrapper over the
+    generic additive-store compactor, compact_counting_slices.)"""
+    compact_counting_slices(spark, store_path, upto_batch, ["fp"], "n_docs")
 
 
 def compact_batch_partitions(
@@ -1190,3 +1152,207 @@ def batch_watermark_filter(
         # FIRST watermark publish must stay invisible)
         return df.filter(col >= 0)
     return df.filter((col == -(wm + 2)) | (col > wm))
+
+
+def compact_counting_slices(
+    spark,
+    store_path: str,
+    upto_batch: int,
+    key_cols: list[str],
+    count_col: str,
+) -> None:
+    """The line-frequency compactor generalized to ANY additive
+    (keys -> count) slice store (line fingerprints, token
+    distributions, ...): fold ``batch<k>`` slices in
+    (watermark, upto] plus the current ``compacted<wm>`` partition
+    into a re-aggregated ``compacted<upto>`` partition. Identical
+    crash-safety contract to compact_line_frequency_store (versioned
+    partition; publish → atomic watermark → GC; no-op when already
+    folded to this point)."""
+    import os
+    import shutil
+
+    wm = compaction_watermark(store_path)
+    if wm >= upto_batch:
+        return
+    store = spark.read.parquet(store_path)
+    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+    folded = store.filter(
+        (F.col("slice_id") == f"compacted{wm}")
+        | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
+    )
+    merged = (
+        folded.groupBy(*key_cols)
+        .agg(F.sum(count_col).cast("long").alias(count_col))
+        .withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+    tmp = _compaction_watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto_batch))
+    os.replace(tmp, _compaction_watermark_path(store_path))
+    for d in os.listdir(store_path):
+        if d.startswith("slice_id=batch"):
+            k = d.split("slice_id=batch", 1)[1]
+            if k.isdigit() and int(k) <= upto_batch:
+                shutil.rmtree(os.path.join(store_path, d))
+        elif d.startswith("slice_id=compacted"):
+            k = d.split("slice_id=compacted", 1)[1]
+            if k.isdigit() and int(k) != upto_batch:
+                shutil.rmtree(os.path.join(store_path, d))
+
+
+def counting_store_totals(
+    spark, store_path: str, key_cols: list[str], count_col: str
+) -> DataFrame:
+    """Watermark-aware totals over an additive counting slice store:
+    sum ``count_col`` per key over the current compacted partition
+    + live batch slices; crash leftovers (folded batch dirs, orphan
+    compacted partitions) stay invisible — the
+    boilerplate_from_store reader contract, generalized."""
+    store = spark.read.parquet(store_path)
+    wm = compaction_watermark(store_path)
+    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+    if wm >= 0:
+        store = store.filter(
+            (F.col("slice_id") == f"compacted{wm}")
+            | ((num != "") & (num.cast("long") > wm))
+        )
+    else:
+        store = store.filter(num != "")
+    return store.groupBy(*key_cols).agg(
+        F.sum(count_col).cast("long").alias(count_col)
+    )
+
+
+# --- token-distribution store (the q222 drift monitor made --------
+# --- operational: per-batch counts, drift answered from the store -
+
+
+def token_stats_slice(
+    docs: DataFrame,
+    ref_pred: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One batch's additive token-count rows for the drift store:
+    (source, t, c) for every real source plus ``__ref__`` rows for
+    the documents matching ``ref_pred`` (the trusted-slice
+    predicate, default doc_id %% 10 < 3 — the q220/q222
+    convention). Summing across slices reproduces the corpus
+    counts because landing is append-only."""
+    if ref_pred is None:
+        ref_pred = (F.col("doc_id") % 10) < 3
+    tok = docs.filter(F.length(F.trim(text_col)) > 0).select(
+        "source", ref_pred.alias("_is_ref"), F.explode(tokens(text_col)).alias("t")
+    )
+    per_source = tok.groupBy("source", "t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ref = (
+        tok.filter(F.col("_is_ref"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(F.lit("__ref__").alias("source"), "t", "c")
+    )
+    return per_source.unionByName(ref)
+
+
+def token_stats_store(
+    docs: DataFrame,
+    store_path: str,
+    slice_id: str,
+    ref_pred: Column | None = None,
+    text_col: str = "text",
+) -> None:
+    """Publish one batch's token-count slice (same naming +
+    idempotent dynamic-overwrite contract as line_frequency_store;
+    compact with compact_counting_slices(keys=['source','t'],
+    count='c'))."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            f"token_stats_store slice_id must be 'batch<k>' (got {slice_id!r})"
+        )
+    (
+        token_stats_slice(docs, ref_pred, text_col)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def drift_from_token_store(
+    spark, store_path: str, threshold_micro: int = 15_000
+) -> DataFrame:
+    """The q222 drift report answered FROM THE STORE — store-sized
+    arithmetic, the corpus text is never reread: per-source
+    add-one-smoothed KL vs the ``__ref__`` distribution, exact
+    int64 terms quantized once per (source, token) row. Returns the
+    q222 schema (source, n_tokens, kl_micro, drifted)."""
+    MICRO = 1_000_000
+    totals = counting_store_totals(spark, store_path, ["source", "t"], "c")
+    st = totals.filter(F.col("source") != "__ref__").withColumnRenamed(
+        "c", "c_st"
+    )
+    rt = (
+        totals.filter(F.col("source") == "__ref__")
+        .select("t", F.col("c").alias("c_rt"))
+    )
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    vstats = (
+        st.select("t")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("v"))
+        .crossJoin(
+            F.broadcast(rt.agg(F.sum("c_rt").cast("long").alias("n_ref")))
+        )
+    )
+    terms = (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(rt), "t", "left")
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "source",
+            "n_s",
+            "c_st",
+            F.floor(
+                F.round(
+                    F.log(
+                        (
+                            F.col("c_st").cast("double")
+                            * (F.col("n_ref") + F.col("v")).cast("double")
+                        )
+                        / (
+                            F.col("n_s").cast("double")
+                            * (F.coalesce(F.col("c_rt"), F.lit(0)) + 1).cast(
+                                "double"
+                            )
+                        )
+                    ),
+                    6,
+                )
+                * MICRO
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    out = terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.expr("sum(c_st * lr_micro) div max(n_s)").alias("kl_micro"),
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "kl_micro",
+        (F.col("kl_micro") >= threshold_micro).alias("drifted"),
+    )

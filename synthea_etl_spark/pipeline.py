@@ -190,7 +190,8 @@ def near_dedup_ingest_stream(
     COMPACTION: long-running streams fold old batch partitions with
     ``dedup.compact_batch_partitions`` (call it on corpus_dir AND
     index_dir with the same ``upto_batch``). Compacted rows land at
-    batch_id = -1, which existing ``batch_id < current`` probes keep
+    the versioned negative partition -(upto+2), which existing
+    ``batch_id < current`` probes keep
     seeing; the watermark filter hides crash leftovers, and this
     ingest skips replayed batches at or below the watermark."""
     from synthea_etl_spark.operators.dedup import (
@@ -669,6 +670,48 @@ def boilerplate_ingest_stream(
             slice_id=f"batch{batch_id}",
             line_window=line_window,
         )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def token_stats_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the TOKEN-DISTRIBUTION store — the
+    seventh stream-maintained artifact family, making the q222 drift
+    monitor operational: each micro-batch publishes only its own
+    (source, token) counts (plus ``__ref__`` rows for its
+    trusted-slice documents) as one slice partition
+    (operators/dedup.token_stats_store — dynamic overwrite,
+    replay-idempotent; additive, so
+    ``dedup.drift_from_token_store`` answers per-source KL drift
+    between ingests from store-sized arithmetic without rereading
+    any text, and ``dedup.compact_counting_slices(keys=['source',
+    't'], count='c')`` folds old slices under the standard
+    crash-safe watermark contract)."""
+    from synthea_etl_spark.operators.dedup import (
+        compaction_watermark,
+        token_stats_store,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= compaction_watermark(store_dir):
+            return
+        token_stats_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
 
     return (
         spark.readStream.schema(schema)

@@ -389,6 +389,49 @@ FROM marked GROUP BY doc_id, host
 """
 
 
+# ---------------------------------------------------------------------------
+# q224 drift report FROM THE STORE
+# ---------------------------------------------------------------------------
+
+
+def q224_drift_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q222's drift report answered from the token-distribution
+    SLICE STORE (the q178 sketch-store discipline applied to the
+    drift monitor): the corpus is ingested as two doc_id-split
+    slices into a fresh store (token_stats_store — in production
+    ``pipeline.token_stats_ingest_stream`` maintains it per batch),
+    then ``drift_from_token_store`` computes the per-source KL from
+    store-sized arithmetic alone. Hash-gating against ORACLE_Q222
+    certifies end to end that sum-over-slices == corpus counts and
+    that the store path reproduces the batch report bit for bit.
+
+    100 TB shape: the answering path reads only (source, token)
+    count rows — the corpus text is read once, at ingest time; the
+    gate's in-query build exists to make the equality checkable."""
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        drift_from_token_store,
+        token_stats_store,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    ref_pred = (F.col("doc_id") % _REF_MOD) < _REF_LT
+    store = tempfile.mkdtemp(prefix="q224_token_store_")
+    mid = 250  # doc_id split point: two slices, any split works
+    token_stats_store(
+        docs.filter(F.col("doc_id") < mid), store, "batch0", ref_pred
+    )
+    token_stats_store(
+        docs.filter(F.col("doc_id") >= mid), store, "batch1", ref_pred
+    )
+    return drift_from_token_store(
+        spark, store, threshold_micro=_DRIFT_THRESHOLD_MICRO
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q221_quality_feature_frame": QuerySpec(
         q221_quality_feature_frame,
@@ -410,5 +453,12 @@ QUERIES: dict[str, QuerySpec] = {
         "RefinedWeb-faithful PER-SITE boilerplate line removal"
         " ((host, fp)-keyed)",
         ("llm", "dedup", "crawl"),
+    ),
+    "q224_drift_from_store": QuerySpec(
+        q224_drift_from_store,
+        ORACLE_Q222,
+        "q222's drift report answered from the streamed token-count"
+        " slice store (store-sized arithmetic)",
+        ("llm", "governance", "streaming"),
     ),
 }

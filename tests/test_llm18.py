@@ -109,3 +109,98 @@ def test_site_boilerplate_is_host_scoped(spark):
     assert out[0].n_removed == 1 and out[1].n_removed == 1
     assert out[4].n_removed == 0  # cross-host share is NOT removed
     assert out[0].tokens_removed == 10
+
+
+def test_token_stats_stream_store_drift_and_compaction(spark, tmp_path):
+    """The seventh stream family: streamed token-count slices sum to
+    the corpus counts; drift-from-store equals the batch q222 report;
+    compaction + folded-replay leave both unchanged."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.operators.dedup import (
+        compact_counting_slices,
+        drift_from_token_store,
+        token_stats_store,
+    )
+    from synthea_etl_spark.pipeline import token_stats_ingest_stream
+    from synthea_etl_spark.plans.llm18 import q222_token_drift_monitor
+
+    ref_like = "alpha beta gamma delta " * 10
+    shifted = "zz yy xx ww " * 10
+    rows = []
+    for d10 in range(0, 100, 10):
+        for k in range(3):
+            rows.append((d10 + k, ref_like.strip(), "en", "clean"))
+    for i in range(3):
+        rows.append((13 + i * 10, ref_like.strip(), "en", "clean"))
+    for i in range(3):
+        rows.append((17 + i * 10, shifted.strip(), "en", "spammy"))
+
+    landing = tmp_path / "landing"
+    store = tmp_path / "store"
+    docs_dir = tmp_path / "docs"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    def land(name, batch):
+        (landing / name).write_text(
+            "\n".join(
+                _json.dumps(
+                    {"doc_id": i, "source": s, "text": t}
+                )
+                for i, t, _l, s in batch
+            )
+        )
+
+    def run():
+        token_stats_ingest_stream(
+            spark, str(landing), str(store), str(ckpt), schema
+        ).awaitTermination(120)
+
+    half = len(rows) // 2
+    land("b0.json", rows[:half])
+    run()
+    land("b1.json", rows[half:])
+    run()
+
+    # batch reference: q222 over the same corpus
+    import os
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(os.path.join(str(docs_dir), "documents.parquet"))
+    want = {
+        (r.source, r.n_tokens, r.kl_micro, r.drifted)
+        for r in q222_token_drift_monitor(spark, str(docs_dir)).collect()
+    }
+
+    def got():
+        return {
+            (r.source, r.n_tokens, r.kl_micro, r.drifted)
+            for r in drift_from_token_store(spark, str(store)).collect()
+        }
+
+    assert got() == want
+    # compact + assert unchanged; folded replay is a no-op
+    compact_counting_slices(spark, str(store), 0, ["source", "t"], "c")
+    assert got() == want
+    b0 = spark.createDataFrame(
+        [(i, s, t) for i, t, _l, s in rows[:half]],
+        "doc_id long, source string, text string",
+    )
+    token_stats_store(b0, str(store), slice_id="batch0")  # crash leftover
+    assert got() == want
