@@ -415,21 +415,30 @@ def q224_drift_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_stats_store,
     )
 
+    import shutil
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     ref_pred = (F.col("doc_id") % _REF_MOD) < _REF_LT
+    # per-run private store, removed before returning (the q178
+    # discipline): the source-sized report is materialized first so
+    # the caller's lazy collect never touches the deleted store
     store = tempfile.mkdtemp(prefix="q224_token_store_")
-    mid = 250  # doc_id split point: two slices, any split works
-    token_stats_store(
-        docs.filter(F.col("doc_id") < mid), store, "batch0", ref_pred
-    )
-    token_stats_store(
-        docs.filter(F.col("doc_id") >= mid), store, "batch1", ref_pred
-    )
-    return drift_from_token_store(
-        spark, store, threshold_micro=_DRIFT_THRESHOLD_MICRO
-    )
+    try:
+        mid = 250  # doc_id split point: two slices, any split works
+        token_stats_store(
+            docs.filter(F.col("doc_id") < mid), store, "batch0", ref_pred
+        )
+        token_stats_store(
+            docs.filter(F.col("doc_id") >= mid), store, "batch1", ref_pred
+        )
+        out = drift_from_token_store(
+            spark, store, threshold_micro=_DRIFT_THRESHOLD_MICRO
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 QUERIES: dict[str, QuerySpec] = {
