@@ -156,6 +156,7 @@ HEADLINE_OPT = [
     "q222_token_drift_monitor",
     "q223_site_boilerplate_removal",
     "q224_drift_from_store",
+    "q225_annealing_schedule",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -441,6 +441,180 @@ def q224_drift_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
 
 
+
+# ---------------------------------------------------------------------------
+# q225 two-phase annealing schedule
+# ---------------------------------------------------------------------------
+
+_Q225_BUCKET = 50_000
+_Q225_HQ_BUCKET = 2  # stop-density bucket >= 2 = the trusted pool
+_P1_NUM, _P1_DEN = 9, 10  # phase 1: first 90% of the token budget
+_P2_NUM, _P2_DEN = 1, 10  # phase 2 (annealing): last 10%
+
+
+def _prefix_admit(scored: DataFrame, budget: F.Column) -> DataFrame:
+    """Admit documents in deterministic md5 order until their running
+    token prefix exceeds ``budget`` — WITHOUT a global sort: the md5
+    hex is split on its first two chars into 256 range buckets whose
+    token totals form a tiny histogram (cumulative across buckets is
+    a 256-row window); only the single bucket straddling the budget
+    pays a per-doc prefix window. Because the bucket key is a PREFIX
+    of the order key, (bucket, h, id) order == (h, id) order, so the
+    admitted set equals the naive global running-sum formulation the
+    oracle uses. ``scored``: (doc_id, n_tokens, _h); ``budget``: a
+    1-row broadcast scalar column name '_budget'."""
+    from pyspark.sql import Window
+
+    s = scored.withColumn(
+        "_hb", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+    )
+    hist = s.groupBy("_hb").agg(F.sum("n_tokens").cast("long").alias("_btok"))
+    wcum = Window.orderBy("_hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cuts = (
+        hist.crossJoin(budget)
+        .withColumn("_before", F.coalesce(F.sum("_btok").over(wcum), F.lit(0)))
+    )
+    boundary = cuts.filter(
+        (F.col("_before") < F.col("_budget"))
+        & (F.col("_before") + F.col("_btok") > F.col("_budget"))
+    )
+    wpre = (
+        Window.partitionBy("_hb")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bdocs = (
+        s.join(F.broadcast(boundary.select("_hb", "_before", "_budget")), "_hb")
+        .withColumn("_prefix", F.sum("n_tokens").over(wpre))
+        .select(
+            "doc_id",
+            (F.col("_prefix") <= F.col("_budget") - F.col("_before")).alias(
+                "_part_ok"
+            ),
+        )
+    )
+    return (
+        s.join(F.broadcast(cuts.select("_hb", "_before", "_btok", "_budget")), "_hb")
+        .join(bdocs, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                (F.col("_before") + F.col("_btok") <= F.col("_budget"))
+                | F.coalesce(F.col("_part_ok"), F.lit(False))
+            ).alias("admitted"),
+        )
+    )
+
+
+def q225_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase data-annealing schedule (the Llama-3/MiniCPM
+    practice: train the bulk of the budget on the general pool, then
+    ANNEAL the final steps on high-quality data only): phase 1
+    admits documents from the FULL corpus in deterministic md5 order
+    until 90% of the corpus token budget; phase 2 admits from the
+    high-quality pool only (stop-density bucket >= 2 — the q200
+    signal) until the remaining 10% of the SAME total budget. A
+    document may appear in both phases (annealing re-epochs the
+    trusted data). Exact integer token arithmetic; returns
+    (doc_id, bucket, n_tokens, phase1, phase2).
+
+    100 TB shape: two _prefix_admit passes — each touches a 256-row
+    histogram plus ONE boundary bucket's window, never a global
+    sort; the quality bucketing is the zero-shuffle q200 expression.
+    The phase-2 pool filter makes its pass strictly smaller."""
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks).cast("long")
+    nn = F.greatest(n, F.lit(1))
+    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, t))
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (n_stop * F.lit(MICRO).cast("long")).alias("_sm"),
+        nn.alias("_nn"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(_sm div _nn) div {_Q225_BUCKET}").cast("int").alias("bucket"),
+        F.md5(F.concat(F.lit("an"), F.col("doc_id").cast("string"))).alias("_h"),
+    )
+    total = scored.agg(F.sum("n_tokens").cast("long").alias("_ttok"))
+    b1 = total.select(
+        F.expr(f"_ttok * {_P1_NUM} div {_P1_DEN}").alias("_budget")
+    )
+    b2 = total.select(
+        F.expr(f"_ttok * {_P2_NUM} div {_P2_DEN}").alias("_budget")
+    )
+    p1 = _prefix_admit(
+        scored.select("doc_id", "n_tokens", "_h"), F.broadcast(b1)
+    ).withColumnRenamed("admitted", "phase1")
+    p2 = _prefix_admit(
+        scored.filter(F.col("bucket") >= _Q225_HQ_BUCKET).select(
+            "doc_id", "n_tokens", "_h"
+        ),
+        F.broadcast(b2),
+    ).withColumnRenamed("admitted", "phase2")
+    return (
+        scored.select("doc_id", "bucket", "n_tokens")
+        .join(p1, "doc_id")
+        .join(p2, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            "phase1",
+            F.coalesce(F.col("phase2"), F.lit(False)).alias("phase2"),
+        )
+    )
+
+
+_SQL_STOPS = ", ".join(f"'{w}'" for w in T.STOPWORDS_EN)
+
+ORACLE_Q225 = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST((len(list_filter(w, x -> list_contains(
+             ([{_SQL_STOPS}]), x)))
+             * {MICRO} // GREATEST(len(w), 1)) // {_Q225_BUCKET}
+           AS INTEGER) AS bucket,
+         md5('an' || CAST(doc_id AS VARCHAR)) AS h
+  FROM d
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS ttok FROM scored),
+p1 AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS UNBOUNDED PRECEDING)
+           <= (SELECT ttok * {_P1_NUM} // {_P1_DEN} FROM t) AS phase1
+  FROM scored
+),
+p2 AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (ORDER BY h, doc_id
+             ROWS UNBOUNDED PRECEDING)
+           <= (SELECT ttok * {_P2_NUM} // {_P2_DEN} FROM t) AS phase2
+  FROM scored WHERE bucket >= {_Q225_HQ_BUCKET}
+)
+SELECT s.doc_id, s.bucket, s.n_tokens, p1.phase1,
+       COALESCE(p2.phase2, FALSE) AS phase2
+FROM scored s
+JOIN p1 USING (doc_id)
+LEFT JOIN p2 USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q221_quality_feature_frame": QuerySpec(
         q221_quality_feature_frame,
@@ -469,5 +643,12 @@ QUERIES: dict[str, QuerySpec] = {
         "q222's drift report answered from the streamed token-count"
         " slice store (store-sized arithmetic)",
         ("llm", "governance", "streaming"),
+    ),
+    "q225_annealing_schedule": QuerySpec(
+        q225_annealing_schedule,
+        ORACLE_Q225,
+        "two-phase annealing: 90% general-pool budget + 10%"
+        " high-quality-pool budget, no global sort",
+        ("llm", "curation"),
     ),
 }

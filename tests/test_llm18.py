@@ -204,3 +204,53 @@ def test_token_stats_stream_store_drift_and_compaction(spark, tmp_path):
     )
     token_stats_store(b0, str(store), slice_id="batch0")  # crash leftover
     assert got() == want
+
+
+def test_annealing_schedule_budgets_and_pools(spark):
+    """Phase budgets hold exactly (token prefix <= budget in md5
+    order), phase 2 only draws from the high-quality pool, and the
+    md5-bucket admission equals the naive global-running-sum rule."""
+    import hashlib
+
+    from synthea_etl_spark.plans.llm18 import (
+        _P1_DEN,
+        _P1_NUM,
+        _P2_DEN,
+        _P2_NUM,
+        _Q225_HQ_BUCKET,
+        q225_annealing_schedule,
+    )
+
+    out = q225_annealing_schedule(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_tokens for r in out)
+    b1 = total * _P1_NUM // _P1_DEN
+    b2 = total * _P2_NUM // _P2_DEN
+    # naive reference: global md5 order running sums
+    order = sorted(
+        out,
+        key=lambda r: (
+            hashlib.md5(f"an{r.doc_id}".encode()).hexdigest(),
+            r.doc_id,
+        ),
+    )
+    run = 0
+    want1 = {}
+    for r in order:
+        run += r.n_tokens
+        want1[r.doc_id] = run <= b1
+    run2 = 0
+    want2 = {}
+    for r in order:
+        if r.bucket >= _Q225_HQ_BUCKET:
+            run2 += r.n_tokens
+            want2[r.doc_id] = run2 <= b2
+    for r in out:
+        assert r.phase1 == want1[r.doc_id], (r, want1[r.doc_id])
+        assert r.phase2 == want2.get(r.doc_id, False), (r,)
+    # phase 2 never draws outside the pool; budgets are respected
+    assert all(r.bucket >= _Q225_HQ_BUCKET for r in out if r.phase2)
+    assert sum(r.n_tokens for r in out if r.phase1) <= b1
+    assert sum(r.n_tokens for r in out if r.phase2) <= b2
+    # the cut is REAL on this corpus: some of each pool is excluded
+    assert any(not r.phase1 for r in out)
+    assert any(r.bucket >= _Q225_HQ_BUCKET and not r.phase2 for r in out)
