@@ -197,6 +197,7 @@ def test_no_accidental_cartesian_products(spark):
         "q220_bigram_lm_quality",        # crossJoins of the 1-row vocab size / OOV nll
         "q221_quality_feature_frame",    # q185's 1-row token-total crossJoin
         "q222_token_drift_monitor",      # crossJoins of the 1-row n_ref / vstats
+        "q225_annealing_schedule",       # crossJoins of the 1-row phase budgets
     }
     bad = []
     for name, fn in ent.queries().items():
