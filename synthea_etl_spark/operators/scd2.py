@@ -182,28 +182,139 @@ def write_versioned(
     data is absent, unlike :func:`write_swap`'s rmtree→replace
     window. Multi-artifact publishes (the IVF index + centroids
     pair) version BOTH under one root and swap ONE pointer, removing
-    the stale-centroids transient as well. Old versions are pruned
-    by the caller after a read-grace (the WARC-manifest mtime-grace
-    discipline). Returns the new version's data path."""
-    import os
+    the stale-centroids transient as well
+    (:func:`write_versioned_parts`). Old versions are pruned via
+    :func:`prune_versions` after a read-grace (the WARC-manifest
+    mtime-grace discipline).
 
-    os.makedirs(root, exist_ok=True)
-    versions = [
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-    ]
-    nxt = max(versions, default=0) + 1
-    vpath = os.path.join(root, f"v={nxt}")
-    writer = df.write.format(fmt).mode("overwrite")
+    CONCURRENT PUBLISHERS (round-11 ADVICE close): the version number
+    is reserved with an atomic ``os.mkdir`` (retry on
+    ``FileExistsError``), so two concurrent publishers get DISTINCT
+    ``v=<n>`` directories — never interleaved data. The pointer flip
+    is last-writer-wins: the later ``os.replace`` decides which
+    version is current (either outcome is a complete, consistent
+    publish; ordering two racing full-table publishes is inherently
+    app-level). Returns the new version's data path."""
+    vpath, nxt = _reserve_version(root)
+    # append into the freshly-reserved EMPTY dir: overwrite mode would
+    # delete-then-recreate it, reopening the reservation race for the
+    # duration of the delete window
+    writer = df.write.format(fmt).mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(vpath)
-    ptr_tmp = os.path.join(root, "_CURRENT.tmp")
-    with open(ptr_tmp, "w") as f:
-        f.write(str(nxt))
-    os.replace(ptr_tmp, os.path.join(root, "_CURRENT"))
+    _flip_current(root, nxt)
     return vpath
+
+
+def _reserve_version(root: str) -> tuple[str, int]:
+    """Atomically reserve the next ``v=<n>`` directory under
+    ``root``: listdir max+1, then ``os.mkdir`` (atomic on POSIX) —
+    on ``FileExistsError`` another publisher won that number, retry
+    with the next. Bounded retries guard against a pathological
+    stampede."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    for _ in range(1000):
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(root)
+            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+        ]
+        nxt = max(versions, default=0) + 1
+        vpath = os.path.join(root, f"v={nxt}")
+        try:
+            os.mkdir(vpath)
+            return vpath, nxt
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"could not reserve a version under {root}")
+
+
+def _flip_current(root: str, n: int) -> None:
+    import os
+
+    ptr_tmp = os.path.join(root, f"_CURRENT.tmp{n}")
+    with open(ptr_tmp, "w") as f:
+        f.write(str(n))
+    os.replace(ptr_tmp, os.path.join(root, "_CURRENT"))
+
+
+def write_versioned_parts(
+    parts: dict[str, DataFrame],
+    root: str,
+    fmt: str = "parquet",
+    partition_by: dict[str, list[str]] | None = None,
+) -> str:
+    """Multi-artifact zero-window publish: every named DataFrame in
+    ``parts`` lands under ONE new version directory
+    (``root/v=<n>/<name>/``) and a SINGLE ``_CURRENT`` pointer flip
+    publishes them together — the consumer of a paired artifact set
+    (the IVF index + its quantizer centroids) can never observe one
+    half updated without the other, which write_swap-per-artifact
+    could (the documented stale-centroids transient).
+    ``partition_by`` maps part name -> partition columns. Same
+    reservation / flip / pruning contract as :func:`write_versioned`.
+    Returns the new version directory."""
+    import os
+
+    vpath, nxt = _reserve_version(root)
+    for name, df in parts.items():
+        # append: part subdirs are fresh under the reserved version
+        writer = df.write.format(fmt).mode("append")
+        cols = (partition_by or {}).get(name)
+        if cols:
+            writer = writer.partitionBy(*cols)
+        writer.save(os.path.join(vpath, name))
+    _flip_current(root, nxt)
+    return vpath
+
+
+def prune_versions(root: str, grace_s: float = 0.0) -> list[str]:
+    """GC for :func:`write_versioned` roots (round-11 VERDICT: an
+    unpruned versioned index root doubles storage per rollover at
+    100 TB): delete every ``v=<n>`` directory that is NOT the
+    current pointer target, provided the read-grace has elapsed —
+    the WARC-manifest mtime-grace discipline:
+
+    - the ``_CURRENT`` pointer is at least ``grace_s`` old (the flip
+      that superseded those versions happened long enough ago that
+      any reader which resolved the OLD pointer has drained), and
+    - the version directory itself is at least ``grace_s`` old (a
+      concurrent publisher may have just RESERVED a higher number it
+      is still writing into — its dir is fresh, so it survives).
+
+    ``grace_s=0`` prunes immediately (tests / single-reader jobs);
+    production passes a grace exceeding the longest reader. Safe to
+    run concurrently with readers of the CURRENT version (never
+    touched) and with publishers (fresh reservations survive the
+    dir-mtime guard). Returns the pruned paths."""
+    import os
+    import shutil
+    import time
+
+    ptr = os.path.join(root, "_CURRENT")
+    if not os.path.exists(ptr):
+        return []
+    now = time.time()
+    if now - os.path.getmtime(ptr) < grace_s:
+        return []
+    with open(ptr) as f:
+        cur = int(f.read().strip())
+    pruned = []
+    for d in os.listdir(root):
+        if not (d.startswith("v=") and d.split("=", 1)[1].isdigit()):
+            continue
+        n = int(d.split("=", 1)[1])
+        if n == cur:
+            continue
+        vdir = os.path.join(root, d)
+        if now - os.path.getmtime(vdir) < grace_s:
+            continue  # possibly a publish in flight
+        shutil.rmtree(vdir)
+        pruned.append(vdir)
+    return pruned
 
 
 def read_current(root: str) -> str:

@@ -557,11 +557,16 @@ def ivf_index_rollover(
     is additionally a rename-length read-FAILURE window inside each
     write_swap (round-10 ADVICE; see its docstring): a reader that
     starts between rmtree and rename sees path-not-found. Both
-    windows disappear under ``scd2.write_versioned``: publish index
-    + centroids under ONE versioned root and swap the single
-    ``_CURRENT`` pointer (readers resolve via ``scd2.read_current``);
-    tests/test_llm13.py proves the pointer flip leaves a
-    concurrently-resolved old version fully readable.
+    windows disappear under the VERSIONED layout —
+    :func:`ivf_index_rollover_versioned` publishes index + centroids
+    under ONE versioned root and swaps the single ``_CURRENT``
+    pointer (readers resolve via :func:`ivf_read_current`); that is
+    the default rollover path for long-lived deployments, this flat
+    variant remaining for stores already laid out as a bare parquet
+    dir. tests/test_llm13.py proves the pointer flip leaves a
+    concurrently-resolved old version fully readable, and the
+    round-12 rollover drive exercises a reader probing ACROSS a
+    rollover + prune with zero failures.
 
     Returns the new centroids (the probe side needs them)."""
     from synthea_etl_spark.operators.scd2 import write_swap
@@ -583,6 +588,108 @@ def ivf_index_rollover(
     )
     if centroids_path is not None:
         save_centroids(spark, new_centroids, centroids_path)
+    return new_centroids
+
+
+def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    ).coalesce(1)
+
+
+def ivf_publish_versioned(
+    spark,
+    index: DataFrame,
+    centroids: list[list[float]],
+    root: str,
+) -> str:
+    """Initial publish of an IVF (index, centroids) PAIR under one
+    :func:`scd2.write_versioned_parts` root: data lands in
+    ``root/v=<n>/{index,centroids}/`` and ONE ``_CURRENT`` pointer
+    flip publishes both — no stale-centroids transient, no
+    path-absence window (the two write_swap caveats the flat layout
+    documents). ``batch_id`` partitioning, when present, survives so
+    a restarted ingest stream writing into the CURRENT version keeps
+    its per-batch partition contract. Returns the version dir."""
+    from synthea_etl_spark.operators.scd2 import write_versioned_parts
+
+    pby = (
+        {"index": ["batch_id"]} if "batch_id" in index.columns else None
+    )
+    return write_versioned_parts(
+        {"index": index, "centroids": _centroids_df(spark, centroids)},
+        root,
+        partition_by=pby,
+    )
+
+
+def ivf_read_current(spark, root: str) -> tuple[DataFrame, list[list[float]]]:
+    """Resolve a versioned IVF root to its CURRENT (index DataFrame,
+    centroids list) pair — one pointer read; the resolved version's
+    files stay valid for the whole query even if a rollover publishes
+    mid-read (prior versions are only removed by prune_versions after
+    the read-grace)."""
+    import os
+
+    from synthea_etl_spark.operators.scd2 import read_current
+
+    cur = read_current(root)
+    rows = (
+        spark.read.parquet(os.path.join(cur, "centroids"))
+        .orderBy("cid")
+        .collect()
+    )
+    return (
+        spark.read.parquet(os.path.join(cur, "index")),
+        [[float(x) for x in r.centroid] for r in rows],
+    )
+
+
+def ivf_index_rollover_versioned(
+    spark,
+    root: str,
+    new_centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    lloyd_iters: int = 1,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+    prune_grace_s: float | None = None,
+) -> list[list[float]]:
+    """:func:`ivf_index_rollover` on the VERSIONED layout (round-11
+    VERDICT close — the default publish path for rollovers): reads
+    the current version's index, retrains (or accepts) the
+    quantizer, re-assigns in one narrow pass, and publishes index +
+    centroids under ONE new version with a single pointer flip.
+    Readers that resolved the old version mid-probe keep a fully
+    readable (index, centroids) PAIR — both halves from the same
+    version, so never the flat layout's stale-centroids mix. Old
+    versions are pruned here only when ``prune_grace_s`` is given
+    (and only those superseded longer than the grace); otherwise a
+    maintenance :func:`scd2.prune_versions` call owns GC. Same
+    rollover==rebuild invariant as the flat variant (the store holds
+    every vector). Returns the new centroids."""
+    import os
+
+    from synthea_etl_spark.operators.scd2 import (
+        prune_versions,
+        read_current,
+    )
+
+    cur = read_current(root)
+    store = spark.read.parquet(os.path.join(cur, "index"))
+    if new_centroids is None:
+        new_centroids = ivf_train_centroids(
+            store, id_col, vec_col, n_centroids, lloyd_iters
+        )
+    assign = make_assign_udf(new_centroids)
+    keep_cols = [c for c in store.columns if c != "cluster"]
+    rolled = store.select(
+        assign(F.col(vec_col)).alias("cluster"), *keep_cols
+    )
+    ivf_publish_versioned(spark, rolled, new_centroids, root)
+    if prune_grace_s is not None:
+        prune_versions(root, prune_grace_s)
     return new_centroids
 
 

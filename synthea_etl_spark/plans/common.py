@@ -384,6 +384,17 @@ DRIVER_CERTIFIED = frozenset({
     "q206_sampled_embedding_recall", "q207_minhash_retuned_recall",
     "q208_pq_rerank", "q209_incremental_clusters",
     "q210_url_dedup", "q211_content_hash_split",
+    # r11 (CORRECTNESS_r11.json 50/50 green -- the 14 line-curation /
+    # crawl-governance / LM-scoring / drift / annealing queries all
+    # landed hash-match rows, closing certification at 220/220
+    # declared queries)
+    "q212_boilerplate_line_removal", "q213_c4_line_filters",
+    "q214_split_leakage_audit", "q215_host_reputation",
+    "q216_snapshot_churn", "q217_blocklist_scores",
+    "q218_link_graph", "q219_recrawl_schedule",
+    "q220_bigram_lm_quality", "q221_quality_feature_frame",
+    "q222_token_drift_monitor", "q223_site_boilerplate_removal",
+    "q224_drift_from_store", "q225_annealing_schedule",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -391,7 +402,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 11
+GATE_ROUND = 12
 
 
 def all_queries() -> dict[str, QuerySpec]:

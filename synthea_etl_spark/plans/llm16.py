@@ -94,7 +94,9 @@ def _lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this constant raised or the gates report a (loud) rowcount mismatch
 _SQL_LINES = f"""
 t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
   FROM documents
 ),
 g AS (
@@ -104,15 +106,17 @@ g AS (
   FROM t
 ),
 lines AS (
+  -- COALESCE: DuckDB array_to_string([]) is NULL, the engine's
+  -- array_join([]) is '' (and md5(NULL) would null the join key)
   SELECT doc_id, CAST(k.range AS INTEGER) AS line_idx,
          len(toks[k.range * {_LINE_W} + 1 :
                   k.range * {_LINE_W} + {_LINE_W}]) AS line_tokens,
-         array_to_string(
+         COALESCE(array_to_string(
              toks[k.range * {_LINE_W} + 1 :
-                  k.range * {_LINE_W} + {_LINE_W}], ' ') AS line_text,
-         md5(array_to_string(
+                  k.range * {_LINE_W} + {_LINE_W}], ' '), '') AS line_text,
+         md5(COALESCE(array_to_string(
              toks[k.range * {_LINE_W} + 1 :
-                  k.range * {_LINE_W} + {_LINE_W}], ' ')) AS fp
+                  k.range * {_LINE_W} + {_LINE_W}], ' '), '')) AS fp
   FROM g, range(200) k WHERE k.range < n_chunks
 )
 """
@@ -603,6 +607,14 @@ FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
 _BLOCK_SEVERE = ("dup", "corrupt")  # severity 4
 _BLOCK_MILD = ("slow", "big")  # severity 1
 _BLOCK_THRESHOLD = 8
+# Shape crossover for blocklist scoring, measured at sf10
+# (bench_artifacts/q217_shape_crossover_sf10_r12.json): the
+# contains-guarded alternation's wall grows with K (every doc pays
+# K indexOf gates; the regex alternation compiles into a K-wide
+# scan), while the explode + broadcast-join wall is K-independent
+# (one hash probe per token; only HIT tokens reach the shuffle).
+# Below this K the alternation wins; at/above it the join wins.
+_BLOCK_JOIN_MIN_K = 64
 
 
 def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
@@ -629,39 +641,95 @@ def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
     )
 
 
+def blocklist_scores(
+    docs: DataFrame,
+    severe=_BLOCK_SEVERE,
+    mild=_BLOCK_MILD,
+    threshold: int = _BLOCK_THRESHOLD,
+    shape: str | None = None,
+) -> DataFrame:
+    """Severity-weighted blocklist scoring over (doc_id, text) with
+    a MEASURED two-shape dispatch on total wordlist size K against
+    the crossover constant ``_BLOCK_JOIN_MIN_K`` (round-11 VERDICT
+    close):
+
+    - ``alternation`` (K below the crossover): per CATEGORY one
+      contains-guarded word-boundary ``regexp_count`` — zero
+      shuffles, pure codegen; the usual bad-words case (tens of
+      terms). Measured at sf10: lambda filters 3.40 s, unguarded
+      alternation 1.25 s, guarded 0.87 s.
+    - ``join`` (K at/above the crossover): tokenize once, explode,
+      inner broadcast-join the (word, category) dim — non-matching
+      tokens (the overwhelming majority) die AT the join, so the
+      doc_id count aggregate shuffles only HIT tokens; zero-hit
+      docs rejoin via a broadcast left join of the (small) hit
+      frame. One hash probe per token regardless of K — the
+      q72/q185 join plan. Equal to word-boundary counting on a
+      whitespace-tokenized corpus (pinned in tests).
+
+    The crossover K and both walls are recorded in
+    bench_artifacts/q217_shape_crossover_sf10_r12.json."""
+    if shape is None:
+        k = len(severe) + len(mild)
+        shape = "join" if k >= _BLOCK_JOIN_MIN_K else "alternation"
+    if shape == "alternation":
+        n_sev = blocklist_wb_count(severe)
+        n_mild = blocklist_wb_count(mild)
+        score = (n_sev * 4 + n_mild).cast("long")
+        return docs.select(
+            "doc_id",
+            n_sev.alias("hits_severe"),
+            n_mild.alias("hits_mild"),
+            score.alias("block_score"),
+            ((n_sev > 0) | (score >= threshold)).alias("blocked"),
+        )
+    spark = docs.sparkSession
+    dim = spark.createDataFrame(
+        [(w, "severe") for w in severe] + [(w, "mild") for w in mild],
+        "w string, cat string",
+    )
+    hits = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        .join(F.broadcast(dim), "w")  # non-hits die here, pre-shuffle
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("cat") == "severe").cast("long"))
+            .cast("long")
+            .alias("_sev"),
+            F.sum((F.col("cat") == "mild").cast("long"))
+            .cast("long")
+            .alias("_mild"),
+        )
+    )
+    n_sev = F.coalesce(F.col("_sev"), F.lit(0)).cast("long")
+    n_mild = F.coalesce(F.col("_mild"), F.lit(0)).cast("long")
+    score = (n_sev * 4 + n_mild).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            n_sev.alias("hits_severe"),
+            n_mild.alias("hits_mild"),
+            score.alias("block_score"),
+            ((n_sev > 0) | (score >= threshold)).alias("blocked"),
+        )
+    )
+
+
 def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Severity-weighted blocklist scoring (the C4 bad-words filter
     generalized): per document, OCCURRENCE counts against two
     category wordlists, a weighted score (4x severe + 1x mild), and
     a blocked verdict (any severe hit, or score >= 8). Wordlists
     here are corpus-vocabulary stand-ins; the operator shape is the
-    real one.
-
-    100 TB shape: per-doc verdicts with NO join, NO aggregate and
-    NO array materialization — for a SMALL blocklist (the usual
-    case: tens of terms) each CATEGORY is one word-boundary
-    alternation ``regexp_count`` (``\\b(w1|w2|...)\\b``), pure
-    codegen over the raw string: category passes, not term passes
-    (measured at sf10: tokenize + per-token lambda filters 3.40 s,
-    per-term regex 1.73 s, per-category alternation is the shipped
-    shape — the lambda form allocates a ~200-element array per doc
-    just to throw it away). Word-boundary counting equals token
-    equality on a whitespace-tokenized corpus. For a LARGE
-    blocklist (thousands of terms) flip to the other certified
-    shape: explode tokens once and broadcast-join the term table
-    (q72/q185's join plan) — alternation size loses to one hash
-    probe as K grows."""
+    real one — :func:`blocklist_scores`, which dispatches between
+    the zero-shuffle contains-guarded alternation (small K, this
+    gate's path) and the explode + broadcast-join plan (large K) at
+    the measured sf10 crossover; see its docstring and
+    bench_artifacts/q217_shape_crossover_sf10_r12.json."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_sev = blocklist_wb_count(_BLOCK_SEVERE)
-    n_mild = blocklist_wb_count(_BLOCK_MILD)
-    score = (n_sev * 4 + n_mild).cast("long")
-    return docs.select(
-        "doc_id",
-        n_sev.alias("hits_severe"),
-        n_mild.alias("hits_mild"),
-        score.alias("block_score"),
-        ((n_sev > 0) | (score >= _BLOCK_THRESHOLD)).alias("blocked"),
-    )
+    return blocklist_scores(docs)
 
 
 _SQL_WB = (

@@ -476,8 +476,13 @@ def _prefix_admit(scored: DataFrame, budget: F.Column) -> DataFrame:
         hist.crossJoin(budget)
         .withColumn("_before", F.coalesce(F.sum("_btok").over(wcum), F.lit(0)))
     )
+    # _before <= _budget (not <): a bucket whose cumulative start
+    # lands EXACTLY on the budget still admits its leading zero-token
+    # docs (oracle running-sum <= budget). Buckets' [_before,
+    # _before+_btok) intervals partition the token line, so at most
+    # one bucket matches either way.
     boundary = cuts.filter(
-        (F.col("_before") < F.col("_budget"))
+        (F.col("_before") <= F.col("_budget"))
         & (F.col("_before") + F.col("_btok") > F.col("_budget"))
     )
     wpre = (

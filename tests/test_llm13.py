@@ -278,3 +278,186 @@ def test_write_versioned_pointer_swap_has_no_absence_window(
     assert sorted(
         d for d in os.listdir(v3) if d.startswith("batch_id=")
     ) == ["batch_id=0", "batch_id=1"]
+
+
+def test_version_reservation_is_atomic_and_skips_taken_numbers(
+    spark, tmp_path
+):
+    """round-11 ADVICE close: a concurrently-reserved version number
+    (simulated by pre-creating the v=<n> dir another publisher's
+    os.mkdir just won) is skipped — the second publisher lands in a
+    DISTINCT directory, never interleaving data into the same one."""
+    import os
+
+    from synthea_etl_spark.operators.scd2 import (
+        read_current,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "dim")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, val string"), root
+    )
+    # another publisher reserved v=2 and is still writing into it
+    os.mkdir(os.path.join(root, "v=2"))
+    v3 = write_versioned(
+        spark.createDataFrame([(3, "c")], "id long, val string"), root
+    )
+    assert v3.endswith("v=3")
+    assert read_current(root) == v3
+    assert [r.val for r in spark.read.parquet(v3).collect()] == ["c"]
+    # the in-flight reservation was not touched
+    assert os.listdir(os.path.join(root, "v=2")) == []
+
+
+def test_prune_versions_grace_and_inflight_guard(spark, tmp_path):
+    """prune_versions deletes superseded versions only after the
+    read-grace on the pointer flip, never the current version, and
+    never a fresh (possibly in-flight) reservation."""
+    import os
+    import time
+
+    from synthea_etl_spark.operators.scd2 import (
+        prune_versions,
+        read_current,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "dim")
+    for i, v in enumerate(["a", "b", "c"]):
+        write_versioned(
+            spark.createDataFrame([(i, v)], "id long, val string"), root
+        )
+    cur = read_current(root)
+    assert cur.endswith("v=3")
+    # pointer just flipped: a long grace prunes nothing
+    assert prune_versions(root, grace_s=3600) == []
+    # backdate the pointer + superseded dirs past the grace; a fresh
+    # reservation (concurrent publisher mid-write) must SURVIVE
+    past = time.time() - 100
+    os.utime(os.path.join(root, "_CURRENT"), (past, past))
+    for d in ("v=1", "v=2"):
+        os.utime(os.path.join(root, d), (past, past))
+    os.mkdir(os.path.join(root, "v=9"))  # fresh reservation
+    pruned = prune_versions(root, grace_s=50)
+    assert sorted(os.path.basename(p) for p in pruned) == ["v=1", "v=2"]
+    assert os.path.isdir(os.path.join(root, "v=9"))
+    assert [r.val for r in spark.read.parquet(cur).collect()] == ["c"]
+    # grace elapsed for everything -> the stale reservation goes too
+    os.utime(os.path.join(root, "v=9"), (past, past))
+    assert [os.path.basename(p) for p in prune_versions(root, 50)] == [
+        "v=9"
+    ]
+
+
+def test_write_versioned_parts_publishes_pair_in_one_flip(
+    spark, tmp_path
+):
+    """Multi-artifact publish: both parts land under ONE version and
+    one pointer flip; a reader holding the old version keeps a
+    consistent PAIR (both halves from the same version)."""
+    import os
+
+    from synthea_etl_spark.operators.scd2 import (
+        read_current,
+        write_versioned_parts,
+    )
+
+    root = str(tmp_path / "pair")
+    write_versioned_parts(
+        {
+            "index": spark.createDataFrame(
+                [(1, 0)], "id long, batch_id long"
+            ),
+            "centroids": spark.createDataFrame([(0, [0.0])],
+                                               "cid int, c array<double>"),
+        },
+        root,
+        partition_by={"index": ["batch_id"]},
+    )
+    old = read_current(root)
+    write_versioned_parts(
+        {
+            "index": spark.createDataFrame(
+                [(2, 1)], "id long, batch_id long"
+            ),
+            "centroids": spark.createDataFrame([(0, [1.0])],
+                                               "cid int, c array<double>"),
+        },
+        root,
+    )
+    # old pair: both halves still readable and mutually consistent
+    assert [r.id for r in
+            spark.read.parquet(os.path.join(old, "index")).collect()] == [1]
+    assert spark.read.parquet(
+        os.path.join(old, "centroids")
+    ).collect()[0].c == [0.0]
+    new = read_current(root)
+    assert new != old
+    assert [r.id for r in
+            spark.read.parquet(os.path.join(new, "index")).collect()] == [2]
+    # partitioned layout survived in the versioned part
+    assert any(
+        d.startswith("batch_id=") for d in os.listdir(os.path.join(old, "index"))
+    )
+
+
+def test_versioned_rollover_reader_across_flip_and_prune(
+    spark, tmp_path, vec_corpus
+):
+    """The round-11 VERDICT #4 close, in-process: a reader resolves
+    the (index, centroids) pair, a rollover + prune land, and the
+    reader's already-planned probe still executes (prune honors the
+    grace); a fresh resolve sees the new pair and
+    rollover == fresh-rebuild holds on the versioned layout too."""
+    import os
+    import time
+
+    from synthea_etl_spark.operators.scd2 import prune_versions
+
+    vecs, corpus = vec_corpus
+    root = str(tmp_path / "ivf")
+    c1 = S.ivf_train_centroids(
+        corpus, "vec_id", "embedding", n_centroids=8, lloyd_iters=0
+    )
+    S.ivf_publish_versioned(
+        spark,
+        S.ivf_index(corpus, c1),
+        c1,
+        root,
+    )
+    # reader resolves the current pair and PLANS (lazy) a probe
+    old_index, old_cents = S.ivf_read_current(spark, root)
+    queries = corpus.limit(5).withColumnRenamed("vec_id", "qid")
+    planned = S.knn_ann_ivf_probe(
+        old_index,
+        old_cents,
+        queries,
+        id_col="qid",
+        vec_col="embedding",
+        k=3,
+        n_probe=2,
+    )
+    # rollover publishes v=2; prune with grace leaves v=1 (fresh flip)
+    new_c = S.ivf_index_rollover_versioned(
+        spark, root, n_centroids=5, lloyd_iters=1, prune_grace_s=3600
+    )
+    assert os.path.isdir(os.path.join(root, "v=1"))
+    # the pre-flip plan still executes against v=1 files
+    got = planned.collect()
+    assert len(got) > 0
+    # fresh resolve == fresh rebuild under the new quantizer
+    new_index, new_cents = S.ivf_read_current(spark, root)
+    assert new_cents == [[float(x) for x in c] for c in new_c]
+    assert sorted(map(_key, new_index.collect())) == sorted(
+        map(_key, S.ivf_index(corpus, new_c).collect())
+    )
+    # after the grace elapses the superseded version is collected
+    past = time.time() - 100
+    os.utime(os.path.join(root, "_CURRENT"), (past, past))
+    os.utime(os.path.join(root, "v=1"), (past, past))
+    assert [os.path.basename(p) for p in prune_versions(root, 50)] == [
+        "v=1"
+    ]
+    assert not os.path.isdir(os.path.join(root, "v=1"))
+    assert os.path.isdir(os.path.join(root, "v=2"))

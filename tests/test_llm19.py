@@ -1,0 +1,238 @@
+"""Round-12 tests: compaction GC read-grace, the q225
+boundary-equality fix, the empty-text oracle guard, and the
+versioned-publish lifecycle additions not already covered in
+test_llm13 (which holds the reservation / prune / paired-publish
+tests)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_gc_grace_defers_counting_slice_deletion(spark, tmp_path):
+    """round-11 ADVICE close: compaction with a gc grace leaves the
+    just-folded dirs on disk (so a reader whose scan was planned
+    PRE-FLIP still collects), keeps totals exact via the watermark
+    filter, and an explicit gc call deletes them only after the
+    grace elapses."""
+    from synthea_etl_spark.operators.dedup import (
+        _compaction_watermark_path,
+        compact_counting_slices,
+        counting_store_totals,
+        gc_counting_slices,
+    )
+
+    store = str(tmp_path / "store")
+    for b, rows in enumerate(
+        [[("a", 1), ("b", 2)], [("a", 3)]]
+    ):
+        (
+            spark.createDataFrame(rows, "k string, n long")
+            .withColumn("slice_id", F.lit(f"batch{b}"))
+            .write.mode("append")
+            .partitionBy("slice_id")
+            .parquet(store)
+        )
+
+    def totals():
+        return {
+            (r.k, r.n)
+            for r in counting_store_totals(spark, store, ["k"], "n").collect()
+        }
+
+    want = {("a", 4), ("b", 2)}
+    assert totals() == want
+    # a reader planned against the PRE-COMPACTION layout
+    pre_reader = spark.read.parquet(store)
+    compact_counting_slices(
+        spark, store, 1, ["k"], "n", gc_grace_s=3600.0
+    )
+    # folded dirs survive the grace; totals exact either way
+    assert os.path.isdir(os.path.join(store, "slice_id=batch0"))
+    assert os.path.isdir(os.path.join(store, "slice_id=batch1"))
+    assert totals() == want
+    # the pre-flip reader still scans its dirs without file-not-found
+    assert pre_reader.count() == 3
+    # watermark fresh -> explicit gc with grace is a no-op
+    assert gc_counting_slices(store, grace_s=3600.0) == []
+    # grace elapsed -> gc collects folded batches (compacted stays)
+    past = time.time() - 100
+    wmp = _compaction_watermark_path(store)
+    os.utime(wmp, (past, past))
+    deleted = gc_counting_slices(store, grace_s=50.0)
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "slice_id=batch0",
+        "slice_id=batch1",
+    ]
+    assert os.path.isdir(os.path.join(store, "slice_id=compacted1"))
+    assert totals() == want
+
+
+def test_gc_grace_defers_batch_partition_deletion(spark, tmp_path):
+    """Same contract on the row-set (batch_id) stores."""
+    from synthea_etl_spark.operators.dedup import (
+        _compaction_watermark_path,
+        batch_watermark_filter,
+        compact_batch_partitions,
+        gc_batch_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    for b in range(2):
+        (
+            spark.createDataFrame(
+                [(b * 10 + i,) for i in range(3)], "id long"
+            )
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+
+    def ids():
+        return {
+            r.id
+            for r in batch_watermark_filter(
+                spark.read.parquet(store), store
+            ).collect()
+        }
+
+    want = {0, 1, 2, 10, 11, 12}
+    assert ids() == want
+    compact_batch_partitions(spark, store, 1, gc_grace_s=3600.0)
+    assert os.path.isdir(os.path.join(store, "batch_id=0"))
+    assert os.path.isdir(os.path.join(store, "batch_id=1"))
+    assert ids() == want
+    assert gc_batch_partitions(store, grace_s=3600.0) == []
+    past = time.time() - 100
+    os.utime(_compaction_watermark_path(store), (past, past))
+    deleted = gc_batch_partitions(store, grace_s=50.0)
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "batch_id=0",
+        "batch_id=1",
+    ]
+    # current compacted partition -(wm+2) = -3 survives
+    assert os.path.isdir(os.path.join(store, "batch_id=-3"))
+    assert ids() == want
+
+
+def test_prefix_admit_boundary_on_exact_budget_edge(spark):
+    """round-11 ADVICE close: when the budget lands EXACTLY on a
+    bucket edge, zero-token docs at that bucket's head are admitted
+    (oracle running-sum <= budget semantics). The old strict
+    ``_before < _budget`` filter dropped the bucket entirely."""
+    from synthea_etl_spark.plans.llm18 import _prefix_admit
+
+    scored = spark.createDataFrame(
+        [
+            (1, 5, "00" + "a" * 30),   # bucket 0x00: fills budget exactly
+            (2, 0, "01" + "a" * 30),   # bucket 0x01 head: zero tokens
+            (3, 7, "01" + "b" * 30),   # bucket 0x01: over budget
+        ],
+        "doc_id long, n_tokens long, _h string",
+    )
+    budget = spark.createDataFrame([(5,)], "_budget long")
+    got = {
+        r.doc_id: r.admitted
+        for r in _prefix_admit(scored, F.broadcast(budget)).collect()
+    }
+    # naive global running sum in (_h, doc_id) order:
+    # doc1 prefix 5 <= 5 admit; doc2 prefix 5 <= 5 admit; doc3 12 > 5
+    assert got == {1: True, 2: True, 3: False}
+
+
+def test_line_oracles_match_engine_on_empty_text(spark, tmp_path):
+    """round-11 ADVICE close: DuckDB string_split_regex('') yields
+    [''] (1 token) where the engine's tokens() yields [] — the
+    _SQL_LINES CASE guard makes the line oracles agree with the
+    engine on corpora containing empty-text documents."""
+    import __spark_entry__ as ent
+    from tools.selfcheck import table_hash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "web", 0),
+            (2, "   ", "en", "web", 3),
+            (3, "alpha beta gamma " * 8, "en", "web", 136),
+            (4, "alpha beta gamma " * 8, "en", "web", 136),
+            (5, "unique words only here now", "en", "web", 26),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    for name in (
+        "q212_boilerplate_line_removal",
+        "q213_c4_line_filters",
+        "q223_site_boilerplate_removal",
+    ):
+        sdf = qs[name](spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = con.sql(oracles[name])
+        drows = rel.fetchall()
+        assert len(srows) == len(drows), name
+        assert table_hash(sdf.columns, srows) == table_hash(
+            rel.columns, drows
+        ), name
+    con.close()
+
+
+def test_blocklist_shapes_agree_and_dispatch(spark):
+    """The q217 large-K close: the explode+broadcast-join shape
+    returns EXACTLY the alternation shape's frame (counts, score,
+    verdict) on the same corpus — including zero-hit docs — and the
+    dispatcher flips to the join at the crossover K."""
+    from synthea_etl_spark.plans.llm16 import (
+        _BLOCK_JOIN_MIN_K,
+        blocklist_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup dup corrupt fine words here"),
+            (2, "totally clean text with no hits at all"),
+            (3, "slow big slow big slow big slow big"),
+            (4, ""),
+            (5, "dup"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(shape):
+        return sorted(
+            tuple(r)
+            for r in blocklist_scores(docs, shape=shape).collect()
+        )
+
+    a, j = rows("alternation"), rows("join")
+    assert a == j
+    # sanity on the values themselves
+    byid = {r[0]: r for r in a}
+    assert byid[1] == (1, 3, 0, 12, True)
+    assert byid[2] == (2, 0, 0, 0, False)
+    assert byid[3] == (3, 0, 8, 8, True)
+    assert byid[4] == (4, 0, 0, 0, False)
+    # dispatch: a large synthetic wordlist picks the join shape (the
+    # padding words are absent from the corpus, so results match the
+    # 4-word lists exactly)
+    pad = tuple(f"zzpad{i}" for i in range(_BLOCK_JOIN_MIN_K))
+    big = sorted(
+        tuple(r)
+        for r in blocklist_scores(
+            docs, severe=("dup", "corrupt") + pad, mild=("slow", "big")
+        ).collect()
+    )
+    assert big == a

@@ -64,22 +64,22 @@ here; `oracle` marks entries hash-checked against DuckDB at sf0.01 by
 the driver gate (rows-only entries are approximate/stateful by design
 and carry recall/tolerance tests in `tests/` instead).
 
-Approximate-sketch queries are deliberately PAIRED with an exact twin
-whose oracle IS hash-checked, so their permanent rows-only status is
-intentional coverage, not a gap: q101 (HLL++ distinct) pairs with q53
-(exact distinct agg), q102 (GK percentile sketch) pairs with q54
-(exact interpolated percentiles). Tolerance tests in
-tests/test_packing.py assert each sketch's output against an exact
-recomputation of the same aggregate (and tests/test_extended.py
-covers the sketch-vs-exact relationship on the q53/q54 event shapes).
+Since round 10 EVERY declared query carries a DuckDB oracle and has
+landed a hash-green gate row — the former rows-only trio was
+redesigned as tolerance-verdict queries (exactly-checkable fields
+plus a deterministic verdict boolean with wide margin): q43 (IVF ANN,
+seeded-quantizer recall verdict), q101 (HLL++ distinct, ±3% verdict
+vs exact), q102 (GK percentile sketch, rank-tolerance verdict). Each
+still PAIRS with an exact twin whose values are hash-checked
+end-to-end — q43 with q37/q160, q101 with q53 (exact distinct agg),
+q102 with q54 (exact interpolated percentiles) — and tolerance tests
+in tests/ assert each sketch against an exact recomputation.
 
 The LSH ANN pair q39/q123 is approximate-recall but fully
 deterministic (md5-derived hyperplanes, explicit tie-breaks), so since
 round 6 both carry exact DuckDB twins — the multiprobe mask set is
 hamming distance <= 2 between bucket ids, i.e.
-``bit_count(xor(b_a, b_b)) <= 2``. The only remaining rows-only ANN
-entry is q43 (IVF): its Lloyd-iteration centroid training is not
-reasonably SQL-expressible; recall is asserted in tests/test_llm.py.
+``bit_count(xor(b_a, b_b)) <= 2``.
 
 Regenerate with `python tools/gen_queries_md.py`.
 
