@@ -356,12 +356,27 @@ def retrieval_index_ingest_stream(
     partitions IS the index of the union corpus (the invariant
     tests/test_llm4.py pins), and every statistic BM25 needs (df, dl,
     totals) derives from the accumulated table at probe time.
-    ``bm25_topk_from_index(spark.read.parquet(index_dir), ...)``
-    serves queries between (or during) ingests."""
+    ``bm25_topk_from_index(postings_from_store(spark, index_dir),
+    ...)`` serves queries between (or during) ingests.
+
+    A long-running stream accumulates unbounded batch partitions
+    (round-11 VERDICT): fold them with
+    ``dedup.compact_batch_partitions(spark, index_dir, upto)`` — the
+    postings rows are a row-set per (doc, term), so the generic
+    row-pass compactor applies unchanged, with the same crash-safe
+    versioned-partition contract. This stream participates in the
+    contract by skipping replayed batches at or below the watermark
+    (their rows live in the compacted partition now), and
+    ``postings_from_store`` is the watermark-filtered reader."""
+    from synthea_etl_spark.operators.dedup import compaction_watermark
     from synthea_etl_spark.operators.retrieval import inverted_index
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            return
+        # a replayed batch already folded into the compacted
+        # partition must not republish — its rows live there now
+        if batch_id <= compaction_watermark(index_dir):
             return
         (
             inverted_index(batch_df)
@@ -381,6 +396,20 @@ def retrieval_index_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def postings_from_store(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Watermark-aware reader for the streamed postings store: the
+    current compacted partition + live batch slices, crash leftovers
+    (folded batch dirs, half-published compacted partitions)
+    invisible — hand the result straight to ``bm25_topk_from_index``.
+    The boilerplate_from_store / counting_store_totals reader
+    contract, applied to the retrieval index."""
+    from synthea_etl_spark.operators.dedup import batch_watermark_filter
+
+    return batch_watermark_filter(
+        spark.read.parquet(index_dir), index_dir
+    ).drop("batch_id")
 
 
 def ann_index_ingest_stream(

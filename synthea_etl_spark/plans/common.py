@@ -438,6 +438,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm16,
         llm17,
         llm18,
+        llm19,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -469,6 +470,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm16,
         llm17,
         llm18,
+        llm19,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -607,13 +607,18 @@ FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
 _BLOCK_SEVERE = ("dup", "corrupt")  # severity 4
 _BLOCK_MILD = ("slow", "big")  # severity 1
 _BLOCK_THRESHOLD = 8
-# Shape crossover for blocklist scoring, measured at sf10
+# JVM-shape crossover for blocklist scoring, measured at sf10
 # (bench_artifacts/q217_shape_crossover_sf10_r12.json): the
-# contains-guarded alternation's wall grows with K (every doc pays
-# K indexOf gates; the regex alternation compiles into a K-wide
-# scan), while the explode + broadcast-join wall is K-independent
-# (one hash probe per token; only HIT tokens reach the shuffle).
-# Below this K the alternation wins; at/above it the join wins.
+# contains-guarded alternation's wall grows with K (java.util.regex
+# backtracks over the alternation — O(text*K); at K=1024 the
+# 1024-deep boolean gate tree won't even plan), while the explode +
+# broadcast-join wall is K-independent (one hash probe per token;
+# only HIT tokens reach the shuffle). Below this K the alternation
+# wins among JVM shapes; at/above it the join wins. BOTH lose to the
+# Arrow/RE2 pass (blocklist_scores shape='arrow', the default):
+# RE2 compiles the alternation into a DFA, so its wall is flat in K
+# (0.55-0.66 s at sf10 for K=4..4096 vs 1.0 s JVM-alternation at
+# K=4 and 2.9-3.3 s join) — within noise of DuckDB's own RE2 wall.
 _BLOCK_JOIN_MIN_K = 64
 
 
@@ -641,6 +646,42 @@ def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
     )
 
 
+def _blocklist_arrow_counts(severe, mild, text_col: str = "text"):
+    """One Arrow pass computing BOTH category occurrence counts with
+    RE2 (pyarrow.compute.count_substring_regex): RE2 compiles the
+    word-boundary alternation into a DFA, so the scan is O(text)
+    regardless of K — java.util.regex backtracks O(text*K). The
+    measured-best q217 shape at EVERY K (see _BLOCK_JOIN_MIN_K
+    note); the deliberate-Arrow-stage class of q184's dict-counting
+    pass. Returns a struct column (hs, hm)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    alt_s = r"\b(" + "|".join(severe) + r")\b"
+    alt_m = r"\b(" + "|".join(mild) + r")\b"
+
+    def cnt(s):
+        arr = pa.Array.from_pandas(s)
+        return pd.DataFrame(
+            {
+                "hs": pc.count_substring_regex(arr, alt_s)
+                .to_pandas()
+                .astype("int64"),
+                "hm": pc.count_substring_regex(arr, alt_m)
+                .to_pandas()
+                .astype("int64"),
+            }
+        )
+
+    # real annotation OBJECTS: the module's `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf
+    # cannot resolve for the Series -> DataFrame (struct) eval type
+    cnt.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(cnt, "hs long, hm long")
+    return udf(F.col(text_col))
+
+
 def blocklist_scores(
     docs: DataFrame,
     severe=_BLOCK_SEVERE,
@@ -649,29 +690,47 @@ def blocklist_scores(
     shape: str | None = None,
 ) -> DataFrame:
     """Severity-weighted blocklist scoring over (doc_id, text) with
-    a MEASURED two-shape dispatch on total wordlist size K against
-    the crossover constant ``_BLOCK_JOIN_MIN_K`` (round-11 VERDICT
-    close):
+    a MEASURED shape ladder (round-11 VERDICT close; walls in
+    bench_artifacts/q217_shape_crossover_sf10_r12.json):
 
-    - ``alternation`` (K below the crossover): per CATEGORY one
-      contains-guarded word-boundary ``regexp_count`` — zero
-      shuffles, pure codegen; the usual bad-words case (tens of
-      terms). Measured at sf10: lambda filters 3.40 s, unguarded
-      alternation 1.25 s, guarded 0.87 s.
-    - ``join`` (K at/above the crossover): tokenize once, explode,
-      inner broadcast-join the (word, category) dim — non-matching
-      tokens (the overwhelming majority) die AT the join, so the
-      doc_id count aggregate shuffles only HIT tokens; zero-hit
-      docs rejoin via a broadcast left join of the (small) hit
-      frame. One hash probe per token regardless of K — the
-      q72/q185 join plan. Equal to word-boundary counting on a
-      whitespace-tokenized corpus (pinned in tests).
+    - ``arrow`` (DEFAULT, every K): one Arrow pass, RE2
+      ``count_substring_regex`` on the category alternations — a
+      DFA scan, flat in K (sf10: 0.55-0.66 s for K=4..4096, within
+      noise of DuckDB's own RE2 wall). Still a pure projection —
+      ArrowEvalPython adds no exchange.
+    - ``alternation``: contains-guarded word-boundary
+      ``regexp_count`` — the best PURE-JVM form (no Python workers
+      needed); wall grows with K (java.util.regex backtracks) and
+      the boolean gate tree stops planning around K~1000.
+    - ``join``: tokenize once, explode, inner broadcast-join the
+      (word, category) dim — non-matching tokens die AT the join,
+      so the doc_id aggregate shuffles only HIT tokens; the
+      regex-FREE fallback (terms with regex metacharacters, or a
+      no-regex guarantee). K-independent, q72/q185's plan.
+    - ``jvm``: auto-pick between the two JVM shapes at the measured
+      ``_BLOCK_JOIN_MIN_K`` crossover.
 
-    The crossover K and both walls are recorded in
-    bench_artifacts/q217_shape_crossover_sf10_r12.json."""
+    All three count word-boundary occurrences, equal to token
+    equality on a whitespace-tokenized corpus (parity pinned in
+    tests; the q217 hash gate cross-checks arrow/RE2 against
+    DuckDB's RE2 on every row)."""
     if shape is None:
+        shape = "arrow"
+    if shape == "jvm":
         k = len(severe) + len(mild)
         shape = "join" if k >= _BLOCK_JOIN_MIN_K else "alternation"
+    if shape == "arrow":
+        c = _blocklist_arrow_counts(severe, mild)
+        n_sev = c.getField("hs")
+        n_mild = c.getField("hm")
+        score = (n_sev * 4 + n_mild).cast("long")
+        return docs.select(
+            "doc_id",
+            n_sev.alias("hits_severe"),
+            n_mild.alias("hits_mild"),
+            score.alias("block_score"),
+            ((n_sev > 0) | (score >= threshold)).alias("blocked"),
+        )
     if shape == "alternation":
         n_sev = blocklist_wb_count(severe)
         n_mild = blocklist_wb_count(mild)
@@ -723,10 +782,10 @@ def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     category wordlists, a weighted score (4x severe + 1x mild), and
     a blocked verdict (any severe hit, or score >= 8). Wordlists
     here are corpus-vocabulary stand-ins; the operator shape is the
-    real one — :func:`blocklist_scores`, which dispatches between
-    the zero-shuffle contains-guarded alternation (small K, this
-    gate's path) and the explode + broadcast-join plan (large K) at
-    the measured sf10 crossover; see its docstring and
+    real one — :func:`blocklist_scores` on its default ``arrow``
+    shape (one RE2 Arrow pass, flat in K, 0.50 s at sf10 vs
+    DuckDB's 0.44), with the pure-JVM alternation and the regex-free
+    join shape as measured alternatives; see its docstring and
     bench_artifacts/q217_shape_crossover_sf10_r12.json."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return blocklist_scores(docs)

@@ -219,20 +219,165 @@ def test_blocklist_shapes_agree_and_dispatch(spark):
 
     a, j = rows("alternation"), rows("join")
     assert a == j
+    # the default Arrow/RE2 shape is bit-identical too
+    assert rows("arrow") == a
+    assert rows(None) == a
     # sanity on the values themselves
     byid = {r[0]: r for r in a}
     assert byid[1] == (1, 3, 0, 12, True)
     assert byid[2] == (2, 0, 0, 0, False)
     assert byid[3] == (3, 0, 8, 8, True)
     assert byid[4] == (4, 0, 0, 0, False)
-    # dispatch: a large synthetic wordlist picks the join shape (the
-    # padding words are absent from the corpus, so results match the
-    # 4-word lists exactly)
+    # jvm dispatch: a large synthetic wordlist picks the join shape
+    # (the padding words are absent from the corpus, so results match
+    # the 4-word lists exactly); and arrow handles the same large K
     pad = tuple(f"zzpad{i}" for i in range(_BLOCK_JOIN_MIN_K))
-    big = sorted(
-        tuple(r)
-        for r in blocklist_scores(
-            docs, severe=("dup", "corrupt") + pad, mild=("slow", "big")
-        ).collect()
+    for shp in ("jvm", "arrow"):
+        big = sorted(
+            tuple(r)
+            for r in blocklist_scores(
+                docs,
+                severe=("dup", "corrupt") + pad,
+                mild=("slow", "big"),
+                shape=shp,
+            ).collect()
+        )
+        assert big == a, shp
+
+
+def test_crawl_pipeline_stage_invariants(spark):
+    """q226 composition invariants on the real sf0.001 corpus: the
+    stage label is a partition (exactly one per doc), split/phase/
+    shard fields are populated iff the doc reached that stage, and
+    leaked docs are eval-side only."""
+    from tests.conftest import SF_SMALL
+    from synthea_etl_spark.plans.llm19 import (
+        q226_crawl_training_pipeline,
     )
-    assert big == a
+
+    rows = q226_crawl_training_pipeline(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    stages = {r.stage for r in rows}
+    assert stages <= {
+        "line_curation",
+        "exact_dup",
+        "quality",
+        "leaked",
+        "admitted",
+    }
+    for r in rows:
+        if r.stage in ("admitted", "leaked"):
+            assert r.split in ("train", "val", "test"), r
+        else:
+            assert r.split == "none", r
+        if r.stage == "leaked":
+            assert r.split in ("val", "test"), r
+        if r.phase1 or r.phase2:
+            # only admitted TRAIN docs enter the schedule
+            assert r.stage == "admitted" and r.split == "train", r
+            assert 0 <= r.shard_id < 16, r
+        else:
+            assert r.shard_id == -1, r
+    # the funnel actually funnels: at least two distinct stages fire
+    # on the real corpus (all-admitted would mean stages are inert)
+    assert len(stages) >= 2, stages
+
+
+def test_postings_store_compaction_transparent_to_bm25(spark, tmp_path):
+    """round-11 VERDICT #6: the retrieval postings store folds with
+    the generic row-set compactor; bm25_topk_from_index answers
+    identically through postings_from_store before and after a
+    mid-stream compaction, and a replayed folded batch is a no-op."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from synthea_etl_spark.operators.dedup import (
+        compact_batch_partitions,
+        compaction_watermark,
+    )
+    from synthea_etl_spark.operators.retrieval import (
+        bm25_topk_from_index,
+        inverted_index,
+    )
+    from synthea_etl_spark.pipeline import (
+        postings_from_store,
+        retrieval_index_ingest_stream,
+    )
+    from tests.test_llm4 import CORPUS, _docs, _queries, _ranking
+
+    landing = tmp_path / "landing"
+    index = tmp_path / "index"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(_json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run():
+        retrieval_index_ingest_stream(
+            spark, str(landing), str(index), str(ckpt), schema
+        ).awaitTermination(120)
+
+    land("b0.json", CORPUS[:2])
+    run()
+    land("b1.json", CORPUS[2:4])
+    run()
+
+    rebuilt_half = inverted_index(_docs(spark, CORPUS[:4]))
+    want_half = _ranking(
+        bm25_topk_from_index(rebuilt_half, _queries(spark), k=4)
+    )
+
+    def got():
+        return _ranking(
+            bm25_topk_from_index(
+                postings_from_store(spark, str(index)), _queries(spark), k=4
+            )
+        )
+
+    assert got() == want_half
+    # mid-stream fold of batches 0..1, then MORE stream batches
+    compact_batch_partitions(spark, str(index), 1)
+    assert compaction_watermark(str(index)) == 1
+    assert got() == want_half
+    land("b2.json", CORPUS[4:])
+    run()
+    rebuilt_full = inverted_index(_docs(spark, CORPUS))
+    want_full = _ranking(
+        bm25_topk_from_index(rebuilt_full, _queries(spark), k=4)
+    )
+    assert got() == want_full
+    # row-level identity too, not just rankings
+    assert sorted(
+        (r.t, r.doc_id, r.tf)
+        for r in postings_from_store(spark, str(index)).collect()
+    ) == sorted((r.t, r.doc_id, r.tf) for r in rebuilt_full.collect())
+    # replay of a FOLDED batch is a no-op (the stream-side watermark
+    # skip): simulate the checkpoint replaying batch 1
+    from synthea_etl_spark.operators.retrieval import inverted_index as _ii
+
+    replay = _docs(spark, CORPUS[2:4])
+    # the stream's ingest_batch guard: batch_id 1 <= watermark 1
+    # (exercise through a fresh stream run over the same landing dir
+    # with a WIPED checkpoint — every batch replays, folded ones must
+    # not double)
+    import shutil
+
+    shutil.rmtree(str(ckpt))
+    run()
+    assert got() == want_full
+    assert sorted(
+        (r.t, r.doc_id, r.tf)
+        for r in postings_from_store(spark, str(index)).collect()
+    ) == sorted((r.t, r.doc_id, r.tf) for r in rebuilt_full.collect())

@@ -83,11 +83,22 @@ def _cluster_size(key: str, mult: int) -> str:
     )
 
 
-def _organic_text(mult: int) -> str:
+def _organic_text(mult: int, max_doc_id: int) -> str:
     """Copy i of a base doc: i=0 original; 0<i<cluster_size a
     token-mutated near-dup (every ~12th token replaced with a
     copy-specific marker — shingle overlap stays high); otherwise an
-    independent md5 token soup (60-119 tokens, negligible overlap)."""
+    independent md5 token soup (60-119 tokens, negligible overlap).
+
+    PER-HOST BOILERPLATE (round-11 VERDICT #9): ~40% of docs
+    (seeded) get a host-specific 10-token banner PREPENDED — exactly
+    one _LINE_W chunk, so prepending keeps every later chunk
+    boundary aligned. The host is derived from the FINAL (shifted)
+    doc_id by the _synth_url rule ((doc_id div 4) % 40), so q223's
+    host-scoped rule sees a genuine per-host repeated line on a
+    realistic distribution; the near-dup clusters' cross-host shared
+    chunks (copies land on different hosts after the id shift)
+    remain the q212-only removals, so the two rules' difference is
+    finally measurable at scale."""
     s = _cluster_size("doc_id", mult)
     soup_len = (
         "60 + CAST(concat('0x', substr(md5('sl' || CAST(doc_id AS VARCHAR)"
@@ -104,10 +115,24 @@ def _organic_text(mult: int) -> str:
         " (t, j) -> CASE WHEN (j + i) % 12 = 0 THEN 'm' ||"
         " CAST(i AS VARCHAR) ELSE t END), ' ')"
     )
-    return (
+    body = (
         f"CASE WHEN i = 0 THEN text"
         f" WHEN i < ({s}) THEN {mutated}"
-        f" ELSE {soup} END AS text"
+        f" ELSE {soup} END"
+    )
+    fid = f"(doc_id + i * {max_doc_id})"
+    host = f"(({fid} // 4) % 40)"
+    has_banner = (
+        f"CAST(concat('0x', substr(md5('bb' || CAST({fid} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) % 100 < 40"
+    )
+    banner = (
+        f"'hb' || CAST({host} AS VARCHAR) ||"
+        " ' nav home about contact privacy terms login search end'"
+    )
+    return (
+        f"CASE WHEN {has_banner} THEN ({banner}) || ' ' || ({body})"
+        f" ELSE ({body}) END AS text"
     )
 
 
@@ -161,7 +186,7 @@ def generate(base: str, out: str, mult: int, organic: bool = False) -> None:
                 exprs.append("ts + i * INTERVAL 1 SECOND AS ts")
             elif t == "documents" and c == "text":
                 exprs.append(
-                    _organic_text(mult)
+                    _organic_text(mult, maxes["documents"])
                     if organic
                     else "CASE WHEN i = 0 THEN text ELSE text || ' c' || i END AS text"
                 )
