@@ -157,6 +157,7 @@ HEADLINE_OPT = [
     "q223_site_boilerplate_removal",
     "q224_drift_from_store",
     "q225_annealing_schedule",
+    "q226_crawl_training_pipeline",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason
