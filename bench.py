@@ -158,6 +158,9 @@ HEADLINE_OPT = [
     "q224_drift_from_store",
     "q225_annealing_schedule",
     "q226_crawl_training_pipeline",
+    "q227_snapshot_novelty",
+    "q228_crawl_budget_allocation",
+    "q229_doremi_reweight",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -439,6 +439,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm17,
         llm18,
         llm19,
+        llm20,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -471,6 +472,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm17,
         llm18,
         llm19,
+        llm20,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

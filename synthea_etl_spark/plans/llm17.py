@@ -261,6 +261,26 @@ def q220_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     law keeps distinct bigrams << token occurrences); the final
     aggregate is the doc_id shuffle. No window over the corpus, no
     collect."""
+    scored = _doc_bigram_nll(spark, sf_dir)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"),
+        )
+        .withColumn(
+            "ppl_bucket",
+            F.expr(f"nll_micro_mean div {_PPL_BUCKET_MICRO}").cast("int"),
+        )
+    )
+
+
+def _doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q220's per-bigram scored stream — (doc_id, nll_micro), one
+    row per bigram occurrence, NLL pre-quantized in the vocab-sized
+    dims — factored out so the source-level consumers (q229 mixture
+    reweighting) reuse the identical LM and quantization instead of
+    drifting from the gated q220 definition."""
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
@@ -322,7 +342,7 @@ def q220_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oov_nll = vocab_n.select(
         qnll(F.lit(1), F.col("v")).alias("oov_nll")
     )
-    scored = (
+    return (
         doc_bi.join(F.broadcast(bg_nll), ["w1", "w2"], "left")
         .join(F.broadcast(ctx_nll), "w1", "left")
         .crossJoin(F.broadcast(oov_nll))
@@ -333,21 +353,11 @@ def q220_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_micro"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"),
-        )
-        .withColumn(
-            "ppl_bucket",
-            F.expr(f"nll_micro_mean div {_PPL_BUCKET_MICRO}").cast("int"),
-        )
-    )
 
 
-ORACLE_Q220 = f"""
-WITH t AS (
+# the CTE chain up to the per-bigram `scored` stream, shared by
+# ORACLE_Q220 and the q229 oracle (same factoring as _doc_bigram_nll)
+_SQL_DOC_NLL = f"""t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
   FROM documents WHERE length(trim(text)) > 0
 ),
@@ -392,7 +402,10 @@ scored AS (
   LEFT JOIN bg_nll USING (w1, w2)
   LEFT JOIN ctx_nll USING (w1)
   CROSS JOIN oov
-)
+)"""
+
+ORACLE_Q220 = f"""
+WITH {_SQL_DOC_NLL}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS nll_micro_mean,
