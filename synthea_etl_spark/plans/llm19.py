@@ -91,8 +91,18 @@ def q226_crawl_training_pipeline(
     plus one boundary-bucket window (q225's shape); the final
     assembly is a chain of doc_id equi-joins over doc_id-keyed
     aggregates (AQE co-partitions; leak/phase frames are
-    survivor-sized). No Python UDF after the codec leg, no
-    cartesian, no global sort."""
+    survivor-sized). No per-row Python UDF after the codec leg, no
+    cartesian, no global sort.
+
+    LINEAGE CUTS (round-12 plan audit): the curated frame feeds
+    EIGHT downstream branches (dedup window, quality, split, both
+    banding sides, annealing, assembly); without a cut each branch
+    replays the whole WARC-decode + line-curation subtree — the
+    executed plan carried 68 MapInPandas copies. ``localCheckpoint``
+    on the curated frame and on the survivor frame materializes each
+    ONCE (the §2.8 graph/dedup discipline); the codec now runs a
+    single time per document, as a pipeline must at 100 TB (where
+    the cut is a parquet write between stages anyway)."""
     from synthea_etl_spark.operators.text import html_to_text
     from synthea_etl_spark.operators.warc import (
         encode_warc_gz,
@@ -195,7 +205,7 @@ def q226_crawl_training_pipeline(
             ).alias("ctext"),
         )
         .withColumn("_line_ok", F.col("n_kept") >= _MIN_KEPT_LINES)
-    )
+    ).localCheckpoint()
 
     # ---- stages 2-4: exact-dup, quality, split (survivors only) ---
     s1 = cur.filter("_line_ok")
@@ -205,7 +215,9 @@ def q226_crawl_training_pipeline(
         .withColumn("_q_ok", T.gopher_quality_ok("ctext"))
         .withColumn("split", split_expr("ctext"))
     )
-    surv = s2.filter((F.col("_fprn") == 1) & F.col("_q_ok"))
+    surv = s2.filter(
+        (F.col("_fprn") == 1) & F.col("_q_ok")
+    ).localCheckpoint()
 
     # ---- stage 5: near-dup leakage (q214 banding on curated text) -
     sig = D.minhash_signature(
