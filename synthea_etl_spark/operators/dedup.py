@@ -1116,16 +1116,23 @@ def compact_batch_partitions(
     filter makes leftovers invisible to NEW readers, but deletion
     under an in-flight one fails its scan with file-not-found. Pass
     ``gc_grace_s`` > your longest reader: GC then only removes dirs
-    whose superseding watermark flip is at least that old, so this
-    call leaves the just-superseded dirs in place and a LATER
-    compaction (or an explicit :func:`gc_batch_partitions`
-    maintenance call) collects them after in-flight readers drain.
-    The default 0.0 keeps immediate GC (single-reader jobs, tests)."""
+    whose superseding watermark flip is at least that old. Because a
+    flip refreshes the watermark file's mtime, the graceful GC runs
+    at the START of this call (collecting the PREVIOUS generation's
+    leftovers once their flip has aged past the grace — round-12
+    review catch: running it after our own flip made every graced GC
+    a no-op forever); the just-superseded dirs are left for the next
+    compaction or an explicit :func:`gc_batch_partitions` call. The
+    default 0.0 keeps immediate post-flip GC (single-reader jobs,
+    tests)."""
     import os
 
     wm = compaction_watermark(store_path)
     if wm >= upto_batch:
         return  # already folded to this point (see line-store note)
+    if gc_grace_s > 0:
+        # prior generation, judged against the PREVIOUS flip's age
+        gc_batch_partitions(store_path, partition_col, gc_grace_s)
     store = spark.read.parquet(store_path)
     col = F.col(partition_col)
     new_part = -(upto_batch + 2)
@@ -1142,7 +1149,8 @@ def compact_batch_partitions(
     with open(tmp, "w") as f:
         f.write(str(upto_batch))
     os.replace(tmp, _compaction_watermark_path(store_path))
-    gc_batch_partitions(store_path, partition_col, gc_grace_s)
+    if gc_grace_s == 0:
+        gc_batch_partitions(store_path, partition_col, 0.0)
 
 
 def gc_batch_partitions(
@@ -1219,12 +1227,16 @@ def compact_counting_slices(
     crash-safety contract to compact_line_frequency_store (versioned
     partition; publish → atomic watermark → GC; no-op when already
     folded to this point). ``gc_grace_s``: concurrent-reader grace —
-    see compact_batch_partitions; >0 defers deletion of
-    just-superseded dirs to a later compaction or an explicit
-    :func:`gc_counting_slices` call."""
+    see compact_batch_partitions; >0 runs the graced GC BEFORE our
+    own flip (collecting the previous generation once ITS flip has
+    aged past the grace) and defers the just-superseded dirs to the
+    next compaction or an explicit :func:`gc_counting_slices`
+    call."""
     wm = compaction_watermark(store_path)
     if wm >= upto_batch:
         return
+    if gc_grace_s > 0:
+        gc_counting_slices(store_path, gc_grace_s)
     store = spark.read.parquet(store_path)
     num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
     folded = store.filter(
@@ -1248,7 +1260,8 @@ def compact_counting_slices(
     with open(tmp, "w") as f:
         f.write(str(upto_batch))
     os.replace(tmp, _compaction_watermark_path(store_path))
-    gc_counting_slices(store_path, gc_grace_s)
+    if gc_grace_s == 0:
+        gc_counting_slices(store_path, 0.0)
 
 
 def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:

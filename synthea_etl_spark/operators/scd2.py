@@ -226,15 +226,26 @@ def _reserve_version(root: str) -> tuple[str, int]:
         vpath = os.path.join(root, f"v={nxt}")
         try:
             os.mkdir(vpath)
-            return vpath, nxt
         except FileExistsError:
             continue
+        # in-flight marker (round-12 review catch: a part write that
+        # outlasts any mtime grace must still be unprunable — file
+        # writes land in nested task dirs and never refresh vpath's
+        # own mtime). Dot-prefixed, so parquet readers ignore it.
+        with open(os.path.join(vpath, ".INPROGRESS"), "w") as f:
+            f.write("")
+        return vpath, nxt
     raise RuntimeError(f"could not reserve a version under {root}")
 
 
 def _flip_current(root: str, n: int) -> None:
     import os
 
+    # publish complete: clear the in-flight marker BEFORE the flip so
+    # a current version never carries one
+    marker = os.path.join(root, f"v={n}", ".INPROGRESS")
+    if os.path.exists(marker):
+        os.remove(marker)
     ptr_tmp = os.path.join(root, f"_CURRENT.tmp{n}")
     with open(ptr_tmp, "w") as f:
         f.write(str(n))
@@ -271,25 +282,33 @@ def write_versioned_parts(
     return vpath
 
 
-def prune_versions(root: str, grace_s: float = 0.0) -> list[str]:
+def prune_versions(
+    root: str, grace_s: float = 0.0, abandon_s: float | None = None
+) -> list[str]:
     """GC for :func:`write_versioned` roots (round-11 VERDICT: an
     unpruned versioned index root doubles storage per rollover at
-    100 TB): delete every ``v=<n>`` directory that is NOT the
-    current pointer target, provided the read-grace has elapsed —
-    the WARC-manifest mtime-grace discipline:
+    100 TB): delete superseded ``v=<n>`` directories once their
+    read-grace has elapsed. Round-12 review hardening:
 
-    - the ``_CURRENT`` pointer is at least ``grace_s`` old (the flip
-      that superseded those versions happened long enough ago that
-      any reader which resolved the OLD pointer has drained), and
-    - the version directory itself is at least ``grace_s`` old (a
-      concurrent publisher may have just RESERVED a higher number it
-      is still writing into — its dir is fresh, so it survives).
+    - **Per-version supersession time**: version N was superseded by
+      the flip to the NEXT version, so its grace is judged against
+      the mtime of the oldest version directory ABOVE it (a later
+      dir's mtime settles at its publish ≈ its flip), not against
+      the latest ``_CURRENT`` flip — a root rolling over more often
+      than the grace would otherwise never prune anything, exactly
+      the unbounded-growth failure this function exists to stop.
+    - **In-flight marker**: publishers hold ``.INPROGRESS`` inside
+      the version dir from reservation to flip, so a publish that
+      outlasts any grace is still unprunable (nested task writes
+      never refresh the dir's own mtime — the guard the first cut
+      relied on). A CRASHED publish leaves its marker forever;
+      pass ``abandon_s`` to reclaim marked dirs older than that
+      bound (judged on the marker's mtime). Default None = never.
 
-    ``grace_s=0`` prunes immediately (tests / single-reader jobs);
-    production passes a grace exceeding the longest reader. Safe to
-    run concurrently with readers of the CURRENT version (never
-    touched) and with publishers (fresh reservations survive the
-    dir-mtime guard). Returns the pruned paths."""
+    ``grace_s=0`` prunes superseded versions immediately (tests /
+    single-reader jobs); production passes a grace exceeding the
+    longest reader. The current version is never touched. Returns
+    the pruned paths."""
     import os
     import shutil
     import time
@@ -298,20 +317,35 @@ def prune_versions(root: str, grace_s: float = 0.0) -> list[str]:
     if not os.path.exists(ptr):
         return []
     now = time.time()
-    if now - os.path.getmtime(ptr) < grace_s:
-        return []
     with open(ptr) as f:
         cur = int(f.read().strip())
+    versions = {
+        int(d.split("=", 1)[1]): os.path.join(root, d)
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    }
     pruned = []
-    for d in os.listdir(root):
-        if not (d.startswith("v=") and d.split("=", 1)[1].isdigit()):
-            continue
-        n = int(d.split("=", 1)[1])
+    for n, vdir in sorted(versions.items()):
         if n == cur:
             continue
-        vdir = os.path.join(root, d)
-        if now - os.path.getmtime(vdir) < grace_s:
-            continue  # possibly a publish in flight
+        marker = os.path.join(vdir, ".INPROGRESS")
+        if os.path.exists(marker):
+            # publish in flight (or crashed): only the abandon bound
+            # may reclaim it
+            if abandon_s is None or now - os.path.getmtime(marker) < abandon_s:
+                continue
+        else:
+            # superseded version: grace runs from the flip that
+            # superseded it — approximated by the oldest LATER
+            # version dir's mtime (falls back to the pointer's)
+            later = [p for m, p in versions.items() if m > n]
+            sup_at = (
+                min(os.path.getmtime(p) for p in later)
+                if later
+                else os.path.getmtime(ptr)
+            )
+            if now - sup_at < grace_s:
+                continue
         shutil.rmtree(vdir)
         pruned.append(vdir)
     return pruned

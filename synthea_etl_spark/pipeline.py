@@ -367,7 +367,22 @@ def retrieval_index_ingest_stream(
     versioned-partition contract. This stream participates in the
     contract by skipping replayed batches at or below the watermark
     (their rows live in the compacted partition now), and
-    ``postings_from_store`` is the watermark-filtered reader."""
+    ``postings_from_store`` is the watermark-filtered reader.
+
+    CHECKPOINT-LOSS CONTRACT (round-12 review): the skip keys on the
+    STREAMING batch_id, which is only meaningful under the
+    checkpoint that assigned it. If the checkpoint is lost, a
+    restart renumbers from 0 and may lump already-ingested AND
+    brand-new files into one batch whose id falls at or below the
+    watermark — silently dropping the new documents (and re-running
+    WITHOUT the skip would instead double the old ones; no
+    content-blind rule can recover). The checkpoint and the store
+    are ONE integrity domain: after checkpoint loss either rebuild
+    the store from scratch, or point a fresh (landing, checkpoint)
+    pair at only the not-yet-ingested files. Replay under the SAME
+    checkpoint — the crash/restart case the drives exercise — stays
+    exactly-once as documented. The same contract governs every
+    watermark-skipping ingest stream in this module."""
     from synthea_etl_spark.operators.dedup import compaction_watermark
     from synthea_etl_spark.operators.retrieval import inverted_index
 

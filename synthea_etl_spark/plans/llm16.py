@@ -662,7 +662,13 @@ def _blocklist_arrow_counts(severe, mild, text_col: str = "text"):
     alt_m = r"\b(" + "|".join(mild) + r")\b"
 
     def cnt(s):
-        arr = pa.Array.from_pandas(s)
+        # NULL text counts as zero hits (matching both JVM shapes,
+        # where contains(NULL) gates to 0 and explode(NULL) drops the
+        # row) — without the fill the count comes back null->NaN and
+        # the int64 cast throws (round-12 review catch). Filled on
+        # the pandas side: an ALL-null Arrow batch infers null type,
+        # which a string fill_null scalar cannot cast into.
+        arr = pa.Array.from_pandas(s.fillna(""), type=pa.string())
         return pd.DataFrame(
             {
                 "hs": pc.count_substring_regex(arr, alt_s)
@@ -763,9 +769,13 @@ def blocklist_scores(
     n_sev = F.coalesce(F.col("_sev"), F.lit(0)).cast("long")
     n_mild = F.coalesce(F.col("_mild"), F.lit(0)).cast("long")
     score = (n_sev * 4 + n_mild).cast("long")
+    # no broadcast hint on hits: it is doc-cardinality in the worst
+    # case (every doc a hit) and a forced hint removes the shuffle
+    # fallback — the drift_from_token_store lesson; AQE broadcasts it
+    # when the measured size allows
     return (
         docs.select("doc_id")
-        .join(F.broadcast(hits), "doc_id", "left")
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             n_sev.alias("hits_severe"),

@@ -163,9 +163,7 @@ def q226_crawl_training_pipeline(
         .groupBy("fp")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
-    hv = F.conv(
-        F.substring(F.md5(F.concat(F.lit("lp"), F.col("fp"))), 1, 8), 16, 10
-    ).cast("long")
+    hv = D._hex_int(F.concat(F.lit("lp"), F.col("fp")), 8)
     synth = F.when(
         hv % _PUNCT_MOD < _PUNCT_MOD - 1,
         F.concat(F.col("line_text"), F.lit(".")),
@@ -314,15 +312,7 @@ def q226_crawl_training_pipeline(
     ph1 = F.coalesce(F.col("_ph1"), F.lit(False))
     ph2 = F.coalesce(F.col("_ph2"), F.lit(False))
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("sh"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        D._hex_int(F.concat(F.lit("sh"), F.col("doc_id").cast("string")), 8)
         % _N_SHARDS
     ).cast("int")
     return base.select(

@@ -330,24 +330,32 @@ def test_prune_versions_grace_and_inflight_guard(spark, tmp_path):
         )
     cur = read_current(root)
     assert cur.endswith("v=3")
-    # pointer just flipped: a long grace prunes nothing
+    # everything published moments ago: a long grace prunes nothing
+    # (each superseded version is judged by the age of the flip that
+    # superseded it — the next version's dir mtime)
     assert prune_versions(root, grace_s=3600) == []
-    # backdate the pointer + superseded dirs past the grace; a fresh
-    # reservation (concurrent publisher mid-write) must SURVIVE
+    # backdate the whole history past the grace; an in-flight
+    # publish (reservation carrying .INPROGRESS) must SURVIVE even
+    # though its dir is old — nested part writes never refresh it
     past = time.time() - 100
     os.utime(os.path.join(root, "_CURRENT"), (past, past))
-    for d in ("v=1", "v=2"):
+    for d in ("v=1", "v=2", "v=3"):
         os.utime(os.path.join(root, d), (past, past))
-    os.mkdir(os.path.join(root, "v=9"))  # fresh reservation
+    os.mkdir(os.path.join(root, "v=9"))
+    open(os.path.join(root, "v=9", ".INPROGRESS"), "w").close()
+    os.utime(os.path.join(root, "v=9"), (past, past))
     pruned = prune_versions(root, grace_s=50)
     assert sorted(os.path.basename(p) for p in pruned) == ["v=1", "v=2"]
     assert os.path.isdir(os.path.join(root, "v=9"))
     assert [r.val for r in spark.read.parquet(cur).collect()] == ["c"]
-    # grace elapsed for everything -> the stale reservation goes too
-    os.utime(os.path.join(root, "v=9"), (past, past))
-    assert [os.path.basename(p) for p in prune_versions(root, 50)] == [
-        "v=9"
-    ]
+    # a CRASHED publish (stale marker) is reclaimed only via the
+    # explicit abandon bound
+    assert prune_versions(root, grace_s=50) == []
+    os.utime(os.path.join(root, "v=9", ".INPROGRESS"), (past, past))
+    assert [
+        os.path.basename(p)
+        for p in prune_versions(root, grace_s=50, abandon_s=50)
+    ] == ["v=9"]
 
 
 def test_write_versioned_parts_publishes_pair_in_one_flip(
@@ -452,10 +460,12 @@ def test_versioned_rollover_reader_across_flip_and_prune(
     assert sorted(map(_key, new_index.collect())) == sorted(
         map(_key, S.ivf_index(corpus, new_c).collect())
     )
-    # after the grace elapses the superseded version is collected
+    # after the grace elapses (judged by the SUPERSEDING version's
+    # age) the superseded version is collected
     past = time.time() - 100
     os.utime(os.path.join(root, "_CURRENT"), (past, past))
     os.utime(os.path.join(root, "v=1"), (past, past))
+    os.utime(os.path.join(root, "v=2"), (past, past))
     assert [os.path.basename(p) for p in prune_versions(root, 50)] == [
         "v=1"
     ]

@@ -207,6 +207,7 @@ def test_blocklist_shapes_agree_and_dispatch(spark):
             (3, "slow big slow big slow big slow big"),
             (4, ""),
             (5, "dup"),
+            (6, None),  # NULL text: zero hits on every shape (r12 review)
         ],
         "doc_id long, text string",
     )
@@ -381,3 +382,40 @@ def test_postings_store_compaction_transparent_to_bm25(spark, tmp_path):
         (r.t, r.doc_id, r.tf)
         for r in postings_from_store(spark, str(index)).collect()
     ) == sorted((r.t, r.doc_id, r.tf) for r in rebuilt_full.collect())
+
+
+def test_graced_gc_runs_at_next_compaction(spark, tmp_path):
+    """round-12 review catch: with a grace, the in-compaction GC ran
+    AFTER the flip (watermark mtime = now) and was a no-op forever —
+    superseded dirs grew without bound. Now the graced GC runs at the
+    START of the next compaction against the PREVIOUS flip's age."""
+    from synthea_etl_spark.operators.dedup import (
+        _compaction_watermark_path,
+        compact_counting_slices,
+        counting_store_totals,
+    )
+
+    store = str(tmp_path / "store")
+    for b, rows in enumerate([[("a", 1)], [("a", 2)], [("a", 4)]]):
+        (
+            spark.createDataFrame(rows, "k string, n long")
+            .withColumn("slice_id", F.lit(f"batch{b}"))
+            .write.mode("append")
+            .partitionBy("slice_id")
+            .parquet(store)
+        )
+    compact_counting_slices(spark, store, 0, ["k"], "n", gc_grace_s=3600)
+    assert os.path.isdir(os.path.join(store, "slice_id=batch0"))
+    # previous flip ages past the grace; the NEXT compaction's
+    # leading GC collects the prior generation before folding
+    past = time.time() - 100
+    os.utime(_compaction_watermark_path(store), (past, past))
+    compact_counting_slices(spark, store, 1, ["k"], "n", gc_grace_s=50)
+    assert not os.path.isdir(os.path.join(store, "slice_id=batch0"))
+    # the JUST-superseded generation is (correctly) still deferred
+    assert os.path.isdir(os.path.join(store, "slice_id=compacted0"))
+    assert os.path.isdir(os.path.join(store, "slice_id=batch1"))
+    assert {
+        (r.k, r.n)
+        for r in counting_store_totals(spark, store, ["k"], "n").collect()
+    } == {("a", 7)}

@@ -86,10 +86,12 @@ def main() -> None:
         (r.cluster, r.neighbor_id, tuple(r.cv)) for r in fresh.collect()
     )
 
-    # grace elapses -> prune collects exactly v=1; current keeps serving
+    # grace elapses (judged by the superseding version's age) ->
+    # prune collects exactly v=1; current keeps serving
     past = time.time() - 100
     os.utime(os.path.join(root, "_CURRENT"), (past, past))
     os.utime(os.path.join(root, "v=1"), (past, past))
+    os.utime(os.path.join(root, "v=2"), (past, past))
     pruned = [os.path.basename(p) for p in prune_versions(root, 50)]
     post_prune_probe_rows = len(
         S.knn_ann_ivf_probe(

@@ -4,7 +4,13 @@ TWIN pipeline ingesting the identical batches WITHOUT compaction must
 produce the same postings rows and the same BM25 top-k rankings
 through the watermark-filtered reader (``postings_from_store``), and
 a full checkpoint-wipe replay over the compacted store must not
-double any row (the stream-side watermark skip).
+double any row (the stream-side watermark skip). NOTE the wipe leg's
+scope: it re-delivers exactly the already-ingested file set, proving
+folded content is not double-published; it is NOT a general
+checkpoint-loss recovery claim — if NEW files had landed before the
+wiped restart they could be renumbered under the watermark and
+dropped (the checkpoint-loss contract in
+pipeline.retrieval_index_ingest_stream's docstring).
 
 Round-11 VERDICT #6 close — the eighth store family to get the
 compaction lifecycle. The pytest (test_llm19) covers local mode; this
