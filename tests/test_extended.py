@@ -198,6 +198,9 @@ def test_no_accidental_cartesian_products(spark):
         "q221_quality_feature_frame",    # q185's 1-row token-total crossJoin
         "q222_token_drift_monitor",      # crossJoins of the 1-row n_ref / vstats
         "q225_annealing_schedule",       # crossJoins of the 1-row phase budgets
+        "q226_crawl_training_pipeline",  # q225's 1-row phase-budget crossJoins
+        "q228_crawl_budget_allocation",  # crossJoin of the 1-row budget totals
+        "q229_doremi_reweight",          # q220's 1-row vocab/OOV + 1-row ref-NLL/weight-total crossJoins
     }
     bad = []
     for name, fn in ent.queries().items():
