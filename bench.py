@@ -161,6 +161,8 @@ HEADLINE_OPT = [
     "q227_snapshot_novelty",
     "q228_crawl_budget_allocation",
     "q229_doremi_reweight",
+    "q230_unimax_allocation",
+    "q231_robots_filter",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -440,6 +440,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm18,
         llm19,
         llm20,
+        llm21,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -473,6 +474,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm18,
         llm19,
         llm20,
+        llm21,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -109,3 +109,80 @@ def test_doremi_weights_normalized_and_monotone(spark):
         assert a.weight_micro <= b.weight_micro
     # at least one source is flagged above the reference fit
     assert any(r.excess_micro > 0 for r in rows)
+
+
+def test_unimax_allocation_caps_and_budget(spark, tmp_path):
+    """Allocations sum to the budget EXACTLY, the capped set is a
+    capacity prefix, capped languages sit at exactly the epoch cap,
+    and on a skewed corpus the tiny language caps while the dominant
+    one runs under one epoch."""
+    import os
+
+    from synthea_etl_spark.plans.llm21 import (
+        _UNIMAX_EPOCH_CAP,
+        q230_unimax_allocation,
+    )
+
+    rows = q230_unimax_allocation(spark, SF_SMALL).collect()
+    n = sum(r.n_tokens for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == n
+    ordered = sorted(rows, key=lambda r: (r.cap_tokens, r.lang))
+    flags = [r.capped for r in ordered]
+    assert flags == sorted(flags, reverse=True)  # capped is a prefix
+    for r in rows:
+        if r.capped:
+            assert r.alloc_tokens == r.cap_tokens
+            assert r.epochs_micro == _UNIMAX_EPOCH_CAP * MICRO
+        else:
+            assert r.alloc_tokens <= r.cap_tokens
+
+    # skewed synthetic corpus: 1 tiny + 1 huge language
+    docs = spark.createDataFrame(
+        [(i, "w " * 100, "big", "s", 200) for i in range(50)]
+        + [(100, "w w w w", "tiny", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.lang: r for r in q230_unimax_allocation(spark, sf).collect()}
+    assert got["tiny"].capped and got["tiny"].alloc_tokens == 8
+    assert not got["big"].capped
+    assert got["big"].alloc_tokens == (5004 - 8)
+    assert got["big"].epochs_micro < MICRO  # under one epoch
+
+
+def test_robots_longest_match_semantics(spark):
+    """REP semantics: the longer Allow overrides the shorter
+    Disallow on the same prefix; an unoverridden Disallow blocks; a
+    length TIE goes to Allow; no match allows."""
+    from synthea_etl_spark.plans.llm21 import (
+        q231_robots_filter,
+        robots_allowed,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = q231_robots_filter(spark, SF_SMALL).collect()
+    for r in rows:
+        h = int(r.host.removeprefix("site").removesuffix(".com"))
+        page = r.path.removeprefix("/p/").removesuffix("/")
+        if page == str(h % 10):
+            assert r.crawlable, r  # Allow /p/X/ overrides Disallow /p/X
+        elif page == str((h + 1) % 10):
+            assert not r.crawlable, r
+        else:
+            assert r.crawlable, r
+    blocked = sum(not r.crawlable for r in rows)
+    assert 0 < blocked < len(rows)
+
+    # tie -> allow; no match -> allow (unit, via the evaluator)
+    probe = spark.createDataFrame(
+        [("/a/b", ["/a/"], ["/a/"]), ("/zz", ["/a/"], ["/b/"])],
+        "path string, allow array<string>, disallow array<string>",
+    ).select(
+        "path",
+        robots_allowed(
+            F.col("path"), F.col("allow"), F.col("disallow")
+        ).alias("ok"),
+    )
+    assert [r.ok for r in probe.orderBy("path").collect()] == [True, True]
