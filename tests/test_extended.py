@@ -201,6 +201,7 @@ def test_no_accidental_cartesian_products(spark):
         "q226_crawl_training_pipeline",  # q225's 1-row phase-budget crossJoins
         "q228_crawl_budget_allocation",  # crossJoin of the 1-row budget totals
         "q229_doremi_reweight",          # q220's 1-row vocab/OOV + 1-row ref-NLL/weight-total crossJoins
+        "q230_unimax_allocation",        # crossJoins of the 1-row budget/cap totals
     }
     bad = []
     for name, fn in ent.queries().items():
