@@ -1044,6 +1044,98 @@ def compaction_watermark(store_path: str) -> int:
         return int(f.read().strip())
 
 
+def _record_flip(store_path: str, upto: int) -> None:
+    """Drop a ``_COMPACTED_UPTO.<upto>`` sidecar right after a
+    watermark publish: its mtime records WHEN the flip to ``upto``
+    happened, so graced GC can judge each superseded generation
+    against the flip that superseded IT rather than the latest flip
+    (round-12 ADVICE: gating every deletion on the latest flip's age
+    makes GC a permanent no-op whenever compaction cadence is faster
+    than the grace — unbounded dir growth). A crash between the
+    watermark replace and this create only loses the sidecar; GC
+    then falls back to the main watermark file's mtime, which is the
+    LATEST flip time — strictly conservative (never deletes early),
+    i.e. exactly the pre-fix behavior for that one generation."""
+    import os
+
+    p = _compaction_watermark_path(store_path) + f".{upto}"
+    with open(p, "w") as f:
+        f.write(str(upto))
+    # a retried compaction re-creates the file; refresh mtime so the
+    # grace is judged from the LAST time this flip was published
+    os.utime(p)
+
+
+def _flip_times(store_path: str) -> dict[int, float]:
+    """{watermark -> flip time} from the ``_COMPACTED_UPTO.<n>``
+    sidecars, with the main watermark file's mtime as a fallback
+    entry for the current watermark when its sidecar is missing
+    (pre-fix stores, or a crash in the publish window)."""
+    import os
+
+    base = _compaction_watermark_path(store_path)
+    prefix = os.path.basename(base) + "."
+    out: dict[int, float] = {}
+    for d in os.listdir(store_path):
+        if d.startswith(prefix):
+            tail = d[len(prefix):]
+            if tail.isdigit():
+                try:
+                    out[int(tail)] = os.path.getmtime(
+                        os.path.join(store_path, d)
+                    )
+                except OSError:
+                    pass
+    wm = compaction_watermark(store_path)
+    if wm >= 0 and wm not in out:
+        try:
+            out[wm] = os.path.getmtime(base)
+        except OSError:
+            pass
+    return out
+
+
+def _superseding_flip(
+    flips: dict[int, float], threshold: int, strict: bool
+) -> tuple[int, float] | None:
+    """The EARLIEST recorded flip that made a dir invisible: smallest
+    watermark n with n > threshold (strict, compacted generations) or
+    n >= threshold (batch partitions). None when no recorded flip
+    supersedes the dir — GC then skips it (conservative: an
+    unrecorded supersession is treated as 'just now')."""
+    best: tuple[int, float] | None = None
+    for n, ts in flips.items():
+        if (n > threshold) if strict else (n >= threshold):
+            if best is None or n < best[0]:
+                best = (n, ts)
+    return best
+
+
+def _gc_flip_sidecars(
+    store_path: str, wm: int, live_flips: set[int]
+) -> None:
+    """Remove flip sidecars no surviving superseded dir is judged by
+    (keep the current watermark's): the sidecars themselves must not
+    become the unbounded-growth vector under fast cadence. Removing a
+    sidecar only ever makes later GC MORE conservative (a dir whose
+    earliest superseding flip went unrecorded is judged by the next
+    recorded one, which is younger)."""
+    import os
+
+    base = _compaction_watermark_path(store_path)
+    prefix = os.path.basename(base) + "."
+    for d in os.listdir(store_path):
+        if d.startswith(prefix):
+            tail = d[len(prefix):]
+            if tail.isdigit():
+                n = int(tail)
+                if n != wm and n not in live_flips:
+                    try:
+                        os.remove(os.path.join(store_path, d))
+                    except OSError:
+                        pass
+
+
 def compact_line_frequency_store(
     spark, store_path: str, upto_batch: int, gc_grace_s: float = 0.0
 ) -> None:
@@ -1149,6 +1241,7 @@ def compact_batch_partitions(
     with open(tmp, "w") as f:
         f.write(str(upto_batch))
     os.replace(tmp, _compaction_watermark_path(store_path))
+    _record_flip(store_path, upto_batch)
     if gc_grace_s == 0:
         gc_batch_partitions(store_path, partition_col, 0.0)
 
@@ -1160,11 +1253,14 @@ def gc_batch_partitions(
     batch partitions (0 <= k <= watermark) and non-current compacted
     partitions (negative, != -(wm+2)). All are already invisible to
     watermark-filtered readers; deletion only reclaims space. The
-    read-grace is judged against the watermark FILE's mtime — the
-    moment the flip superseded these dirs — so ``grace_s`` > longest
-    reader guarantees no in-flight scan loses files under it (dirs
-    superseded by EARLIER flips are judged by the latest flip's time,
-    strictly conservative). Returns the deleted paths."""
+    read-grace is judged PER DIR against the flip that superseded
+    that dir (``_COMPACTED_UPTO.<n>`` sidecar mtimes — round-12
+    ADVICE: judging everything against the LATEST flip makes GC a
+    permanent no-op when compaction cadence outpaces the grace), so
+    ``grace_s`` > longest reader guarantees no in-flight scan loses
+    files under it. An orphan NEXT-generation compacted dir (crash
+    before its watermark publish; never visible to any reader) is
+    judged by its own mtime. Returns the deleted paths."""
     import os
     import shutil
     import time
@@ -1172,23 +1268,42 @@ def gc_batch_partitions(
     wm = compaction_watermark(store_path)
     if wm < 0:
         return []
-    if time.time() - os.path.getmtime(
-        _compaction_watermark_path(store_path)
-    ) < grace_s:
-        return []
+    flips = _flip_times(store_path)
+    now = time.time()
     cur_part = -(wm + 2)
-    deleted = []
+    deleted: list[str] = []
+    live_flips: set[int] = set()
     for d in os.listdir(store_path):
-        if d.startswith(f"{partition_col}="):
-            k = d.split("=", 1)[1]
+        if not d.startswith(f"{partition_col}="):
+            continue
+        k = d.split("=", 1)[1]
+        try:
+            kn = int(k)
+        except ValueError:
+            continue
+        p = os.path.join(store_path, d)
+        if 0 <= kn <= wm:
+            flip = _superseding_flip(flips, kn, strict=False)
+        elif kn < 0 and kn != cur_part:
+            flip = _superseding_flip(flips, -kn - 2, strict=True)
+        else:
+            continue
+        if flip is None:
+            # orphan future generation: never superseded by a flip;
+            # safe once its own write activity has aged past grace
             try:
-                kn = int(k)
-            except ValueError:
+                age_ok = now - os.path.getmtime(p) >= grace_s
+            except OSError:
                 continue
-            if (0 <= kn <= wm) or (kn < 0 and kn != cur_part):
-                p = os.path.join(store_path, d)
+            if age_ok:
                 shutil.rmtree(p)
                 deleted.append(p)
+        elif now - flip[1] >= grace_s:
+            shutil.rmtree(p)
+            deleted.append(p)
+        else:
+            live_flips.add(flip[0])
+    _gc_flip_sidecars(store_path, wm, live_flips)
     return deleted
 
 
@@ -1260,6 +1375,7 @@ def compact_counting_slices(
     with open(tmp, "w") as f:
         f.write(str(upto_batch))
     os.replace(tmp, _compaction_watermark_path(store_path))
+    _record_flip(store_path, upto_batch)
     if gc_grace_s == 0:
         gc_counting_slices(store_path, 0.0)
 
@@ -1268,9 +1384,11 @@ def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:
     """GC superseded dirs of a compacted counting-slice store: folded
     ``batch<k>`` slices (k <= watermark) and non-current
     ``compacted<j>`` partitions (j != watermark) — all invisible to
-    watermark-filtered readers already. Same read-grace contract as
-    :func:`gc_batch_partitions` (grace judged against the watermark
-    file's mtime). Returns the deleted paths."""
+    watermark-filtered readers already. Same per-dir read-grace
+    contract as :func:`gc_batch_partitions` (each dir judged against
+    the flip that superseded IT, via the ``_COMPACTED_UPTO.<n>``
+    sidecars; orphan future generations by their own mtime). Returns
+    the deleted paths."""
     import os
     import shutil
     import time
@@ -1278,24 +1396,43 @@ def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:
     wm = compaction_watermark(store_path)
     if wm < 0:
         return []
-    if time.time() - os.path.getmtime(
-        _compaction_watermark_path(store_path)
-    ) < grace_s:
-        return []
-    deleted = []
+    flips = _flip_times(store_path)
+    now = time.time()
+    deleted: list[str] = []
+    live_flips: set[int] = set()
     for d in os.listdir(store_path):
+        flip = None
+        orphan = False
         if d.startswith("slice_id=batch"):
             k = d.split("slice_id=batch", 1)[1]
-            if k.isdigit() and int(k) <= wm:
-                p = os.path.join(store_path, d)
-                shutil.rmtree(p)
-                deleted.append(p)
+            if not (k.isdigit() and int(k) <= wm):
+                continue
+            flip = _superseding_flip(flips, int(k), strict=False)
         elif d.startswith("slice_id=compacted"):
             k = d.split("slice_id=compacted", 1)[1]
-            if k.isdigit() and int(k) != wm:
-                p = os.path.join(store_path, d)
+            if not (k.isdigit() and int(k) != wm):
+                continue
+            flip = _superseding_flip(flips, int(k), strict=True)
+            orphan = flip is None
+        else:
+            continue
+        p = os.path.join(store_path, d)
+        if flip is None:
+            if not orphan:
+                continue
+            try:
+                age_ok = now - os.path.getmtime(p) >= grace_s
+            except OSError:
+                continue
+            if age_ok:
                 shutil.rmtree(p)
                 deleted.append(p)
+        elif now - flip[1] >= grace_s:
+            shutil.rmtree(p)
+            deleted.append(p)
+        else:
+            live_flips.add(flip[0])
+    _gc_flip_sidecars(store_path, wm, live_flips)
     return deleted
 
 

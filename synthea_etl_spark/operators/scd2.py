@@ -209,47 +209,64 @@ def write_versioned(
 
 def _reserve_version(root: str) -> tuple[str, int]:
     """Atomically reserve the next ``v=<n>`` directory under
-    ``root``: listdir max+1, then ``os.mkdir`` (atomic on POSIX) —
-    on ``FileExistsError`` another publisher won that number, retry
-    with the next. Bounded retries guard against a pathological
-    stampede."""
+    ``root`` WITH its in-flight marker already inside: build a
+    hidden ``.reserve-<uuid>`` temp dir containing ``.INPROGRESS``,
+    then ``os.rename`` it to ``v=<n>`` (atomic on POSIX; fails with
+    ENOTEMPTY when a concurrent publisher won that number — retry
+    with the next). Round-12 ADVICE close: the first cut did
+    ``os.mkdir`` then created the marker, and a concurrent
+    :func:`prune_versions` in that window saw an unmarked
+    non-current dir and could rmtree the fresh reservation; now no
+    observable ``v=<n>`` state ever lacks the marker. The marker
+    itself (round-12 review catch): a part write that outlasts any
+    mtime grace must still be unprunable — file writes land in
+    nested task dirs and never refresh vpath's own mtime.
+    Dot-prefixed, so parquet readers ignore it."""
     import os
+    import shutil
+    import uuid
 
     os.makedirs(root, exist_ok=True)
-    for _ in range(1000):
-        versions = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(root)
-            if d.startswith("v=") and d.split("=", 1)[1].isdigit()
-        ]
-        nxt = max(versions, default=0) + 1
-        vpath = os.path.join(root, f"v={nxt}")
-        try:
-            os.mkdir(vpath)
-        except FileExistsError:
-            continue
-        # in-flight marker (round-12 review catch: a part write that
-        # outlasts any mtime grace must still be unprunable — file
-        # writes land in nested task dirs and never refresh vpath's
-        # own mtime). Dot-prefixed, so parquet readers ignore it.
-        with open(os.path.join(vpath, ".INPROGRESS"), "w") as f:
-            f.write("")
-        return vpath, nxt
+    tmp = os.path.join(root, f".reserve-{uuid.uuid4().hex}")
+    os.mkdir(tmp)
+    with open(os.path.join(tmp, ".INPROGRESS"), "w") as f:
+        f.write("")
+    try:
+        for _ in range(1000):
+            versions = [
+                int(d.split("=", 1)[1])
+                for d in os.listdir(root)
+                if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+            ]
+            nxt = max(versions, default=0) + 1
+            vpath = os.path.join(root, f"v={nxt}")
+            try:
+                os.rename(tmp, vpath)
+            except OSError:
+                # lost the race for this number; retry with the next
+                continue
+            return vpath, nxt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     raise RuntimeError(f"could not reserve a version under {root}")
 
 
 def _flip_current(root: str, n: int) -> None:
     import os
 
-    # publish complete: clear the in-flight marker BEFORE the flip so
-    # a current version never carries one
-    marker = os.path.join(root, f"v={n}", ".INPROGRESS")
-    if os.path.exists(marker):
-        os.remove(marker)
     ptr_tmp = os.path.join(root, f"_CURRENT.tmp{n}")
     with open(ptr_tmp, "w") as f:
         f.write(str(n))
     os.replace(ptr_tmp, os.path.join(root, "_CURRENT"))
+    # clear the in-flight marker only AFTER the flip: an unmarked
+    # dir above _CURRENT would be prunable in the gap (round-12
+    # ADVICE race class). Post-flip the dir is n == cur, which prune
+    # never touches; a crash right here leaves the CURRENT version
+    # carrying a marker — harmless (prune skips current), and once
+    # superseded it is reclaimed via the ``abandon_s`` bound.
+    marker = os.path.join(root, f"v={n}", ".INPROGRESS")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def write_versioned_parts(
@@ -325,6 +342,15 @@ def prune_versions(
         if d.startswith("v=") and d.split("=", 1)[1].isdigit()
     }
     pruned = []
+    # crashed reservations: hidden ``.reserve-<uuid>`` temp dirs that
+    # never got renamed to v=<n> (invisible to readers); reclaim via
+    # the same abandon bound as marked version dirs
+    for d in os.listdir(root):
+        if d.startswith(".reserve-"):
+            p = os.path.join(root, d)
+            if abandon_s is not None and now - os.path.getmtime(p) >= abandon_s:
+                shutil.rmtree(p, ignore_errors=True)
+                pruned.append(p)
     for n, vdir in sorted(versions.items()):
         if n == cur:
             continue

@@ -395,6 +395,13 @@ DRIVER_CERTIFIED = frozenset({
     "q220_bigram_lm_quality", "q221_quality_feature_frame",
     "q222_token_drift_monitor", "q223_site_boilerplate_removal",
     "q224_drift_from_store", "q225_annealing_schedule",
+    # r12 (CORRECTNESS_r12.json 50/50 green -- the composed
+    # crawl->training-set pipeline plus crawl-governance and mixture
+    # allocation queries all landed hash-match rows, closing
+    # certification at 226/226 declared queries)
+    "q226_crawl_training_pipeline", "q227_snapshot_novelty",
+    "q228_crawl_budget_allocation", "q229_doremi_reweight",
+    "q230_unimax_allocation", "q231_robots_filter",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -402,7 +409,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 12
+GATE_ROUND = 13
 
 
 def all_queries() -> dict[str, QuerySpec]:

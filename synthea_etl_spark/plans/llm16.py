@@ -622,6 +622,30 @@ _BLOCK_THRESHOLD = 8
 _BLOCK_JOIN_MIN_K = 64
 
 
+def _wb_alt(words) -> str:
+    """Word-boundary alternation over regex-ESCAPED literal terms
+    (round-12 ADVICE close: unescaped metacharacters silently changed
+    semantics — 'a.b' matched 'aXb'). ``\\b`` is anchored per SIDE,
+    only where the term starts/ends with a word character: after a
+    non-word char like '+' the anchor would INVERT ("c++ " has no
+    boundary between '+' and ' ', so \\bc\\+\\+\\b could never match
+    a space-delimited c++). Works identically in java.util.regex and
+    RE2 (which has no lookarounds — this per-side rule is the
+    RE2-expressible literal-token contract), keeping the JVM and
+    Arrow shapes in parity."""
+    import re
+
+    parts = []
+    for w in words:
+        p = re.escape(w)
+        if re.match(r"\w", w[:1]):
+            p = r"\b" + p
+        if re.match(r"\w", w[-1:]):
+            p = p + r"\b"
+        parts.append(p)
+    return "(" + "|".join(parts) + ")"
+
+
 def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
     """Occurrence count of a category wordlist as ONE alternation
     regex GUARDED by a literal substring gate: `contains` is a plain
@@ -633,14 +657,20 @@ def blocklist_wb_count(words, text_col: str = "text") -> F.Column:
     unguarded alternation 1.25 s, guarded 0.87 s with a 5%-selective
     severe gate — the cheap-gate-then-verify discipline of the
     banded near-dup indexes.) Shared by q217 and the q221 feature
-    frame so the two can never drift apart."""
+    frame so the two can never drift apart.
+
+    Terms are regex-ESCAPED into the alternation (round-12 ADVICE
+    close): a term carrying metacharacters ('c++', 'a.b') must count
+    as a literal token, matching the `contains` gate and the join
+    shape's literal token equality — unescaped it silently became a
+    different pattern, breaking the documented three-shape parity
+    (:func:`_wb_alt` holds the escaping + per-side anchor rule)."""
     gate = None
     for w in words:
         c = F.contains(F.col(text_col), F.lit(w))
         gate = c if gate is None else (gate | c)
-    alt = "|".join(words)
     return (
-        F.when(gate, F.regexp_count(text_col, F.lit(rf"\b({alt})\b")))
+        F.when(gate, F.regexp_count(text_col, F.lit(_wb_alt(words))))
         .otherwise(F.lit(0))
         .cast("long")
     )
@@ -658,8 +688,10 @@ def _blocklist_arrow_counts(severe, mild, text_col: str = "text"):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    alt_s = r"\b(" + "|".join(severe) + r")\b"
-    alt_m = r"\b(" + "|".join(mild) + r")\b"
+    # terms regex-escaped with per-side anchors, same literal-token
+    # contract as blocklist_wb_count (round-12 ADVICE close)
+    alt_s = _wb_alt(severe)
+    alt_m = _wb_alt(mild)
 
     def cnt(s):
         # NULL text counts as zero hits (matching both JVM shapes,

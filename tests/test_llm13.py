@@ -358,6 +358,62 @@ def test_prune_versions_grace_and_inflight_guard(spark, tmp_path):
     ] == ["v=9"]
 
 
+def test_reservation_is_born_marked_and_flip_precedes_unmark(
+    spark, tmp_path
+):
+    """round-12 ADVICE close (reservation race): the v=<n> dir must
+    never be observable WITHOUT its .INPROGRESS marker before it is
+    current — the old mkdir-then-create-marker window let a
+    concurrent prune rmtree a fresh reservation. Now the marker is
+    staged in a hidden .reserve temp dir that is atomically RENAMED
+    to v=<n>, and _flip_current removes the marker only AFTER the
+    pointer flip (an unmarked dir above _CURRENT was equally
+    prunable in the old order)."""
+    import os
+
+    from synthea_etl_spark.operators.scd2 import (
+        _flip_current,
+        _reserve_version,
+        prune_versions,
+        read_current,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "dim")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, val string"), root
+    )
+    # reserve the next version: marker present from birth, no temp
+    # leftovers
+    vpath, nxt = _reserve_version(root)
+    assert os.path.exists(os.path.join(vpath, ".INPROGRESS"))
+    assert not [d for d in os.listdir(root) if d.startswith(".reserve-")]
+    # an aggressive zero-grace prune between reservation and publish
+    # must not touch the reservation (this is the exact ADVICE race)
+    past = __import__("time").time() - 100
+    os.utime(os.path.join(root, "_CURRENT"), (past, past))
+    os.utime(os.path.join(root, "v=1"), (past, past))
+    os.utime(vpath, (past, past))
+    assert prune_versions(root, grace_s=0) == []
+    # publish: data lands, flip makes it current, marker cleared
+    spark.createDataFrame([(2, "b")], "id long, val string").write.mode(
+        "append"
+    ).parquet(vpath)
+    _flip_current(root, nxt)
+    assert read_current(root) == vpath
+    assert not os.path.exists(os.path.join(vpath, ".INPROGRESS"))
+    # a crashed reservation (temp dir that never renamed) is
+    # reclaimed only via the abandon bound
+    crashed = os.path.join(root, ".reserve-deadbeef")
+    os.mkdir(crashed)
+    open(os.path.join(crashed, ".INPROGRESS"), "w").close()
+    os.utime(crashed, (past, past))
+    assert prune_versions(root, grace_s=0) in ([], [os.path.join(root, "v=1")])
+    assert os.path.isdir(crashed)
+    assert crashed in prune_versions(root, grace_s=0, abandon_s=50)
+    assert not os.path.isdir(crashed)
+
+
 def test_write_versioned_parts_publishes_pair_in_one_flip(
     spark, tmp_path
 ):

@@ -15,6 +15,23 @@ import pytest
 from pyspark.sql import functions as F
 
 
+def _backdate_flips(store: str, past: float) -> None:
+    """Backdate the watermark file AND every flip sidecar — since the
+    round-12 ADVICE fix, the graced GC judges each superseded dir
+    against the sidecar of the flip that superseded it, not the main
+    watermark file's mtime."""
+    from synthea_etl_spark.operators.dedup import (
+        _compaction_watermark_path,
+    )
+
+    wmp = _compaction_watermark_path(store)
+    os.utime(wmp, (past, past))
+    base = os.path.basename(wmp) + "."
+    for d in os.listdir(store):
+        if d.startswith(base) and d[len(base):].isdigit():
+            os.utime(os.path.join(store, d), (past, past))
+
+
 def test_gc_grace_defers_counting_slice_deletion(spark, tmp_path):
     """round-11 ADVICE close: compaction with a gc grace leaves the
     just-folded dirs on disk (so a reader whose scan was planned
@@ -63,8 +80,7 @@ def test_gc_grace_defers_counting_slice_deletion(spark, tmp_path):
     assert gc_counting_slices(store, grace_s=3600.0) == []
     # grace elapsed -> gc collects folded batches (compacted stays)
     past = time.time() - 100
-    wmp = _compaction_watermark_path(store)
-    os.utime(wmp, (past, past))
+    _backdate_flips(store, past)
     deleted = gc_counting_slices(store, grace_s=50.0)
     assert sorted(os.path.basename(p) for p in deleted) == [
         "slice_id=batch0",
@@ -111,7 +127,7 @@ def test_gc_grace_defers_batch_partition_deletion(spark, tmp_path):
     assert ids() == want
     assert gc_batch_partitions(store, grace_s=3600.0) == []
     past = time.time() - 100
-    os.utime(_compaction_watermark_path(store), (past, past))
+    _backdate_flips(store, past)
     deleted = gc_batch_partitions(store, grace_s=50.0)
     assert sorted(os.path.basename(p) for p in deleted) == [
         "batch_id=0",
@@ -120,6 +136,71 @@ def test_gc_grace_defers_batch_partition_deletion(spark, tmp_path):
     # current compacted partition -(wm+2) = -3 survives
     assert os.path.isdir(os.path.join(store, "batch_id=-3"))
     assert ids() == want
+
+
+def test_graced_gc_under_fast_compaction_cadence(spark, tmp_path):
+    """round-12 ADVICE (medium): when compaction cadence is faster
+    than the gc grace, the LATEST flip is always younger than the
+    grace — judging every deletion against it made graced GC a
+    permanent no-op (unbounded dir growth). Each superseded
+    generation must be judged against the flip that superseded IT
+    (the per-flip sidecars), so old generations are collected even
+    while the newest flip is fresh."""
+    from synthea_etl_spark.operators.dedup import (
+        _compaction_watermark_path,
+        compact_counting_slices,
+        counting_store_totals,
+        gc_counting_slices,
+    )
+
+    store = str(tmp_path / "store")
+    for b, rows in enumerate([[("a", 1)], [("a", 2)], [("a", 4)]]):
+        (
+            spark.createDataFrame(rows, "k string, n long")
+            .withColumn("slice_id", F.lit(f"batch{b}"))
+            .write.mode("append")
+            .partitionBy("slice_id")
+            .parquet(store)
+        )
+    for upto in (0, 1, 2):
+        compact_counting_slices(
+            spark, store, upto, ["k"], "n", gc_grace_s=3600.0
+        )
+    # fast cadence: flips 0 and 1 happened long ago, flip 2 (and the
+    # main watermark file) is FRESH — the old rule would delete
+    # nothing here, ever
+    past = time.time() - 100
+    wmp = _compaction_watermark_path(store)
+    os.utime(wmp + ".0", (past, past))
+    os.utime(wmp + ".1", (past, past))
+    deleted = sorted(
+        os.path.basename(p) for p in gc_counting_slices(store, grace_s=50.0)
+    )
+    # generations superseded by the AGED flips 0/1 are collected...
+    assert deleted == [
+        "slice_id=batch0",
+        "slice_id=batch1",
+        "slice_id=compacted0",
+    ]
+    # ...while the generation superseded by the FRESH flip 2 is
+    # still deferred, and the current generation untouched
+    assert os.path.isdir(os.path.join(store, "slice_id=compacted1"))
+    assert os.path.isdir(os.path.join(store, "slice_id=batch2"))
+    assert os.path.isdir(os.path.join(store, "slice_id=compacted2"))
+    # drained flips' sidecars are cleaned up; live ones kept
+    assert not os.path.exists(wmp + ".0")
+    assert not os.path.exists(wmp + ".1")
+    assert os.path.exists(wmp + ".2")
+    assert {
+        (r.k, r.n)
+        for r in counting_store_totals(spark, store, ["k"], "n").collect()
+    } == {("a", 7)}
+    # once flip 2 ages too, the remaining superseded generation goes
+    os.utime(wmp + ".2", (past, past))
+    deleted2 = sorted(
+        os.path.basename(p) for p in gc_counting_slices(store, grace_s=50.0)
+    )
+    assert deleted2 == ["slice_id=batch2", "slice_id=compacted1"]
 
 
 def test_prefix_admit_boundary_on_exact_budget_edge(spark):
@@ -244,6 +325,40 @@ def test_blocklist_shapes_agree_and_dispatch(spark):
             ).collect()
         )
         assert big == a, shp
+
+
+def test_blocklist_terms_with_regex_metacharacters_count_literally(
+    spark,
+):
+    """round-12 ADVICE close: blocklist terms are LITERAL tokens.
+    Unescaped, a term like 'a.b' became the pattern a.b (matching
+    'aXb') and 'c++' broke the alternation entirely — diverging from
+    the contains gate and the join shape's token equality. Both
+    regex shapes (JVM alternation, Arrow/RE2) must escape."""
+    from synthea_etl_spark.plans.llm16 import blocklist_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the a.b term appears once"),
+            (2, "aXb must NOT count as the dotted term"),
+            (3, "c++ and c++ twice"),
+            (4, "cxx is not c plus plus"),
+        ],
+        "doc_id long, text string",
+    )
+    for shape in ("alternation", "arrow"):
+        got = {
+            r.doc_id: (r.hits_severe, r.hits_mild)
+            for r in blocklist_scores(
+                docs, severe=("a.b",), mild=("c++",), shape=shape
+            ).collect()
+        }
+        assert got[1] == (1, 0), shape
+        assert got[2] == (0, 0), shape  # aXb is not a literal a.b
+        # trailing '+' is not a word char, so \b after it anchors at
+        # the +/space boundary either way; both occurrences count
+        assert got[3] == (0, 2), shape
+        assert got[4] == (0, 0), shape
 
 
 def test_crawl_pipeline_stage_invariants(spark):
@@ -409,7 +524,7 @@ def test_graced_gc_runs_at_next_compaction(spark, tmp_path):
     # previous flip ages past the grace; the NEXT compaction's
     # leading GC collects the prior generation before folding
     past = time.time() - 100
-    os.utime(_compaction_watermark_path(store), (past, past))
+    _backdate_flips(store, past)
     compact_counting_slices(spark, store, 1, ["k"], "n", gc_grace_s=50)
     assert not os.path.isdir(os.path.join(store, "slice_id=batch0"))
     # the JUST-superseded generation is (correctly) still deferred
