@@ -448,6 +448,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm19,
         llm20,
         llm21,
+        llm22,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -482,6 +483,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm19,
         llm20,
         llm21,
+        llm22,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
