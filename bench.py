@@ -163,6 +163,14 @@ HEADLINE_OPT = [
     "q229_doremi_reweight",
     "q230_unimax_allocation",
     "q231_robots_filter",
+    "q232_turn_structure",
+    "q233_prompt_dedup",
+    "q234_hrw_shards",
+    "q235_memorization_risk",
+    "q236_selective_pruning",
+    "q237_vocab_coverage",
+    "q238_filter_threshold_sweep",
+    "q239_ranking_metrics",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -449,6 +449,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm20,
         llm21,
         llm22,
+        llm23,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -484,6 +485,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm20,
         llm21,
         llm22,
+        llm23,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -1,0 +1,553 @@
+"""Round-13 LLM-pipeline queries, batch 2: token-level data
+selection, tokenizer governance, filter-threshold tuning, and
+retrieval ranking metrics.
+
+- q236 selective LM pruning (RHO-1, Lin et al. 2024: selective
+  language modeling trains only on high-excess-loss tokens): per
+  document, the fraction of bigram positions whose reference-LM NLL
+  exceeds a focus threshold, reusing q220's certified bigram LM and
+  quantization verbatim (one LM, no drift).
+- q237 vocab coverage / OOV: occurrence-weighted coverage of a
+  top-V reference vocabulary per (source, lang) — the tokenizer
+  governance check run before fixing a vocab (Rust et al. 2021 on
+  per-language tokenizer degradation).
+- q238 filter-threshold sweep: the precision/recall table a
+  curation team reads to pick a quality-filter cutoff (FineWeb-Edu
+  ablation practice): positives = docs carrying cross-doc duplicated
+  8-grams (q235's machinery), score = token-uniqueness, cumulative
+  exact PR per bin.
+- q239 retrieval ranking metrics: MRR and NDCG@10 per query over
+  the certified brute-force ranking (Järvelin & Kekäläinen 2002),
+  exact in int64 micro via position-weight dims — completes the
+  similarity family's eval surface (q202/q203 measure candidate
+  recall; this measures ranking quality).
+
+Reference scope: beyond-reference extension surface; methods public
+(RHO-1: Lin et al. 2024; NDCG: Järvelin & Kekäläinen 2002; CCNet
+LM filtering: Wenzek et al. 2019).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.similarity as S
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm17 import (
+    _REF_LT,
+    _REF_MOD,
+    _SQL_DOC_NLL,
+    _doc_bigram_nll,
+)
+
+MICRO = 1_000_000
+
+# q236: bigram positions with NLL above this are "focus" tokens
+# (the hard ~35% at the gate corpus; RHO-1 trains on roughly the
+# hardest third)
+_FOCUS_NLL_MICRO = 3_500_000
+# q237: vocabulary = top-V reference unigrams by occurrence
+_VOCAB_V = 16
+# q238: uniqueness-score bin width (score in [0, 1e6])
+_SWEEP_BIN_MICRO = 100_000
+# q239: fixed query panel + cutoff
+_RANK_QUERIES = 20
+_RANK_K = 10
+
+
+def q236_selective_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-1-style selective-LM token accounting: per document, how
+    many bigram positions exceed the focus-NLL threshold under the
+    q220 reference LM, the focus fraction, and the mean NLL of the
+    focus set (0 when empty). A training pipeline uses this to
+    budget the selective loss mask before rendering shards.
+
+    100 TB shape: inherits _doc_bigram_nll's measured plan verbatim
+    (compact-doc repartition before the explode; ln+quantization
+    only in vocab-sized dims; broadcast probes) and adds ONE per-doc
+    aggregate on the already-established doc_id partitioning — no
+    new exchange over corpus-scale rows."""
+    scored = _doc_bigram_nll(spark, sf_dir)
+    focus = F.col("nll_micro") > _FOCUS_NLL_MICRO
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(focus.cast("long")).cast("long").alias("n_focus"),
+            F.sum(F.when(focus, F.col("nll_micro")).otherwise(0))
+            .cast("long")
+            .alias("_focus_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_focus",
+            F.expr(f"n_focus * {MICRO} div n_bigrams").alias(
+                "focus_frac_micro"
+            ),
+            F.when(F.col("n_focus") > 0, F.expr("_focus_sum div n_focus"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("focus_nll_micro_mean"),
+        )
+    )
+
+
+ORACLE_Q236 = f"""
+WITH {_SQL_DOC_NLL}
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN nll_micro > {_FOCUS_NLL_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_focus,
+       CAST(SUM(CASE WHEN nll_micro > {_FOCUS_NLL_MICRO} THEN 1 ELSE 0 END)
+            * {MICRO} // COUNT(*) AS BIGINT) AS focus_frac_micro,
+       CAST(CASE WHEN SUM(CASE WHEN nll_micro > {_FOCUS_NLL_MICRO}
+                              THEN 1 ELSE 0 END) > 0
+                 THEN SUM(CASE WHEN nll_micro > {_FOCUS_NLL_MICRO}
+                              THEN nll_micro ELSE 0 END)
+                      // SUM(CASE WHEN nll_micro > {_FOCUS_NLL_MICRO}
+                                 THEN 1 ELSE 0 END)
+                 ELSE 0 END AS BIGINT) AS focus_nll_micro_mean
+FROM scored GROUP BY doc_id
+"""
+
+
+def q237_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occurrence-weighted OOV rate per (source, lang) against a
+    top-{16} reference vocabulary (rank by reference-slice count
+    DESC, token ASC): the pre-tokenizer governance report — a
+    source/language whose OOV mass is high will fragment into byte
+    fallbacks and pay a fertility penalty (q198's metric) once the
+    vocab is frozen.
+
+    100 TB shape: the vocabulary is a Heaps-law-bounded unigram dim
+    (one token-keyed aggregate with map-side combine); its top-V cut
+    here is a single window over that dim — swap in
+    util.bucketed_rank (the q228 shape) when the vocab outgrows one
+    task. The corpus stream then explodes once and probes the
+    BROADCAST V-row vocab (V is a chosen constant, safely
+    broadcastable by construction), aggregating straight to the
+    (source, lang) grain with partial aggregation — exchanges:
+    ref-unigram count + the tiny final grain."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "lang", "doc_id", F.explode(T.tokens("text")).alias("t")
+    )
+    ref_counts = (
+        toks.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wv = Window.orderBy(F.col("c").desc(), F.col("t"))
+    vocab = (
+        ref_counts.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= _VOCAB_V)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_occ"),
+            F.sum(F.col("in_vocab").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_occ",
+            "n_oov",
+            F.expr(f"n_oov * {MICRO} div n_occ").alias("oov_micro"),
+        )
+    )
+
+
+ORACLE_Q237 = f"""
+WITH toks AS (
+  SELECT source, lang, doc_id, UNNEST(string_split_regex(trim(text), '\\s+'))
+           AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+ref_counts AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE doc_id % {_REF_MOD} < {_REF_LT}
+  GROUP BY t
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, row_number() OVER (ORDER BY c DESC, t) AS r FROM ref_counts
+  ) WHERE r <= {_VOCAB_V}
+),
+agg AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks LEFT JOIN vocab v USING (t)
+  GROUP BY source, lang
+)
+SELECT source, lang, n_occ, n_oov,
+       CAST(n_oov * {MICRO} // n_occ AS BIGINT) AS oov_micro
+FROM agg
+"""
+
+
+def q238_filter_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-filter threshold sweep: score every document by token
+    uniqueness (distinct tokens / tokens, micro), bin the scores,
+    and report the EXACT cumulative precision/recall of 'drop
+    everything at or below this bin' against the positive class
+    'doc carries a cross-doc duplicated 8-gram' (q235's risk
+    machinery) — the table a curation run reads to pick the cutoff
+    (FineWeb-Edu practice: sweep the classifier threshold, eyeball
+    the PR trade-off, freeze the config).
+
+    100 TB shape: the per-doc score is a zero-shuffle projection
+    (array_distinct on the token array); the positive flag rides
+    q235's fingerprint window; their join is doc_id-keyed; the sweep
+    itself happens on a BIN-sized frame (~11 rows) — cumulative
+    windows there cost nothing. Returns one row per occupied bin:
+    (bin, n_docs, n_pos, cum_docs, cum_pos, precision_micro,
+    recall_micro)."""
+    from synthea_etl_spark.operators.dedup import (
+        _hex_int,
+        exploded_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    scored = (
+        d.filter(T.token_count("text") > 0)
+        .select("doc_id", T.tokens("text").alias("_w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(array_distinct(_w)) * {MICRO} div size(_w)"
+            ).alias("score_micro"),
+        )
+    )
+    grams = (
+        exploded_shingles(
+            d.select("doc_id", "text"), "text", "doc_id", shingle_n=8
+        )
+        .select("doc_id", _hex_int(F.col("s"), 8).alias("fp"))
+        .distinct()
+    )
+    wf = Window.partitionBy("fp")
+    pos = (
+        grams.select(
+            "doc_id", (F.count(F.lit(1)).over(wf) >= 2).alias("risky")
+        )
+        .groupBy("doc_id")
+        .agg(F.max("risky").alias("is_pos"))
+    )
+    per_doc = scored.join(pos, "doc_id", "left").select(
+        F.expr(f"score_micro div {_SWEEP_BIN_MICRO}").alias("bin"),
+        F.coalesce(F.col("is_pos"), F.lit(False)).alias("is_pos"),
+    )
+    bins = per_doc.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("is_pos").cast("long")).cast("long").alias("n_pos"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = bins.agg(F.sum("n_pos").cast("long").alias("_tp"))
+    return (
+        bins.withColumn("cum_docs", F.sum("n_docs").over(wcum).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(wcum).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            "cum_docs",
+            "cum_pos",
+            F.expr(f"cum_pos * {MICRO} div cum_docs").alias(
+                "precision_micro"
+            ),
+            F.when(
+                F.col("_tp") > 0,
+                F.expr(f"cum_pos * {MICRO} div _tp"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
+ORACLE_Q238 = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT doc_id,
+         len(list_distinct(w)) * {MICRO} // len(w) AS score_micro
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+           w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+    FROM toks, LATERAL (
+      SELECT UNNEST(generate_series(1, len(w) - 7)) AS i) u
+    WHERE len(w) >= 8
+  )
+),
+pos AS (
+  SELECT doc_id, MAX(risky) AS is_pos FROM (
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY fp) >= 2 AS risky
+    FROM grams
+  ) GROUP BY doc_id
+),
+per_doc AS (
+  SELECT s.score_micro // {_SWEEP_BIN_MICRO} AS bin,
+         COALESCE(p.is_pos, FALSE) AS is_pos
+  FROM scored s LEFT JOIN pos p USING (doc_id)
+),
+bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM per_doc GROUP BY bin
+),
+cum AS (
+  SELECT *,
+         CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cum_docs,
+         CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cum_pos,
+         CAST((SELECT SUM(n_pos) FROM bins) AS BIGINT) AS tp
+  FROM bins
+)
+SELECT bin, n_docs, n_pos, cum_docs, cum_pos,
+       CAST(cum_pos * {MICRO} // cum_docs AS BIGINT) AS precision_micro,
+       CAST(CASE WHEN tp > 0 THEN cum_pos * {MICRO} // tp ELSE 0 END
+            AS BIGINT) AS recall_micro
+FROM cum
+"""
+
+
+def q239_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval ranking quality over the certified brute-force
+    cosine ranking: per query (vec_id < {20}), MRR and NDCG@{10}
+    with binary relevance = same class label. Exact int64: ranks
+    come from the q37 determinism discipline (sim rounded to 6 dp,
+    id tie-break) and the 1/log2(r+1) position weights are quantized
+    ONCE in a 10-row dim — per-query sums are order-independent.
+    IDCG joins the capped relevant count against the dim's
+    PRE-SUMMED cumulative weight (equi-join; the naive r <= cap form
+    plans a broadcast-nested-loop).
+
+    100 TB shape: the query panel is fixed, so the scoring pass is
+    linear in the corpus (broadcast panel), and every metric
+    aggregate lives on the {20}-row query grain. The production-
+    scale candidate source swaps brute force for the IVF/LSH path
+    (q43/q160) without touching the metric plumbing — this is the
+    EVAL harness, priced like q202/q203."""
+    e = load(spark, sf_dir, "embeddings")
+    topk = S.knn_bruteforce(
+        e, e.filter(F.col("vec_id") < _RANK_QUERIES), k=_RANK_K
+    )
+    labels = e.select("vec_id", "label")
+    # 10-row position-weight dim; w and its running sum both
+    # quantized here, never per result row
+    wdim = (
+        spark.range(1, _RANK_K + 1)
+        .select(F.col("id").cast("long").alias("r"))
+        .select(
+            "r",
+            F.floor(
+                F.round(F.lit(1.0) / F.log2(F.col("r") + 1), 6) * MICRO
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+        .withColumn(
+            "cum_w_micro",
+            F.sum("w_micro")
+            .over(
+                Window.orderBy("r").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long"),
+        )
+    )
+    lbl_n = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_lbl")
+    )
+    qrel = (
+        labels.filter(F.col("vec_id") < _RANK_QUERIES)
+        .join(F.broadcast(lbl_n), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            (F.col("n_lbl") - 1).cast("long").alias("n_rel"),
+        )
+    )
+    scored = (
+        topk.join(
+            F.broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qrel), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            (F.col("label") == F.col("qlabel")).alias("rel"),
+        )
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.min(F.when(F.col("rel"), F.col("rank"))).alias("_first"),
+        F.sum(F.when(F.col("rel"), F.lit(1)).otherwise(0))
+        .cast("long")
+        .alias("n_rel_topk"),
+    )
+    dcg = (
+        scored.filter("rel")
+        .join(F.broadcast(wdim.select("r", "w_micro")), scored.rank == F.col("r"))
+        .groupBy("query_id")
+        .agg(F.sum("w_micro").cast("long").alias("dcg_micro"))
+    )
+    return (
+        qrel.join(per_q, "query_id", "left")
+        .join(dcg, "query_id", "left")
+        .withColumn(
+            "idcg_r", F.least(F.col("n_rel"), F.lit(_RANK_K)).cast("long")
+        )
+        .join(
+            F.broadcast(wdim.select(F.col("r").alias("idcg_r"), "cum_w_micro")),
+            "idcg_r",
+            "left",
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("n_rel_topk"), F.lit(0))
+            .cast("long")
+            .alias("n_rel_topk"),
+            F.coalesce(F.col("_first"), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.when(F.col("_first").isNotNull(), F.expr(f"{MICRO} div _first"))
+            .otherwise(0)
+            .cast("long")
+            .alias("mrr_micro"),
+            F.coalesce(F.col("dcg_micro"), F.lit(0))
+            .cast("long")
+            .alias("dcg_micro"),
+            F.coalesce(F.col("cum_w_micro"), F.lit(0))
+            .cast("long")
+            .alias("idcg_micro"),
+            F.when(
+                F.col("cum_w_micro").isNotNull(),
+                F.expr(f"coalesce(dcg_micro, 0) * {MICRO} div cum_w_micro"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("ndcg_micro"),
+        )
+    )
+
+
+ORACLE_Q239 = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+  FROM embeddings WHERE vec_id < {_RANK_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+  FROM embeddings
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         q.label = c.label AS rel,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC,
+                    neighbor_id) AS rank
+  FROM q, c WHERE neighbor_id <> query_id
+),
+topk AS (SELECT * FROM ranked WHERE rank <= {_RANK_K}),
+wdim AS (
+  SELECT r,
+         CAST(floor(round(1.0 / log2(r + 1), 6) * {MICRO} + 0.5) AS BIGINT)
+           AS w_micro,
+         CAST(SUM(CAST(floor(round(1.0 / log2(r + 1), 6) * {MICRO} + 0.5)
+                  AS BIGINT)) OVER (ORDER BY r) AS BIGINT) AS cum_w_micro
+  FROM (SELECT UNNEST(generate_series(1, {_RANK_K})) AS r)
+),
+lbl_n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_lbl
+          FROM embeddings GROUP BY label),
+qrel AS (
+  SELECT q.query_id, q.label AS qlabel, l.n_lbl - 1 AS n_rel
+  FROM q JOIN lbl_n l ON q.label = l.label
+),
+per_q AS (
+  SELECT query_id,
+         MIN(CASE WHEN rel THEN rank END) AS first_rank,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_topk,
+         CAST(SUM(CASE WHEN rel THEN
+               (SELECT w_micro FROM wdim w WHERE w.r = topk.rank)
+               ELSE 0 END) AS BIGINT) AS dcg_micro
+  FROM topk GROUP BY query_id
+)
+SELECT qr.query_id,
+       CAST(qr.n_rel AS BIGINT) AS n_rel,
+       COALESCE(p.n_rel_topk, 0) AS n_rel_topk,
+       CAST(COALESCE(p.first_rank, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN p.first_rank IS NOT NULL
+                 THEN {MICRO} // p.first_rank ELSE 0 END AS BIGINT)
+         AS mrr_micro,
+       COALESCE(p.dcg_micro, 0) AS dcg_micro,
+       CAST(COALESCE(
+           (SELECT cum_w_micro FROM wdim w
+            WHERE w.r = least(qr.n_rel, {_RANK_K})), 0) AS BIGINT)
+         AS idcg_micro,
+       CAST(CASE WHEN least(qr.n_rel, {_RANK_K}) >= 1
+                 THEN COALESCE(p.dcg_micro, 0) * {MICRO} //
+                      (SELECT cum_w_micro FROM wdim w
+                       WHERE w.r = least(qr.n_rel, {_RANK_K}))
+                 ELSE 0 END AS BIGINT) AS ndcg_micro
+FROM qrel qr LEFT JOIN per_q p USING (query_id)
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q236_selective_pruning": QuerySpec(
+        q236_selective_pruning,
+        ORACLE_Q236,
+        "RHO-1 selective-LM focus-token accounting per doc over the"
+        " q220 reference bigram LM",
+        ("llm", "quality", "curation"),
+    ),
+    "q237_vocab_coverage": QuerySpec(
+        q237_vocab_coverage,
+        ORACLE_Q237,
+        "occurrence-weighted OOV rate per (source, lang) vs a top-V"
+        " reference vocabulary",
+        ("llm", "text", "governance"),
+    ),
+    "q238_filter_threshold_sweep": QuerySpec(
+        q238_filter_threshold_sweep,
+        ORACLE_Q238,
+        "exact cumulative precision/recall sweep for a"
+        " uniqueness-score quality filter vs dup-risk positives",
+        ("llm", "quality", "governance"),
+    ),
+    "q239_ranking_metrics": QuerySpec(
+        q239_ranking_metrics,
+        ORACLE_Q239,
+        "MRR + NDCG@10 per query over the exact cosine ranking,"
+        " int64-exact position weights",
+        ("llm", "similarity", "eval"),
+    ),
+}

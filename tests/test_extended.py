@@ -202,6 +202,9 @@ def test_no_accidental_cartesian_products(spark):
         "q228_crawl_budget_allocation",  # crossJoin of the 1-row budget totals
         "q229_doremi_reweight",          # q220's 1-row vocab/OOV + 1-row ref-NLL/weight-total crossJoins
         "q230_unimax_allocation",        # crossJoins of the 1-row budget/cap totals
+        "q236_selective_pruning",        # q220's 1-row vocab-size / OOV-nll crossJoins
+        "q238_filter_threshold_sweep",   # crossJoin of the 1-row positive total
+        "q239_ranking_metrics",          # q37's broadcast query-panel crossJoin
     }
     bad = []
     for name, fn in ent.queries().items():
