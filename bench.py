@@ -170,6 +170,10 @@ HEADLINE_OPT = [
     "q236_selective_pruning",
     "q237_vocab_coverage",
     "q238_filter_threshold_sweep",
+    # q240 is a verdict-class entry like q224: its wall is dominated
+    # by the in-query store build the gate needs; the production
+    # answering path is store-sized (adjudicated via batch twin q233)
+    "q240_prompt_dedup_from_store",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -1326,27 +1326,45 @@ def batch_watermark_filter(
     return df.filter((col == -(wm + 2)) | (col > wm))
 
 
-def compact_counting_slices(
+def _slice_agg_exprs(aggs: dict[str, str]) -> list:
+    """(col -> fn) spec for mergeable per-slice statistics: 'sum' for
+    additive counts, 'min'/'max' for order statistics — exactly the
+    functions whose per-slice partials re-merge to the corpus value,
+    which is what makes slice stores answer batch queries
+    bit-for-bit."""
+    out = []
+    for col, fn in aggs.items():
+        if fn == "sum":
+            out.append(F.sum(col).cast("long").alias(col))
+        elif fn == "min":
+            out.append(F.min(col).cast("long").alias(col))
+        elif fn == "max":
+            out.append(F.max(col).cast("long").alias(col))
+        else:
+            raise ValueError(f"unmergeable slice aggregate: {col}={fn!r}")
+    return out
+
+
+def compact_agg_slices(
     spark,
     store_path: str,
     upto_batch: int,
     key_cols: list[str],
-    count_col: str,
+    aggs: dict[str, str],
     gc_grace_s: float = 0.0,
 ) -> None:
-    """The line-frequency compactor generalized to ANY additive
-    (keys -> count) slice store (line fingerprints, token
-    distributions, ...): fold ``batch<k>`` slices in
-    (watermark, upto] plus the current ``compacted<wm>`` partition
-    into a re-aggregated ``compacted<upto>`` partition. Identical
-    crash-safety contract to compact_line_frequency_store (versioned
-    partition; publish → atomic watermark → GC; no-op when already
-    folded to this point). ``gc_grace_s``: concurrent-reader grace —
-    see compact_batch_partitions; >0 runs the graced GC BEFORE our
-    own flip (collecting the previous generation once ITS flip has
-    aged past the grace) and defers the just-superseded dirs to the
-    next compaction or an explicit :func:`gc_counting_slices`
-    call."""
+    """The slice compactor generalized to MIXED mergeable aggregates
+    (``aggs`` maps column -> 'sum' | 'min' | 'max'): fold
+    ``batch<k>`` slices in (watermark, upto] plus the current
+    ``compacted<wm>`` partition into a re-aggregated
+    ``compacted<upto>`` partition. Identical crash-safety contract
+    to compact_line_frequency_store (versioned partition; publish →
+    atomic watermark → GC; no-op when already folded to this
+    point). ``gc_grace_s``: concurrent-reader grace — see
+    compact_batch_partitions; >0 runs the graced GC BEFORE our own
+    flip (collecting the previous generation once ITS flip has aged
+    past the grace) and defers the just-superseded dirs to the next
+    compaction or an explicit :func:`gc_counting_slices` call."""
     wm = compaction_watermark(store_path)
     if wm >= upto_batch:
         return
@@ -1360,7 +1378,7 @@ def compact_counting_slices(
     )
     merged = (
         folded.groupBy(*key_cols)
-        .agg(F.sum(count_col).cast("long").alias(count_col))
+        .agg(*_slice_agg_exprs(aggs))
         .withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
     )
     (
@@ -1378,6 +1396,29 @@ def compact_counting_slices(
     _record_flip(store_path, upto_batch)
     if gc_grace_s == 0:
         gc_counting_slices(store_path, 0.0)
+
+
+def compact_counting_slices(
+    spark,
+    store_path: str,
+    upto_batch: int,
+    key_cols: list[str],
+    count_col: str,
+    gc_grace_s: float = 0.0,
+) -> None:
+    """The line-frequency compactor generalized to ANY additive
+    (keys -> count) slice store (line fingerprints, token
+    distributions, ...) — thin wrapper over :func:`compact_agg_slices`
+    with a single SUM aggregate; see there for the crash-safety and
+    grace contract."""
+    compact_agg_slices(
+        spark,
+        store_path,
+        upto_batch,
+        key_cols,
+        {count_col: "sum"},
+        gc_grace_s=gc_grace_s,
+    )
 
 
 def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:
@@ -1436,13 +1477,14 @@ def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:
     return deleted
 
 
-def counting_store_totals(
-    spark, store_path: str, key_cols: list[str], count_col: str
+def agg_store_totals(
+    spark, store_path: str, key_cols: list[str], aggs: dict[str, str]
 ) -> DataFrame:
-    """Watermark-aware totals over an additive counting slice store:
-    sum ``count_col`` per key over the current compacted partition
-    + live batch slices; crash leftovers (folded batch dirs, orphan
-    compacted partitions) stay invisible — the
+    """Watermark-aware totals over a mergeable-aggregate slice store
+    (``aggs`` maps column -> 'sum' | 'min' | 'max', matching
+    :func:`compact_agg_slices`): merge per key over the current
+    compacted partition + live batch slices; crash leftovers (folded
+    batch dirs, orphan compacted partitions) stay invisible — the
     boilerplate_from_store reader contract, generalized."""
     store = spark.read.parquet(store_path)
     wm = compaction_watermark(store_path)
@@ -1454,9 +1496,15 @@ def counting_store_totals(
         )
     else:
         store = store.filter(num != "")
-    return store.groupBy(*key_cols).agg(
-        F.sum(count_col).cast("long").alias(count_col)
-    )
+    return store.groupBy(*key_cols).agg(*_slice_agg_exprs(aggs))
+
+
+def counting_store_totals(
+    spark, store_path: str, key_cols: list[str], count_col: str
+) -> DataFrame:
+    """Watermark-aware totals over an additive counting slice store —
+    :func:`agg_store_totals` with a single SUM."""
+    return agg_store_totals(spark, store_path, key_cols, {count_col: "sum"})
 
 
 # --- token-distribution store (the q222 drift monitor made --------
@@ -1592,4 +1640,79 @@ def drift_from_token_store(
         "n_tokens",
         "kl_micro",
         (F.col("kl_micro") >= threshold_micro).alias("drifted"),
+    )
+
+
+# --- prompt-key cluster store (the q233 SFT dedup made -------------
+# --- operational: per-batch (pkey, n, min_doc) partials; cluster ---
+# --- membership answered from the store without rereading text ----
+
+
+def prompt_key_slice(
+    docs: DataFrame,
+    prompt_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One batch's mergeable prompt-cluster partials: (pkey, n,
+    min_doc) where pkey = md5 of the first ``prompt_tokens``
+    whitespace tokens (the q233 prompt key, bit-identical). SUM(n)
+    and MIN(min_doc) re-merge across slices to the corpus cluster
+    size and representative because both are mergeable partials —
+    the property compact_agg_slices and agg_store_totals rely on.
+    Empty-prompt (zero-token) docs are excluded, matching q233."""
+    prompt = F.concat_ws(" ", F.slice(tokens(text_col), 1, prompt_tokens))
+    return (
+        docs.filter(F.size(tokens(text_col)) > 0)
+        .select(F.md5(prompt).alias("pkey"), F.col(id_col))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min(id_col).cast("long").alias("min_doc"),
+        )
+    )
+
+
+PROMPT_KEY_AGGS = {"n": "sum", "min_doc": "min"}
+
+
+def prompt_key_store(
+    docs: DataFrame,
+    store_path: str,
+    slice_id: str,
+    prompt_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Publish one batch's prompt-cluster slice (same naming +
+    idempotent dynamic-overwrite contract as line_frequency_store;
+    compact with compact_agg_slices(keys=['pkey'],
+    aggs=PROMPT_KEY_AGGS))."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            f"prompt_key_store slice_id must be 'batch<k>' (got {slice_id!r})"
+        )
+    (
+        prompt_key_slice(docs, prompt_tokens, text_col, id_col)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def prompt_clusters_from_store(spark, store_path: str) -> DataFrame:
+    """Cluster-level view of the prompt-key store, watermark-aware:
+    (pkey, cluster_n, rep_doc_id) = (SUM n, MIN min_doc) over the
+    current compacted partition + live slices — store-sized
+    arithmetic; the corpus text was read once, at ingest."""
+    return agg_store_totals(
+        spark, store_path, ["pkey"], PROMPT_KEY_AGGS
+    ).select(
+        "pkey",
+        F.col("n").alias("cluster_n"),
+        F.col("min_doc").alias("rep_doc_id"),
     )

@@ -766,3 +766,46 @@ def token_stats_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def prompt_key_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the PROMPT-KEY CLUSTER store — the
+    ninth stream-maintained artifact family, making the q233 SFT
+    prompt dedup operational: each micro-batch publishes only its
+    own (pkey, n, min_doc) partials as one slice partition
+    (operators/dedup.prompt_key_store — dynamic overwrite,
+    replay-idempotent). Both statistics are MERGEABLE (sum / min),
+    so ``dedup.prompt_clusters_from_store`` answers cluster sizes
+    and representatives from store-sized arithmetic without
+    rereading any text, and ``dedup.compact_agg_slices(keys=
+    ['pkey'], aggs=PROMPT_KEY_AGGS)`` folds old slices under the
+    standard crash-safe watermark contract. Same checkpoint-loss
+    caveat as every batch_id-keyed skip: the store and its
+    checkpoint are one integrity domain."""
+    from synthea_etl_spark.operators.dedup import (
+        compaction_watermark,
+        prompt_key_store,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= compaction_watermark(store_dir):
+            return
+        prompt_key_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

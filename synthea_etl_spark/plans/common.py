@@ -450,6 +450,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm21,
         llm22,
         llm23,
+        llm24,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -486,6 +487,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm21,
         llm22,
         llm23,
+        llm24,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
