@@ -174,6 +174,9 @@ HEADLINE_OPT = [
     # by the in-query store build the gate needs; the production
     # answering path is store-sized (adjudicated via batch twin q233)
     "q240_prompt_dedup_from_store",
+    "q241_ngram_saturation",
+    "q242_packing_efficiency",
+    "q243_politeness_capacity",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

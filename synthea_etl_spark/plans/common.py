@@ -451,6 +451,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm22,
         llm23,
         llm24,
+        llm25,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -488,6 +489,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm22,
         llm23,
         llm24,
+        llm25,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

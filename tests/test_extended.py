@@ -205,6 +205,7 @@ def test_no_accidental_cartesian_products(spark):
         "q236_selective_pruning",        # q220's 1-row vocab-size / OOV-nll crossJoins
         "q238_filter_threshold_sweep",   # crossJoin of the 1-row positive total
         "q239_ranking_metrics",          # q37's broadcast query-panel crossJoin
+        "q241_ngram_saturation",         # crossJoin of the 1-row max-id frame
     }
     bad = []
     for name, fn in ent.queries().items():
