@@ -1059,11 +1059,11 @@ def _record_flip(store_path: str, upto: int) -> None:
     import os
 
     p = _compaction_watermark_path(store_path) + f".{upto}"
+    # open() sets the mtime; a same-upto re-publish cannot occur (the
+    # compactors' `wm >= upto_batch` guard returns before re-running
+    # this), so no refresh logic is needed here
     with open(p, "w") as f:
         f.write(str(upto))
-    # a retried compaction re-creates the file; refresh mtime so the
-    # grace is judged from the LAST time this flip was published
-    os.utime(p)
 
 
 def _flip_times(store_path: str) -> dict[int, float]:
@@ -1648,9 +1648,18 @@ def drift_from_token_store(
 # --- membership answered from the store without rereading text ----
 
 
+# THE prompt-key length — the store family's contract constant.
+# Every producer (batch q233/q240, the ingest stream, the drive
+# tool) derives from this one name (round-13 review: the stream
+# defaulting to an independent literal 8 meant a q233-side change
+# would silently desync the stream-maintained store from the gated
+# query).
+PROMPT_KEY_TOKENS = 8
+
+
 def prompt_key_slice(
     docs: DataFrame,
-    prompt_tokens: int = 8,
+    prompt_tokens: int = PROMPT_KEY_TOKENS,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -1680,7 +1689,7 @@ def prompt_key_store(
     docs: DataFrame,
     store_path: str,
     slice_id: str,
-    prompt_tokens: int = 8,
+    prompt_tokens: int = PROMPT_KEY_TOKENS,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:

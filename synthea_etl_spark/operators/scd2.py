@@ -242,9 +242,17 @@ def _reserve_version(root: str) -> tuple[str, int]:
             vpath = os.path.join(root, f"v={nxt}")
             try:
                 os.rename(tmp, vpath)
-            except OSError:
-                # lost the race for this number; retry with the next
-                continue
+            except OSError as e:
+                # ONLY the lost-the-race errnos retry (round-13
+                # review: a bare catch swallowed persistent failures
+                # — EACCES on a read-only root, ENOENT after an
+                # aggressive abandon reclaimed the live temp dir —
+                # into 1000 futile retries masking the real error)
+                import errno
+
+                if e.errno in (errno.ENOTEMPTY, errno.EEXIST):
+                    continue
+                raise
             return vpath, nxt
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

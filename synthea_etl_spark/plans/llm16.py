@@ -632,15 +632,25 @@ def _wb_alt(words) -> str:
     a space-delimited c++). Works identically in java.util.regex and
     RE2 (which has no lookarounds — this per-side rule is the
     RE2-expressible literal-token contract), keeping the JVM and
-    Arrow shapes in parity."""
+    Arrow shapes in parity.
+
+    The anchor decision tests ASCII word characters ONLY (round-13
+    review): both target engines treat ``\\b``/``\\w`` as ASCII —
+    RE2's default and java.util.regex without
+    UNICODE_CHARACTER_CLASS — while Python's ``\\w`` is Unicode, so
+    deciding with Python's class would anchor 'über' as
+    ``\\büber\\b``, a pattern neither engine can ever match at a
+    space boundary (silent permanent undercount). A non-ASCII edge
+    gets no anchor on that side: substring-at-edges counting,
+    identical in both regex shapes."""
     import re
 
     parts = []
     for w in words:
         p = re.escape(w)
-        if re.match(r"\w", w[:1]):
+        if re.match(r"[A-Za-z0-9_]", w[:1]):
             p = r"\b" + p
-        if re.match(r"\w", w[-1:]):
+        if re.match(r"[A-Za-z0-9_]", w[-1:]):
             p = p + r"\b"
         parts.append(p)
     return "(" + "|".join(parts) + ")"
@@ -748,15 +758,30 @@ def blocklist_scores(
     - ``jvm``: auto-pick between the two JVM shapes at the measured
       ``_BLOCK_JOIN_MIN_K`` crossover.
 
-    All three count word-boundary occurrences, equal to token
-    equality on a whitespace-tokenized corpus (parity pinned in
-    tests; the q217 hash gate cross-checks arrow/RE2 against
-    DuckDB's RE2 on every row)."""
+    PARITY CONTRACT (round-13 review tightened the claim): the two
+    REGEX shapes (arrow, alternation) are bit-identical for EVERY
+    wordlist — both use :func:`_wb_alt`. The join shape equals them
+    only for terms that are pure ASCII word tokens on a
+    whitespace-tokenized corpus; a term with a non-word edge counts
+    differently by construction (regex: per-side-anchored substring
+    occurrences, e.g. 'c++' matches inside 'c++17'; join: whole-token
+    equality, so it does not). The ``jvm`` auto-dispatch therefore
+    only flips to the join when every term is a pure word token —
+    growing a metacharacter-bearing list past the crossover must not
+    silently change counts; such lists stay on the alternation (or
+    pick ``join`` explicitly to choose token semantics)."""
+    import re as _re
+
     if shape is None:
         shape = "arrow"
     if shape == "jvm":
         k = len(severe) + len(mild)
-        shape = "join" if k >= _BLOCK_JOIN_MIN_K else "alternation"
+        pure_tokens = all(
+            _re.fullmatch(r"[A-Za-z0-9_]+", w) for w in (*severe, *mild)
+        )
+        shape = (
+            "join" if (k >= _BLOCK_JOIN_MIN_K and pure_tokens) else "alternation"
+        )
     if shape == "arrow":
         c = _blocklist_arrow_counts(severe, mild)
         n_sev = c.getField("hs")
@@ -833,12 +858,19 @@ def q217_blocklist_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_scores(docs)
 
 
-_SQL_WB = (
-    f"len(regexp_extract_all(text, '\\b({'|'.join(_BLOCK_SEVERE)})\\b'))"
-)
-_SQL_WB_MILD = (
-    f"len(regexp_extract_all(text, '\\b({'|'.join(_BLOCK_MILD)})\\b'))"
-)
+# oracle twins share _wb_alt (round-13 review: the round-12 escaping
+# fix originally reached only the query side, so any wordlist change
+# beyond the current ASCII terms would have broken the gate instead
+# of being covered by it). DuckDB regular string literals do not
+# process backslashes, so the pattern interpolates verbatim; embedded
+# single quotes are SQL-doubled.
+def _sql_wb(words) -> str:
+    pat = _wb_alt(words).replace("'", "''")
+    return f"len(regexp_extract_all(text, '{pat}'))"
+
+
+_SQL_WB = _sql_wb(_BLOCK_SEVERE)
+_SQL_WB_MILD = _sql_wb(_BLOCK_MILD)
 
 ORACLE_Q217 = f"""
 WITH t AS (

@@ -34,16 +34,24 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import synthea_etl_spark.operators.text as T
-from synthea_etl_spark.operators.dedup import _hex_int, exploded_shingles
+from synthea_etl_spark.operators.dedup import (
+    PROMPT_KEY_TOKENS,
+    _hex_int,
+    exploded_shingles,
+)
 from synthea_etl_spark.plans.common import QuerySpec, load
 
 MICRO = 1_000_000
 
 # conversation derivation: fixed-width turns over the token stream,
-# roles alternating user/assistant starting at user
-_TURN_TOKENS = 8
-# q233: the prompt key is the first turn's tokens
-_PROMPT_TOKENS = _TURN_TOKENS
+# roles alternating user/assistant starting at user. The turn width
+# IS the prompt-key length (the prompt is the first turn), and the
+# prompt-key length is the STORE family's contract constant — one
+# name, so the q233 batch query, q240's store path, and
+# pipeline.prompt_key_ingest_stream can never disagree (round-13
+# review close).
+_TURN_TOKENS = PROMPT_KEY_TOKENS
+_PROMPT_TOKENS = PROMPT_KEY_TOKENS
 # q234: fetcher fleet size and the shard whose failure we replay
 _HRW_SHARDS = 8
 _HRW_FAILED = 3
@@ -81,7 +89,6 @@ def q232_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen."""
     d = load(spark, sf_dir, "documents")
     w = T.tokens("text")
-    n = F.size(w).cast("long")
     n_turns = F.expr(f"(size(_w) + {_TURN_TOKENS - 1}) div {_TURN_TOKENS}")
     n_user = (
         F.expr(f"(size(_w) div {2 * _TURN_TOKENS}) * {_TURN_TOKENS}")

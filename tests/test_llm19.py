@@ -343,6 +343,7 @@ def test_blocklist_terms_with_regex_metacharacters_count_literally(
             (2, "aXb must NOT count as the dotted term"),
             (3, "c++ and c++ twice"),
             (4, "cxx is not c plus plus"),
+            (5, "ein über beispiel mit über zwei treffern"),
         ],
         "doc_id long, text string",
     )
@@ -350,7 +351,7 @@ def test_blocklist_terms_with_regex_metacharacters_count_literally(
         got = {
             r.doc_id: (r.hits_severe, r.hits_mild)
             for r in blocklist_scores(
-                docs, severe=("a.b",), mild=("c++",), shape=shape
+                docs, severe=("a.b", "über"), mild=("c++",), shape=shape
             ).collect()
         }
         assert got[1] == (1, 0), shape
@@ -359,6 +360,10 @@ def test_blocklist_terms_with_regex_metacharacters_count_literally(
         # the +/space boundary either way; both occurrences count
         assert got[3] == (0, 2), shape
         assert got[4] == (0, 0), shape
+        # round-13 review close: both engines' \b is ASCII, so a
+        # non-ASCII term must NOT be anchored with Python's Unicode
+        # \w — anchored, it could never match and silently counted 0
+        assert got[5] == (2, 0), shape
 
 
 def test_crawl_pipeline_stage_invariants(spark):
