@@ -177,6 +177,8 @@ HEADLINE_OPT = [
     "q241_ngram_saturation",
     "q242_packing_efficiency",
     "q243_politeness_capacity",
+    "q244_dedup_axis_funnel",
+    "q245_lsh_operating_curve",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -452,6 +452,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm23,
         llm24,
         llm25,
+        llm26,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -490,6 +491,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm23,
         llm24,
         llm25,
+        llm26,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
