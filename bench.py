@@ -179,6 +179,12 @@ HEADLINE_OPT = [
     "q243_politeness_capacity",
     "q244_dedup_axis_funnel",
     "q245_lsh_operating_curve",
+    "q246_char_entropy_quality",
+    "q247_pii_luhn_audit",
+    "q248_script_mix_audit",
+    "q249_lsh_verified_pairs",
+    "q250_ppl_rules_calibration",
+    "q251_dup_weighted_budget",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -453,6 +453,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm24,
         llm25,
         llm26,
+        llm27,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -492,6 +493,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm24,
         llm25,
         llm26,
+        llm27,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
