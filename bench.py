@@ -185,6 +185,9 @@ HEADLINE_OPT = [
     "q249_lsh_verified_pairs",
     "q250_ppl_rules_calibration",
     "q251_dup_weighted_budget",
+    "q252_hard_negatives",
+    "q253_cdc_chunk_dedup",
+    "q254_bootstrap_ci",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

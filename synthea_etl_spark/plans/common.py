@@ -454,6 +454,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm25,
         llm26,
         llm27,
+        llm28,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -494,6 +495,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm25,
         llm26,
         llm27,
+        llm28,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

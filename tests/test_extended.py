@@ -206,6 +206,9 @@ def test_no_accidental_cartesian_products(spark):
         "q238_filter_threshold_sweep",   # crossJoin of the 1-row positive total
         "q239_ranking_metrics",          # q37's broadcast query-panel crossJoin
         "q241_ngram_saturation",         # crossJoin of the 1-row max-id frame
+        "q250_ppl_rules_calibration",    # q220's 1-row crossJoins + the 1-row base-rate frame
+        "q252_hard_negatives",           # bm25_topk's 1-row corpus-stats crossJoin
+        "q254_bootstrap_ci",             # crossJoin of the 1-row point estimate x 1-row bounds
     }
     bad = []
     for name, fn in ent.queries().items():
