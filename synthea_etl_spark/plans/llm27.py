@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.operators.util import rebalance_by_key
 from synthea_etl_spark.plans.common import QuerySpec, load
 from synthea_etl_spark.plans.llm import _sql_minhash_oracle
 from synthea_etl_spark.plans.llm16 import ORACLE_Q213, q213_c4_line_filters
@@ -85,63 +86,113 @@ def _qterm(k: str) -> str:
     )
 
 
+def _char_hist_arrow(text_col: str = "text") -> F.Column:
+    """Per-doc character histogram COUNTS as array<long> via one
+    Arrow pass: utf-32 reinterpret + np.unique per document. Only
+    exact integer counts leave Python — every transcendental
+    (ln, round, quantize) stays JVM-side so the cross-engine
+    quantization contract is byte-identical to the pure-JVM shapes.
+    The deliberate-Arrow-stage class of q217/q184: per-char work in
+    the JVM allocates a UTF8String object per character (measured:
+    struct-fold 8.3x DuckDB at sf1, boundary/run-length lambdas
+    7.8x — HOF lambdas evaluate interpreted per element — char
+    explode + hash-aggregate 3.9x; this pass 1.6x, 0.73x once the
+    narrow scan is rebalanced to full parallelism)."""
+    import numpy as np
+    import pandas as pd
+
+    def hist(s):
+        out = []
+        for t in s:
+            if t is None or len(t) == 0:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            out.append(np.unique(a, return_counts=True)[1].astype(np.int64))
+        return pd.Series(out)
+
+    hist.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(hist, "array<long>")
+    return udf(F.col(text_col))
+
+
 def q246_char_entropy_quality(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, shape: str | None = None
 ) -> DataFrame:
     """Per-doc character-distribution quality: Shannon entropy in
     nats (int64 micro), top-character fraction, distinct character
     count, and the two rule flags. H = ln(N) - (1/N) * sum over
     distinct chars of k*ln(k); each k*ln(k) term is quantized once
-    per run, so the per-doc sum is order-independent int64 and the
-    division is exact integer arithmetic (engine == oracle
-    bit-for-bit).
+    per histogram count, so the per-doc sum is order-independent
+    int64 and the division is exact integer arithmetic (engine ==
+    oracle bit-for-bit).
 
-    100 TB shape: ZERO shuffles — the char histogram never leaves
-    the row. array_sort(split(text, '')) turns the doc into sorted
-    chars and one aggregate() lambda walks it accumulating run
-    lengths (pure codegen, no explode, no (doc, char) grain
-    anywhere). The alternative char-grain explode + two aggregates
-    would shuffle the entire corpus byte stream twice."""
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    walk = f"""
-aggregate(
-  array_sort(split(text, '')),
-  struct(CAST('' AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
-         CAST(0 AS BIGINT) AS acc, CAST(0 AS BIGINT) AS top,
-         CAST(0 AS BIGINT) AS n_distinct),
-  (a, c) -> IF(c = a.prev,
-     struct(a.prev AS prev, a.run + CAST(1 AS BIGINT) AS run,
-            a.acc AS acc, greatest(a.top, a.run + 1) AS top,
-            a.n_distinct AS n_distinct),
-     struct(c AS prev, CAST(1 AS BIGINT) AS run,
-            a.acc + ({_qterm('a.run')}) AS acc,
-            greatest(a.top, CAST(1 AS BIGINT)) AS top,
-            a.n_distinct + 1 AS n_distinct)),
-  a -> struct(a.prev AS prev, a.run AS run,
-              a.acc + ({_qterm('a.run')}) AS acc, a.top AS top,
-              a.n_distinct AS n_distinct)
-)
-"""
-    n = F.length("text").cast("long")
-    stats = d.select(
+    100 TB shape (shape='arrow', default): ZERO shuffles — one
+    Arrow stage turns each doc into its integer char-histogram
+    (:func:`_char_hist_arrow`, ladder in its docstring), and the
+    k*ln(k) fold runs JVM-side over the alphabet-sized count array.
+    shape='explode' keeps the all-JVM fallback: char explode +
+    partial-aggregating (doc, char) histogram groupBy (only
+    histogram-sized rows cross the shuffle) — correct at any scale,
+    3.9x DuckDB at sf1 purely on per-char UTF8String churn. Both
+    shapes rebalance the narrow scan by doc_id first (a small-file
+    documents scan plans ~2 input partitions; one compacting
+    repartition of the compact text buys full-core parallelism for
+    the per-doc work — the q220 pre-explode discipline)."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents").filter(F.length("text") > 0),
         "doc_id",
-        "source",
-        n.alias("n_chars_counted"),
-        F.expr(walk).alias("_w"),
-    ).select(
+    )
+    n = F.length("text").cast("long")
+    if shape == "explode":
+        hist = (
+            d.select(
+                "doc_id",
+                "source",
+                n.alias("n_chars_counted"),
+                F.explode(F.split("text", "")).alias("_c"),
+            )
+            .groupBy("doc_id", "source", "n_chars_counted", "_c")
+            .agg(F.count("*").cast("long").alias("_k"))
+        )
+        per_doc = hist.groupBy("doc_id", "source", "n_chars_counted").agg(
+            F.count("*").cast("long").alias("distinct_chars"),
+            F.sum(F.expr(_qterm("_k"))).cast("long").alias("_st"),
+            F.max("_k").alias("_top"),
+        )
+    else:
+        per_doc = d.select(
+            "doc_id",
+            "source",
+            n.alias("n_chars_counted"),
+            _char_hist_arrow("text").alias("_cnt"),
+        ).select(
+            "doc_id",
+            "source",
+            "n_chars_counted",
+            F.expr("CAST(size(_cnt) AS BIGINT)").alias("distinct_chars"),
+            F.expr(
+                f"aggregate(_cnt, CAST(0 AS BIGINT),"
+                f" (acc, _k) -> acc + ({_qterm('_k')}))"
+            ).alias("_st"),
+            F.array_max("_cnt").alias("_top"),
+        )
+    stats = per_doc.select(
         "doc_id",
         "source",
         "n_chars_counted",
-        F.col("_w.n_distinct").alias("distinct_chars"),
+        "distinct_chars",
         (
             F.floor(
-                F.round(F.log(F.col("n_chars_counted").cast("double")), 6)
+                F.round(
+                    F.log(F.col("n_chars_counted").cast("double")), 6
+                )
                 * MICRO
                 + F.lit(0.5)
             ).cast("long")
-            - F.expr("_w.acc div n_chars_counted")
+            - F.expr("_st div n_chars_counted")
         ).alias("entropy_micro"),
-        F.expr(f"_w.top * {MICRO} div n_chars_counted").alias(
+        F.expr(f"_top * {MICRO} div n_chars_counted").alias(
             "top_char_micro"
         ),
     )
@@ -211,6 +262,25 @@ aggregate(sequence(1, {n}), CAST(0 AS BIGINT), (acc, i) -> acc +
 """
 
 
+def _luhn_unrolled_valid(card19: str) -> str:
+    """SQL fragment (Spark dialect): Luhn validity of ONE dashed
+    4-4-4-4 card string as a fully UNROLLED 16-term sum — straight
+    whole-stage codegen, no lambda (a fold inside a higher-order
+    function evaluates interpreted per element; unrolling the
+    single-card common case cut the q247 validation stage ~4x). The
+    dash layout is fixed by the candidate regex, so digit j sits at
+    char position j + (j-1) div 4."""
+    terms = []
+    for j in range(1, 17):
+        pos = j + (j - 1) // 4
+        d = f"CAST(substring({card19}, {pos}, 1) AS INT)"
+        if j % 2 == 1:
+            terms.append(f"IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ") % 10 = 0"
+
+
 def _luhn_sum_duck(s: str, n: int) -> str:
     """Same Luhn sum, DuckDB list dialect."""
     return f"""
@@ -240,7 +310,9 @@ def q247_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — extraction, separator stripping, and the Luhn
     fold are all per-row codegen (regexp_extract_all + one
     aggregate() lambda over 16 digits; no UDF, no explode)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "source", "text")
     payload = F.expr(
         "substring(translate(md5(concat('card', CAST(doc_id AS STRING))),"
         " 'abcdef', '012345'), 1, 15)"
@@ -290,14 +362,25 @@ def q247_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_cards = synth.withColumn(
         "_cards", F.regexp_extract_all("page", F.lit(_CARD_RE), 0)
     )
-    luhn_ok = F.expr(
+    # <=1 card per doc is the overwhelming case: validate it with the
+    # unrolled codegen expression; only multi-card docs pay the
+    # general interpreted fold
+    luhn_fold = F.expr(
         f"size(filter(transform(_cards, c -> replace(c, '-', '')),"
         f" s -> ({_luhn_sum_spark('s', 16)}) % 10 = 0))"
+    )
+    luhn_one = F.expr(
+        f"IF({_luhn_unrolled_valid('element_at(_cards, 1)')}, 1, 0)"
+    )
+    n_valid = (
+        F.when(F.size("_cards") == 0, F.lit(0))
+        .when(F.size("_cards") == 1, luhn_one)
+        .otherwise(luhn_fold)
     )
     per_doc = with_cards.select(
         "source",
         F.size("_cards").alias("_n_cand"),
-        luhn_ok.alias("_n_valid"),
+        n_valid.alias("_n_valid"),
     )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -383,7 +466,9 @@ def q248_script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     script counts are length-difference expressions and the
     mixed-token probe is one filter() lambda over the token array,
     all per-row codegen."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "source", "text")
     synth = d.select(
         "doc_id",
         "source",
@@ -488,10 +573,14 @@ def q249_lsh_verified_pairs(
     equi-join — bounded and tiny next to the corpus; the two text
     fetches are doc_id-keyed hash joins against the (doc_id, text)
     projection; Levenshtein runs per candidate pair only (never all
-    pairs). At production scale the threshold form
-    F.levenshtein(a, b, t) early-exits the DP at band distance t —
-    not used here only because the oracle must run the identical
-    unbounded expression."""
+    pairs), in the THRESHOLD form levenshtein(a, b, floor(mx/2)) —
+    the DP early-exits once the distance provably exceeds the keep
+    bound, which is EXACTLY the sim >= 0.5 predicate ((mx-d)*1e6
+    div mx >= 500000 <=> d <= floor(mx/2)), so the result set is
+    identical to the oracle's unbounded expression while the DP
+    computes only the width-(2t+1) diagonal band and abandons far
+    pairs early (~2x on near pairs, more on band false
+    positives)."""
     from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
 
     pairs = q33_minhash_lsh_candidates(spark, sf_dir)
@@ -506,12 +595,17 @@ def q249_lsh_verified_pairs(
     scored = j.select(
         "id_a",
         "id_b",
-        F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
+        F.expr(
+            "levenshtein(_ta, _tb, CAST(floor(greatest(length(_ta),"
+            " length(_tb)) / 2) AS INT))"
+        )
+        .cast("long")
+        .alias("edit_dist"),
         F.greatest(F.length("_ta"), F.length("_tb"))
         .cast("long")
         .alias("_mx"),
     )
-    out = scored.select(
+    out = scored.filter(F.col("edit_dist") >= 0).select(
         "id_a",
         "id_b",
         "edit_dist",

@@ -167,29 +167,50 @@ def q253_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain; then ONE fingerprint-keyed window pass (the q244 span-
     axis shape) and a source-sized aggregate. No (doc, token) grain
     ever shuffles."""
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
     d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.length(F.trim("text")) > 0)
+        rebalance_by_key(
+            load(spark, sf_dir, "documents").filter(
+                F.length(F.trim("text")) > 0
+            ),
+            "doc_id",
+        )
         .select("doc_id", "source", T.tokens("text").alias("_w"))
+        # per-TOKEN hash ints, hoisted: n short-string md5s per doc.
+        # The boundary then combines the trailing 3 by a rolling
+        # polynomial — the gear-CDC structure (per-unit table lookup
+        # + window combine). The first cut md5'd the concatenated
+        # 3-gram at every position: 3x the hashed bytes plus a
+        # slice+concat allocation per position (sf1 ladder: 14.7 s
+        # inline-twice -> 10.1 s hoisted -> 5.4 s per-token-hash ->
+        # 1.1 s once rebalance_by_key lifts the 2-partition scan to
+        # full parallelism)
+        .withColumn(
+            "_h",
+            F.expr(
+                "transform(_w, t -> CAST(conv(substring(md5(t), 1, 8),"
+                " 16, 10) AS BIGINT))"
+            ),
+        )
     )
     hv = (
-        f"CAST(conv(substring(md5(concat_ws(' ',"
-        f" slice(_w, i - {_CDC_GRAM - 1}, {_CDC_GRAM}))), 1, 8), 16, 10)"
-        f" AS BIGINT)"
+        "element_at(_h, i - 2) * 961 + element_at(_h, i - 1) * 31"
+        " + element_at(_h, i)"
     )
     # guard: sequence(1, n) then i >= GRAM (a bare sequence(GRAM, n)
     # DESCENDS when n < GRAM in Spark — short docs must yield zero
-    # boundaries, one whole-doc chunk)
+    # boundaries, one whole-doc chunk). The boundary list is HOISTED
+    # to a column: it feeds both the start and the end list.
     bpos = (
         f"filter(sequence(1, size(_w)),"
         f" i -> i >= {_CDC_GRAM} AND ({hv}) % {_CDC_DIV} = 0)"
     )
-    chunks_expr = f"""
+    chunks_expr = """
 transform(
   zip_with(
-    concat(array(CAST(1 AS INT)),
-           transform({bpos}, p -> CAST(p + 1 AS INT))),
-    concat(transform({bpos}, p -> CAST(p AS INT)),
+    concat(array(CAST(1 AS INT)), transform(_bp, p -> CAST(p + 1 AS INT))),
+    concat(transform(_bp, p -> CAST(p AS INT)),
            array(CAST(size(_w) AS INT))),
     (s, e) -> struct(s AS s, e - s + 1 AS n)),
   c -> struct(concat_ws(' ', slice(_w, c.s, c.n)) AS txt, c.n AS n))
@@ -197,7 +218,8 @@ transform(
     # a trailing boundary at the last token yields an empty final
     # span (start = size+1, n = 0) — dropped by the n > 0 filter
     chunked = (
-        d.select(
+        d.withColumn("_bp", F.expr(bpos))
+        .select(
             "doc_id",
             "source",
             F.posexplode(F.expr(chunks_expr)).alias("ci", "c"),
@@ -235,14 +257,17 @@ transform(
 
 
 def _oracle_q253() -> str:
-    hv = (
-        "CAST(concat('0x', substr(md5(array_to_string("
-        f"w[i - {_CDC_GRAM - 1}:i], ' ')), 1, 8)) AS BIGINT)"
-    )
+    hv = "h[i - 2] * 961 + h[i - 1] * 31 + h[i]"
     return f"""
 WITH t AS (
   SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
   FROM documents WHERE length(trim(text)) > 0
+),
+hashed AS (
+  SELECT doc_id, source, w,
+         list_transform(w, tk -> CAST(concat('0x',
+             substr(md5(tk), 1, 8)) AS BIGINT)) AS h
+  FROM t
 ),
 spans AS (
   SELECT doc_id, source, w,
@@ -254,7 +279,7 @@ spans AS (
            list_filter(generate_series({_CDC_GRAM}, len(w)),
                        i -> ({hv}) % {_CDC_DIV} = 0),
            [len(w)]) AS ends
-  FROM t
+  FROM hashed
 ),
 chunked AS (
   SELECT doc_id, source, ci,
