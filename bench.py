@@ -188,6 +188,8 @@ HEADLINE_OPT = [
     "q252_hard_negatives",
     "q253_cdc_chunk_dedup",
     "q254_bootstrap_ci",
+    "q255_cluster_grain_split",
+    "q256_contamination_ci",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -455,6 +455,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm26,
         llm27,
         llm28,
+        llm29,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -496,6 +497,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm26,
         llm27,
         llm28,
+        llm29,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:
