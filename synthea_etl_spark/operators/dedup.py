@@ -609,14 +609,21 @@ def connected_components(
     the canonical 'keep one representative per duplicate cluster' step
     after LSH/SimHash candidate generation.
 
-    Iterative min-label propagation on DataFrames: each round joins
-    current labels across edges and keeps the per-node minimum;
-    convergence is checked with a cheap count of changed labels
-    (near-dup components are shallow — text clusters have small
-    diameter — so a handful of rounds suffices; max_iters bounds
-    pathological chains). Each round is one join + one partial-agg
-    groupBy on node id. ``localCheckpoint`` truncates the growing
-    lineage so round N doesn't replay rounds 1..N-1."""
+    Iterative min-label propagation WITH pointer jumping: each round
+    (1) relaxes across edges (per-node min of neighbor labels) and
+    (2) jumps pointers (label := min(label, label(label))), so label
+    depth HALVES per round and convergence is O(log diameter) rounds
+    — max_iters=15 covers diameter ~2^15, any real graph. Plain
+    relax-only propagation covers only diameter <= max_iters and hit
+    exactly that wall in round 13: the organic-sf10 per-host banner
+    components have >15-hop paths, the loop exited at the cap
+    unconverged, and q255's in-result cross-split verification
+    caught the mislabeled tail (1 leaked pair) — the jump step fixed
+    it (regression: tests/test_llm29.py chain test). Convergence is
+    still checked each round (changed-label probe); each round is
+    two joins + one partial-agg groupBy on node id.
+    ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1."""
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -635,17 +642,27 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
+        relaxed = labels.join(neigh, labels.id == neigh.src, "left").select(
+            "id",
+            F.col("cluster_id").alias("_old"),
+            F.least(
+                F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer jump: label := min(label, label(label)) — halves
+        # label-chain depth, making convergence O(log diameter)
+        ptr = relaxed.select(
+            F.col("id").alias("_pid"), F.col("cluster_id").alias("_plab")
+        )
+        jumped = F.least(
+            F.col("cluster_id"), F.coalesce("_plab", F.col("cluster_id"))
+        )
         updated = (
-            labels.join(neigh, labels.id == neigh.src, "left")
+            relaxed.join(ptr, relaxed.cluster_id == ptr._pid, "left")
             .select(
                 "id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce("neigh_min", F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("_changed"),
+                jumped.alias("cluster_id"),
+                (jumped < F.col("_old")).alias("_changed"),
             )
             .localCheckpoint()
         )

@@ -84,7 +84,11 @@ def q255_cluster_grain_split(
     hash expression; stats are split-sized aggregates. No text is
     touched after the signature pass."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = q33_minhash_lsh_candidates(spark, sf_dir)
+    # lineage cuts (the q226/q242 discipline): the candidate-pair
+    # frame feeds BOTH the CC loop and the leak-verification join,
+    # and the assignment frame has three consumers — without the
+    # cuts each consumer replays the full banding pass
+    pairs = q33_minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
     cc = D.connected_components(pairs)
     assign = (
         docs.join(cc, docs.doc_id == cc.id, "left")
@@ -93,6 +97,7 @@ def q255_cluster_grain_split(
             F.coalesce("cluster_id", "doc_id").alias("_gid"),
         )
         .withColumn("split", _split_of("_gid"))
+        .localCheckpoint()
     )
     stats = assign.groupBy("split").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -203,7 +208,10 @@ def q256_contamination_ci(
         .cast("long")
         .alias("_contam"),
     )
-    base = ov.join(docs, "doc_id")
+    # doc-grain lineage cut: base feeds the per-source rollup AND
+    # the x100 replicate branch — without it the q98 shingle screen
+    # runs twice (measured 32.3 s -> 7.4 s at sf1)
+    base = ov.join(docs, "doc_id").localCheckpoint()
     per_source = base.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("_contam").cast("long").alias("n_contaminated"),

@@ -88,6 +88,23 @@ def test_contamination_ci_brackets_rate_on_testdata(spark):
         assert r.hi_micro + 1 >= r.rate_micro
 
 
+def test_connected_components_converges_on_long_chain(spark):
+    """Regression for the round-13 q255 catch: a 64-hop path graph
+    must collapse to ONE component within the default max_iters —
+    plain relax-only propagation covers only diameter <= 15 and left
+    the tail mislabeled (q255's cross-split verification found the
+    leaked pair on organic sf10); pointer jumping makes convergence
+    O(log diameter)."""
+    from synthea_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    labels = connected_components(pairs).collect()
+    assert len(labels) == 65
+    assert {r.cluster_id for r in labels} == {0}
+
+
 def test_llm29_match_duckdb_on_testdata(duck, spark):
     from synthea_etl_spark.plans.llm29 import QUERIES
 
