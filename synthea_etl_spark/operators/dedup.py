@@ -1393,11 +1393,21 @@ def compact_agg_slices(
         (F.col("slice_id") == f"compacted{wm}")
         | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
     )
-    merged = (
-        folded.groupBy(*key_cols)
-        .agg(*_slice_agg_exprs(aggs))
-        .withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
-    )
+    merged = folded.groupBy(*key_cols).agg(*_slice_agg_exprs(aggs))
+    if set(aggs.values()) == {"sum"}:
+        # all-additive stores: drop keys whose every count nets to
+        # zero — a pure-ingest store never produces one (counts are
+        # >= 1 per appearance), and after a DELETION slice
+        # (:func:`deletion_slice`) folds in, a zero row is exactly
+        # "this key no longer exists", which must compact away so
+        # the purged store is bit-identical to one rebuilt from the
+        # surviving documents
+        alive = None
+        for c in aggs:
+            cond = F.col(c) != 0
+            alive = cond if alive is None else (alive | cond)
+        merged = merged.filter(alive)
+    merged = merged.withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -1492,6 +1502,100 @@ def gc_counting_slices(store_path: str, grace_s: float = 0.0) -> list[str]:
             live_flips.add(flip[0])
     _gc_flip_sidecars(store_path, wm, live_flips)
     return deleted
+
+
+def purge_batch_store(
+    spark,
+    store_path: str,
+    upto_batch: int,
+    ids,
+    id_col: str,
+    partition_col: str = "batch_id",
+    gc_grace_s: float = 0.0,
+) -> None:
+    """Right-to-erasure for the row-set stores (near-dedup corpus +
+    band index, postings, ANN index): a FILTERING compaction — fold
+    the prior compacted partition plus every batch in (watermark,
+    ``upto_batch``] exactly like :func:`compact_batch_partitions`,
+    minus every row whose ``id_col`` is in ``ids`` (a DataFrame with
+    that one column, or an iterable of values; deletion sets are
+    small next to the store, so the anti-join broadcasts them).
+
+    Crash contract is compact_batch_partitions' own, inherited
+    verbatim: versioned negative partition ``-(upto+2)`` published
+    first, atomic watermark flip second, GC last — a retry in any
+    window is idempotent, and a reader never sees half a purge
+    (pre-flip it reads the old generation WITH the rows; post-flip,
+    the new one without; never a mix). The purge CONSUMES one batch
+    slot: ``upto_batch`` must be a fresh id above the watermark and
+    every ingested batch (the assert guards the watermark half) —
+    that keeps the new generation's partition id
+    ``-(upto_batch + 2)`` distinct from the generation being read,
+    so the fold never overwrites its own input even when nothing
+    was ingested since the last compaction. Batches that land ABOVE
+    ``upto_batch`` afterwards are untouched by this purge.
+
+    Right-to-erasure at 100 TB is a compaction, not a rewrite-the-
+    world: only the folded generation is rewritten, the watermark
+    flip is one rename, and the ingest stream needs no pause."""
+    import os
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(v,) for v in ids], f"{id_col} long"
+        )
+    ids = ids.select(id_col).distinct()
+    wm = compaction_watermark(store_path)
+    if upto_batch <= wm:
+        raise ValueError(
+            f"purge_batch_store needs a fresh batch slot above the "
+            f"watermark (got upto_batch={upto_batch}, watermark={wm})"
+        )
+    if gc_grace_s > 0:
+        gc_batch_partitions(store_path, partition_col, gc_grace_s)
+    store = spark.read.parquet(store_path)
+    col = F.col(partition_col)
+    new_part = -(upto_batch + 2)
+    folded = (
+        store.filter(
+            (col == -(wm + 2))
+            | ((col > wm) & (col >= 0) & (col <= upto_batch))
+        )
+        .join(F.broadcast(ids), id_col, "left_anti")
+        .withColumn(partition_col, F.lit(new_part))
+    )
+    (
+        folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(store_path)
+    )
+    tmp = _compaction_watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto_batch))
+    os.replace(tmp, _compaction_watermark_path(store_path))
+    _record_flip(store_path, upto_batch)
+    if gc_grace_s == 0:
+        gc_batch_partitions(store_path, partition_col, 0.0)
+
+
+def deletion_slice(slice_df: DataFrame, count_cols: list[str]) -> DataFrame:
+    """Negate the additive columns of a batch slice: publishing the
+    result as a normal ``batch<k>`` slice SUBTRACTS the batch's
+    contribution from an additive store — deletions ride the exact
+    ingest/compaction/GC machinery the store already has, no special
+    reader. Feed it the SAME slice the docs would produce on ingest
+    (e.g. ``token_stats_slice(deleted_docs)``): sums cancel exactly,
+    and the next :func:`compact_agg_slices` drops the netted-to-zero
+    keys, leaving the store bit-identical to one rebuilt from the
+    surviving documents (pinned in tests/test_purge.py). Only valid
+    for all-'sum' stores — min/max slices don't subtract; those
+    stores purge by rebuild or :func:`purge_batch_store` on their
+    row-grain form."""
+    out = slice_df
+    for c in count_cols:
+        out = out.withColumn(c, (-F.col(c)).cast("long"))
+    return out
 
 
 def agg_store_totals(

@@ -1,0 +1,175 @@
+"""Right-to-erasure propagation across the maintained stores:
+filtering compaction for row-set stores, negative deletion slices
+for additive counting stores. The contract under test everywhere:
+a purged store answers BIT-IDENTICALLY to one rebuilt from only the
+surviving documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, ids_texts):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 3}") for i, t in ids_texts],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_purge_batch_store_matches_rebuild(spark, tmp_path):
+    from synthea_etl_spark.operators.dedup import (
+        batch_watermark_filter,
+        compaction_watermark,
+        purge_batch_store,
+    )
+
+    store = str(tmp_path / "bands")
+    rows = [(d, b, f"h{d % 4}") for d in range(8) for b in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, band int, bh string")
+    for bid, lo, hi in [(1, 0, 4), (2, 4, 8)]:
+        (
+            df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(store)
+        )
+    purge_batch_store(spark, store, 3, [2, 5], "doc_id")
+    assert compaction_watermark(store) == 3
+    got = {
+        (r.doc_id, r.band, r.bh)
+        for r in batch_watermark_filter(
+            spark.read.parquet(store), store
+        ).collect()
+    }
+    want = {(d, b, h) for d, b, h in rows if d not in (2, 5)}
+    assert got == want
+    # the consumed batch slot cannot be reused
+    with pytest.raises(ValueError):
+        purge_batch_store(spark, store, 3, [2], "doc_id")
+    # a second purge takes the next slot and composes
+    purge_batch_store(spark, store, 4, [0], "doc_id")
+    got2 = {
+        r.doc_id
+        for r in batch_watermark_filter(
+            spark.read.parquet(store), store
+        ).collect()
+    }
+    assert got2 == {1, 3, 4, 6, 7}
+
+
+def test_purge_leaves_later_batches_untouched(spark, tmp_path):
+    """Rows ingested ABOVE the purge slot survive (the documented
+    completeness contract) and fold out on the NEXT purge."""
+    from synthea_etl_spark.operators.dedup import (
+        batch_watermark_filter,
+        purge_batch_store,
+    )
+
+    store = str(tmp_path / "bands")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, bh string"
+    )
+    df.withColumn("batch_id", F.lit(1)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(store)
+    purge_batch_store(spark, store, 2, [2], "doc_id")
+    # doc 2 re-ingested later in batch 5: this purge never saw it
+    df.filter(F.col("doc_id") == 2).withColumn(
+        "batch_id", F.lit(5)
+    ).write.mode("append").partitionBy("batch_id").parquet(store)
+    ids = {
+        r.doc_id
+        for r in batch_watermark_filter(
+            spark.read.parquet(store), store
+        ).collect()
+    }
+    assert ids == {1, 2}
+    purge_batch_store(spark, store, 6, [2], "doc_id")
+    ids2 = {
+        r.doc_id
+        for r in batch_watermark_filter(
+            spark.read.parquet(store), store
+        ).collect()
+    }
+    assert ids2 == {1}
+
+
+def test_deletion_slice_token_store_matches_rebuild(spark, tmp_path):
+    """Ingest two batches, erase two docs via a negative slice +
+    compaction: totals — and the q222 drift report — match a store
+    rebuilt from only the survivors, bit for bit; tokens unique to
+    the deleted docs vanish entirely (no zero rows)."""
+    from synthea_etl_spark.operators.dedup import (
+        compact_counting_slices,
+        counting_store_totals,
+        deletion_slice,
+        drift_from_token_store,
+        token_stats_slice,
+        token_stats_store,
+    )
+
+    all_docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha secretword secretword"),
+        (2, "beta gamma delta"),
+        (3, "alpha beta"),
+        (4, "uniquetoken gamma"),
+        (5, "delta delta alpha"),
+    ]
+    deleted = {1, 4}
+    docs = _docs(spark, all_docs)
+    store = str(tmp_path / "tok")
+    token_stats_store(docs.filter(F.col("doc_id") < 3), store, "batch1")
+    token_stats_store(docs.filter(F.col("doc_id") >= 3), store, "batch2")
+    # erase: negative slice for the deleted docs, then compact
+    dele = docs.filter(F.col("doc_id").isin(*deleted))
+    (
+        deletion_slice(token_stats_slice(dele), ["c"])
+        .withColumn("slice_id", F.lit("batch3"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store)
+    )
+    compact_counting_slices(spark, store, 3, ["source", "t"], "c")
+
+    rebuilt = str(tmp_path / "tok_rebuilt")
+    token_stats_store(
+        docs.filter(~F.col("doc_id").isin(*deleted)), rebuilt, "batch1"
+    )
+    got = {
+        (r.source, r.t, r.c)
+        for r in counting_store_totals(
+            spark, store, ["source", "t"], "c"
+        ).collect()
+    }
+    want = {
+        (r.source, r.t, r.c)
+        for r in counting_store_totals(
+            spark, rebuilt, ["source", "t"], "c"
+        ).collect()
+    }
+    assert got == want
+    assert not any(t == "secretword" for _, t, _c in got)
+    assert not any(t == "uniquetoken" for _, t, _c in got)
+    drift_purged = {
+        tuple(r) for r in drift_from_token_store(spark, store).collect()
+    }
+    drift_rebuilt = {
+        tuple(r)
+        for r in drift_from_token_store(spark, rebuilt).collect()
+    }
+    assert drift_purged == drift_rebuilt
+
+
+def test_deletion_slice_rejects_nothing_but_negates(spark):
+    from synthea_etl_spark.operators.dedup import deletion_slice
+
+    df = spark.createDataFrame(
+        [("a", "t1", 3), ("b", "t2", 1)], "source string, t string, c long"
+    )
+    out = {(r.source, r.t, r.c) for r in deletion_slice(df, ["c"]).collect()}
+    assert out == {("a", "t1", -3), ("b", "t2", -1)}
