@@ -1624,8 +1624,17 @@ def counting_store_totals(
     spark, store_path: str, key_cols: list[str], count_col: str
 ) -> DataFrame:
     """Watermark-aware totals over an additive counting slice store —
-    :func:`agg_store_totals` with a single SUM."""
-    return agg_store_totals(spark, store_path, key_cols, {count_col: "sum"})
+    :func:`agg_store_totals` with a single SUM. Keys whose counts net
+    to ZERO are filtered out: impossible in a pure-ingest store
+    (counts are >= 1 per appearance), and after a
+    :func:`deletion_slice` publishes this makes the erasure correct
+    IMMEDIATELY — a key fully cancelled by a pending deletion slice
+    reads as absent (not present-with-zero, which would perturb
+    smoothed statistics like the q222 KL) even before the compaction
+    that physically drops it."""
+    return agg_store_totals(
+        spark, store_path, key_cols, {count_col: "sum"}
+    ).filter(F.col(count_col) != 0)
 
 
 # --- token-distribution store (the q222 drift monitor made --------

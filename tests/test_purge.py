@@ -134,12 +134,21 @@ def test_deletion_slice_token_store_matches_rebuild(spark, tmp_path):
         .partitionBy("slice_id")
         .parquet(store)
     )
-    compact_counting_slices(spark, store, 3, ["source", "t"], "c")
-
     rebuilt = str(tmp_path / "tok_rebuilt")
     token_stats_store(
         docs.filter(~F.col("doc_id").isin(*deleted)), rebuilt, "batch1"
     )
+    # erasure is correct IMMEDIATELY on slice publish (zero-net keys
+    # read as absent), before any compaction
+    pre = {
+        tuple(r) for r in drift_from_token_store(spark, store).collect()
+    }
+    want_drift = {
+        tuple(r)
+        for r in drift_from_token_store(spark, rebuilt).collect()
+    }
+    assert pre == want_drift
+    compact_counting_slices(spark, store, 3, ["source", "t"], "c")
     got = {
         (r.source, r.t, r.c)
         for r in counting_store_totals(

@@ -1,0 +1,231 @@
+"""Drive right-to-erasure end to end under ``local-cluster``: real
+executor processes, the two purge mechanisms, parity against stores
+rebuilt from only the surviving documents.
+
+1. Counting store (token-stats): stream-ingest the corpus in four
+   batches with a MID-STREAM compaction, publish a negative
+   deletion slice for an erasure set, and assert the q222 drift
+   report matches the rebuilt-from-survivors store BOTH immediately
+   on publish (zero-net keys read as absent) and again after the
+   compaction that physically drops them.
+2. Row store (banded-MinHash index): ingest band rows in batches,
+   purge the same erasure set through the filtering compaction
+   (fresh batch slot, versioned generation, watermark flip), and
+   assert the surviving row set equals the rebuilt index — then
+   verify a replayed purge retry raises on the consumed slot.
+
+Usage: python tools/purge_lifecycle_drive.py \
+           [--master local-cluster[2,4,4096]] [--out <json>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from synthea_etl_spark.operators.dedup import (  # noqa: E402
+    banded_signatures,
+    batch_watermark_filter,
+    compact_counting_slices,
+    compaction_watermark,
+    deletion_slice,
+    drift_from_token_store,
+    minhash_signature,
+    purge_batch_store,
+    token_stats_slice,
+    token_stats_store,
+)
+from synthea_etl_spark.pipeline import token_stats_ingest_stream  # noqa: E402
+from synthea_etl_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default="local-cluster[2,4,4096]")
+    ap.add_argument(
+        "--out", default="bench_artifacts/purge_lifecycle_drive.json"
+    )
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    spark = get_session(
+        "purge-lifecycle-drive",
+        master=args.master,
+        shuffle_partitions=8,
+        extra_conf={"spark.executorEnv.PYTHONPATH": REPO},
+    )
+    spark.range(0, 100, 1, 4).selectExpr("sum(id)").collect()
+    n_exec = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+
+    work = tempfile.mkdtemp(prefix="purge_drive_")
+    landing = os.path.join(work, "landing")
+    store = os.path.join(work, "tok_store")
+    rebuilt = os.path.join(work, "tok_rebuilt")
+    bands = os.path.join(work, "band_store")
+    bands_rebuilt = os.path.join(work, "band_rebuilt")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+    docs_df = spark.read.parquet(
+        os.path.join(args.sf_dir, "documents.parquet")
+    ).select("doc_id", "source", "text")
+    # the erasure set: ~1/11 of the corpus, scattered across sources
+    erase = docs_df.filter(F.col("doc_id") % 11 == 3).localCheckpoint()
+    survivors = docs_df.join(
+        erase.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    n_erased = erase.count()
+
+    docs = docs_df.orderBy("doc_id").collect()
+    quarter = (len(docs) + 3) // 4
+    batches = [docs[i : i + quarter] for i in range(0, len(docs), quarter)]
+
+    def land_and_run(bi, rows):
+        with open(os.path.join(landing, f"b{bi}.json"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r.doc_id,
+                            "source": r.source,
+                            "text": r.text,
+                        }
+                    )
+                    + "\n"
+                )
+        token_stats_ingest_stream(
+            spark, landing, store, ckpt, schema
+        ).awaitTermination(300)
+
+    land_and_run(0, batches[0])
+    land_and_run(1, batches[1])
+    compact_counting_slices(spark, store, 1, ["source", "t"], "c")
+    for bi in range(2, len(batches)):
+        land_and_run(bi, batches[bi])
+
+    # --- counting-store erasure: negative slice, high slot ---------
+    (
+        deletion_slice(token_stats_slice(erase), ["c"])
+        .withColumn("slice_id", F.lit("batch9"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store)
+    )
+    token_stats_store(survivors, rebuilt, "batch1")
+
+    def drift(path):
+        return {tuple(r) for r in drift_from_token_store(spark, path).collect()}
+
+    want = drift(rebuilt)
+    immediate_match = drift(store) == want
+    compact_counting_slices(spark, store, 9, ["source", "t"], "c")
+    post_compact_match = drift(store) == want
+    store_rows = spark.read.parquet(store).count()
+    rebuilt_rows = spark.read.parquet(rebuilt).count()
+
+    # --- row-store erasure: filtering compaction --------------------
+    def band_rows(df):
+        sig = minhash_signature(df, "text", "doc_id")
+        return banded_signatures(sig, "doc_id")
+
+    half = len(docs) // 2
+    for bid, rows in [(1, docs[:half]), (2, docs[half:])]:
+        bdf = spark.createDataFrame(
+            [(r.doc_id, r.source, r.text) for r in rows],
+            "doc_id long, source string, text string",
+        )
+        (
+            band_rows(bdf)
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(bands)
+        )
+    purge_batch_store(spark, bands, 3, erase.select("doc_id"), "doc_id")
+    (
+        band_rows(survivors)
+        .withColumn("batch_id", F.lit(1))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(bands_rebuilt)
+    )
+    got_bands = {
+        (r.doc_id, r.band, r.bh)
+        for r in batch_watermark_filter(
+            spark.read.parquet(bands), bands
+        ).collect()
+    }
+    want_bands = {
+        (r.doc_id, r.band, r.bh)
+        for r in spark.read.parquet(bands_rebuilt)
+        .select("doc_id", "band", "bh")
+        .collect()
+    }
+    band_match = got_bands == want_bands
+    slot_guard = False
+    try:
+        purge_batch_store(spark, bands, 3, [0], "doc_id")
+    except ValueError:
+        slot_guard = True
+
+    report = {
+        "master": args.master,
+        "n_executors": n_exec,
+        "n_docs": len(docs),
+        "n_erased": n_erased,
+        "tok_store": {
+            "immediate_drift_match_on_slice_publish": immediate_match,
+            "post_compaction_drift_match": post_compact_match,
+            "store_rows": store_rows,
+            "rebuilt_rows": rebuilt_rows,
+            "compacted_upto": compaction_watermark(store),
+        },
+        "band_store": {
+            "purged_rows_match_rebuild": band_match,
+            "rows": len(got_bands),
+            "consumed_slot_guard_raises": slot_guard,
+            "watermark": compaction_watermark(bands),
+        },
+    }
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    ok = (
+        immediate_match
+        and post_compact_match
+        and band_match
+        and slot_guard
+        and store_rows == rebuilt_rows
+    )
+    if not ok:
+        raise SystemExit("purge lifecycle drive diverged")
+
+
+if __name__ == "__main__":
+    main()
