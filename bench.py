@@ -190,6 +190,8 @@ HEADLINE_OPT = [
     "q254_bootstrap_ci",
     "q255_cluster_grain_split",
     "q256_contamination_ci",
+    "q257_preference_pairs",
+    "q258_icl_order",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -456,6 +456,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm27,
         llm28,
         llm29,
+        llm30,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -498,6 +499,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm27,
         llm28,
         llm29,
+        llm30,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

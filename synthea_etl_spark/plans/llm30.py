@@ -1,0 +1,279 @@
+"""Round-13 LLM-pipeline queries, batch 9: post-training data
+assembly.
+
+- q257 preference-pair assembly: RLHF reward-model training data
+  from prompt-grouped responses — per prompt key (q232/q233's
+  first-turn key), pick the highest- and lowest-reward response,
+  keep pairs whose reward margin clears a confidence floor (the
+  pair-construction step of Stiennon et al. 2020 / Ouyang et al.
+  2022; low-margin pairs are label noise and get dropped). Rewards
+  are synthesized deterministically from doc_id (the q213
+  discipline) — the MACHINERY (prompt grouping, extreme selection,
+  margin denoising) is the real operator.
+- q258 in-context-pretraining order: a training-order manifest
+  where consecutive documents are SEMANTICALLY RELATED (Shi et al.
+  2023, In-Context Pretraining): hyperplane-LSH buckets (q39's
+  certified deterministic planes) approximate the similarity graph,
+  and within each bucket documents are ordered by distance to the
+  bucket's exact-decimal centroid — the scalable stand-in for
+  greedy nearest-neighbor chaining (which is inherently sequential;
+  bucket-local ordering parallelizes while keeping neighbors
+  adjacent).
+
+Reference scope: beyond-reference extension surface; methods public
+(Stiennon et al. 2020; Ouyang et al. 2022; Shi et al. 2023).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import synthea_etl_spark.operators.similarity as S
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.operators.dedup import PROMPT_KEY_TOKENS
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm import _sql_lsh_planes
+
+MICRO = 1_000_000
+
+# q257: drop pairs whose reward margin is below this (milli-units;
+# rewards are in [-1000, 1000]) — the confident-pair rule
+_MIN_MARGIN_MILLI = 100
+
+# q258 geometry: 4 md5-seeded hyperplanes -> 16 buckets
+_ICL_PLANES = 4
+_EMB_DIM = 64
+# per-dim squared-difference terms quantized at 9 dp (values are
+# O(1); 64 terms * 1e9 scale stays far inside int64), summed exactly
+_NANO = 1_000_000_000
+
+
+# ---------------------------------------------------------------------------
+# q257 preference pairs
+# ---------------------------------------------------------------------------
+
+def q257_preference_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per prompt key with >= 2 responses: (chosen, rejected) =
+    (max-reward, min-reward) response with deterministic tie-breaks
+    (reward desc, doc_id asc / reward asc, doc_id desc), margin in
+    exact milli-units, pairs below the confidence floor dropped.
+    Returns (prompt_key, n_responses, chosen_id, rejected_id,
+    chosen_reward_milli, rejected_reward_milli, margin_milli).
+
+    100 TB shape: ONE prompt-key exchange carries both extreme-
+    selection windows and the group count; the chosen/rejected
+    frames are prompt-grain (tiny) and join on the key. Rewards are
+    a zero-shuffle expression; text is read once."""
+    d = load(spark, sf_dir, "documents").filter(
+        T.token_count("text") > 0
+    )
+    reward = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
+            " STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
+        )
+        - 1000
+    )
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(T.tokens("text"), 1, PROMPT_KEY_TOKENS))
+        ).alias("prompt_key"),
+        reward.alias("_r"),
+    )
+    w = Window.partitionBy("prompt_key")
+    flagged = keyed.select(
+        "doc_id",
+        "prompt_key",
+        "_r",
+        F.count("*").over(w).cast("long").alias("n_responses"),
+        F.row_number()
+        .over(w.orderBy(F.desc("_r"), F.asc("doc_id")))
+        .alias("_rn_hi"),
+        F.row_number()
+        .over(w.orderBy(F.asc("_r"), F.desc("doc_id")))
+        .alias("_rn_lo"),
+    ).filter(F.col("n_responses") >= 2)
+    chosen = flagged.filter(F.col("_rn_hi") == 1).select(
+        "prompt_key",
+        "n_responses",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("_r").alias("chosen_reward_milli"),
+    )
+    rejected = flagged.filter(F.col("_rn_lo") == 1).select(
+        "prompt_key",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("_r").alias("rejected_reward_milli"),
+    )
+    return (
+        chosen.join(rejected, "prompt_key")
+        .withColumn(
+            "margin_milli",
+            F.col("chosen_reward_milli") - F.col("rejected_reward_milli"),
+        )
+        .filter(F.col("margin_milli") >= _MIN_MARGIN_MILLI)
+        .select(
+            "prompt_key",
+            "n_responses",
+            "chosen_id",
+            "rejected_id",
+            "chosen_reward_milli",
+            "rejected_reward_milli",
+            "margin_milli",
+        )
+    )
+
+
+ORACLE_Q257 = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             string_split_regex(trim(text), '\\s+')[1:{PROMPT_KEY_TOKENS}],
+             ' ')) AS prompt_key,
+         CAST(concat('0x', substr(md5('rw' || doc_id), 1, 8)) AS BIGINT)
+           % 2001 - 1000 AS r
+  FROM documents WHERE length(trim(text)) > 0
+),
+flagged AS (
+  SELECT doc_id, prompt_key, r,
+         CAST(COUNT(*) OVER (PARTITION BY prompt_key) AS BIGINT)
+           AS n_responses,
+         row_number() OVER (PARTITION BY prompt_key
+             ORDER BY r DESC, doc_id ASC) AS rn_hi,
+         row_number() OVER (PARTITION BY prompt_key
+             ORDER BY r ASC, doc_id DESC) AS rn_lo
+  FROM keyed
+),
+chosen AS (
+  SELECT prompt_key, n_responses, doc_id AS chosen_id,
+         r AS chosen_reward_milli
+  FROM flagged WHERE rn_hi = 1 AND n_responses >= 2
+),
+rejected AS (
+  SELECT prompt_key, doc_id AS rejected_id, r AS rejected_reward_milli
+  FROM flagged WHERE rn_lo = 1 AND n_responses >= 2
+)
+SELECT c.prompt_key, c.n_responses, c.chosen_id, r.rejected_id,
+       CAST(c.chosen_reward_milli AS BIGINT) AS chosen_reward_milli,
+       CAST(r.rejected_reward_milli AS BIGINT) AS rejected_reward_milli,
+       CAST(c.chosen_reward_milli - r.rejected_reward_milli AS BIGINT)
+         AS margin_milli
+FROM chosen c JOIN rejected r USING (prompt_key)
+WHERE c.chosen_reward_milli - r.rejected_reward_milli
+      >= {_MIN_MARGIN_MILLI}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q258 in-context-pretraining order
+# ---------------------------------------------------------------------------
+
+def q258_icl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order manifest with semantic locality: each vector's
+    LSH bucket (4 md5-seeded hyperplanes, q39's certified plane
+    derivation), its distance to the bucket's exact-decimal-mean
+    centroid, and its position within the bucket (distance asc,
+    vec_id tie-break). Consecutive positions in a bucket are near in
+    embedding space — the parallelizable approximation of ICLM's
+    greedy similarity chains. Distances are exact int64: per-dim
+    squared differences quantized at 9 dp and summed (never a float
+    reduction over dims).
+
+    100 TB shape: buckets come from the Arrow bucket pass (q39's
+    production path); centroid dims are ONE posexplode aggregate
+    with decimal partials (the audited q166 plan); the 16-row
+    centroid-array frame broadcasts into a zero-shuffle distance
+    expression; the only data-sized exchange is the bucket window
+    for positions (and at production scale the manifest writer
+    shards by bucket anyway)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planes = S._hyperplanes(_ICL_PLANES, _EMB_DIM)
+    bucketed = e.withColumn(
+        "bucket", S.make_bucket_udf(planes)(F.col("embedding"))
+    )
+    cent = (
+        S.group_embedding_centroid_dims(bucketed, "bucket")
+        .groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("_pm")
+        )
+        .select(
+            F.col("grp").alias("bucket"),
+            F.expr("transform(_pm, s -> s.m)").alias("_c"),
+        )
+    )
+    dist_nano = F.expr(
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), _c,"
+        f" (x, m) -> CAST(floor(round((x - m) * (x - m), 9) * {_NANO}"
+        f" + 0.5) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    scored = bucketed.join(F.broadcast(cent), "bucket").select(
+        "vec_id",
+        "bucket",
+        dist_nano.alias("dist_nano"),
+    )
+    w = Window.partitionBy("bucket").orderBy("dist_nano", "vec_id")
+    return scored.select(
+        "vec_id",
+        "bucket",
+        F.row_number().over(w).cast("int").alias("position"),
+        "dist_nano",
+    )
+
+
+ORACLE_Q258 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{_sql_lsh_planes(_ICL_PLANES)},
+ex AS (
+  SELECT b.b0 AS bucket, e.vec_id, i - 1 AS pos, e.v[i] AS x
+  FROM e JOIN buckets b USING (vec_id),
+       LATERAL (SELECT UNNEST(generate_series(1, len(e.v))) AS i) u
+),
+cent_dims AS (
+  SELECT bucket, pos,
+         CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS m
+  FROM ex GROUP BY bucket, pos
+),
+cent AS (
+  SELECT bucket, ARRAY_AGG(m ORDER BY pos) AS c
+  FROM cent_dims GROUP BY bucket
+),
+scored AS (
+  SELECT e.vec_id, b.b0 AS bucket,
+         CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+              i -> CAST(floor(round((e.v[i] - c.c[i])
+                   * (e.v[i] - c.c[i]), 9) * {_NANO} + 0.5)
+                   AS BIGINT))) AS BIGINT) AS dist_nano
+  FROM e JOIN buckets b USING (vec_id)
+  JOIN cent c ON c.bucket = b.b0
+)
+SELECT vec_id, bucket,
+       CAST(row_number() OVER (PARTITION BY bucket
+            ORDER BY dist_nano, vec_id) AS INTEGER) AS position,
+       dist_nano
+FROM scored
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q257_preference_pairs": QuerySpec(
+        q257_preference_pairs,
+        ORACLE_Q257,
+        "RLHF preference pairs: per-prompt reward extremes with"
+        " margin denoising",
+        ("llm", "posttraining"),
+    ),
+    "q258_icl_order": QuerySpec(
+        q258_icl_order,
+        ORACLE_Q258,
+        "in-context-pretraining order: LSH-bucket-local"
+        " similarity ordering, exact int64 distances",
+        ("llm", "similarity", "posttraining"),
+    ),
+}
