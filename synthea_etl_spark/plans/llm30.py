@@ -35,8 +35,6 @@ from synthea_etl_spark.operators.dedup import PROMPT_KEY_TOKENS
 from synthea_etl_spark.plans.common import QuerySpec, load
 from synthea_etl_spark.plans.llm import _sql_lsh_planes
 
-MICRO = 1_000_000
-
 # q257: drop pairs whose reward margin is below this (milli-units;
 # rewards are in [-1000, 1000]) — the confident-pair rule
 _MIN_MARGIN_MILLI = 100
@@ -281,6 +279,8 @@ def _dist_nano_arrow(by_bucket: dict):
             cmat[bk][p] = m
 
     def dist(bucket, emb):
+        if len(emb) == 0:  # Arrow may deliver an empty batch
+            return pd.Series([], dtype="int64")
         v = np.vstack(
             [np.asarray(x, dtype=np.float64) for x in emb.values]
         )
