@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from synthea_etl_spark.operators.text import fingerprint, shingles, tokens
 from synthea_etl_spark.operators.util import rebalance_by_key
@@ -1369,6 +1370,7 @@ def compact_agg_slices(
     key_cols: list[str],
     aggs: dict[str, str],
     gc_grace_s: float = 0.0,
+    drop_zero_net: bool = True,
 ) -> None:
     """The slice compactor generalized to MIXED mergeable aggregates
     (``aggs`` maps column -> 'sum' | 'min' | 'max'): fold
@@ -1381,7 +1383,16 @@ def compact_agg_slices(
     compact_batch_partitions; >0 runs the graced GC BEFORE our own
     flip (collecting the previous generation once ITS flip has aged
     past the grace) and defers the just-superseded dirs to the next
-    compaction or an explicit :func:`gc_counting_slices` call."""
+    compaction or an explicit :func:`gc_counting_slices` call.
+
+    ``drop_zero_net`` (all-'sum' stores only): drop keys whose every
+    aggregate nets to zero. Correct for COUNTING stores — ingest
+    counts are >= 1 per appearance, so a zero total only arises when
+    a :func:`deletion_slice` cancelled the key, and dropping it makes
+    the purged store bit-identical to a rebuild from survivors. Pass
+    False for a hypothetical signed-delta store where a zero total is
+    a legitimate value (margins, net adjustments) — there, dropping
+    would silently lose keys on compaction."""
     wm = compaction_watermark(store_path)
     if wm >= upto_batch:
         return
@@ -1394,7 +1405,7 @@ def compact_agg_slices(
         | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
     )
     merged = folded.groupBy(*key_cols).agg(*_slice_agg_exprs(aggs))
-    if set(aggs.values()) == {"sum"}:
+    if drop_zero_net and set(aggs.values()) == {"sum"}:
         # all-additive stores: drop keys whose every count nets to
         # zero — a pure-ingest store never produces one (counts are
         # >= 1 per appearance), and after a DELETION slice
@@ -1540,16 +1551,41 @@ def purge_batch_store(
     flip is one rename, and the ingest stream needs no pause."""
     import os
 
+    store_schema = spark.read.parquet(store_path).schema
     if not isinstance(ids, DataFrame):
-        ids = spark.createDataFrame(
-            [(v,) for v in ids], f"{id_col} long"
-        )
+        # infer the key type from the store itself — a string-keyed
+        # store (e.g. fingerprint) must not be cast-matched as long
+        id_field = StructType([store_schema[id_col]])
+        ids = spark.createDataFrame([(v,) for v in ids], id_field)
     ids = ids.select(id_col).distinct()
     wm = compaction_watermark(store_path)
     if upto_batch <= wm:
         raise ValueError(
             f"purge_batch_store needs a fresh batch slot above the "
             f"watermark (got upto_batch={upto_batch}, watermark={wm})"
+        )
+    # the erasure contract requires upto_batch above EVERY ingested
+    # batch, not just the watermark: a live positive batch above
+    # upto_batch would keep the erased ids visible while the purge
+    # reports success — a silent right-to-erasure violation. Scan the
+    # partition dirs (driver-side listdir, no data read) and enforce.
+    max_live = wm
+    prefix = f"{partition_col}="
+    for d in os.listdir(store_path):
+        if d.startswith(prefix):
+            k = d[len(prefix):]
+            try:
+                b = int(k)
+            except ValueError:
+                continue
+            if b >= 0:
+                max_live = max(max_live, b)
+    if upto_batch <= max_live:
+        raise ValueError(
+            f"purge_batch_store needs upto_batch strictly above every "
+            f"ingested batch (got upto_batch={upto_batch}, live max "
+            f"{partition_col}={max_live}): a batch above upto_batch "
+            f"would survive the purge with the erased rows visible"
         )
     if gc_grace_s > 0:
         gc_batch_partitions(store_path, partition_col, gc_grace_s)

@@ -402,6 +402,24 @@ DRIVER_CERTIFIED = frozenset({
     "q226_crawl_training_pipeline", "q227_snapshot_novelty",
     "q228_crawl_budget_allocation", "q229_doremi_reweight",
     "q230_unimax_allocation", "q231_robots_filter",
+    # r13 (CORRECTNESS_r13.json 50/50 green -- the SFT/curation,
+    # tokenizer-governance, audit, LSH-verify, CDC, bootstrap-CI,
+    # split/contamination and post-training queries all landed
+    # hash-match rows, closing certification at 253/253 declared
+    # queries)
+    "q232_turn_structure", "q233_prompt_dedup", "q234_hrw_shards",
+    "q235_memorization_risk", "q236_selective_pruning",
+    "q237_vocab_coverage", "q238_filter_threshold_sweep",
+    "q239_ranking_metrics", "q240_prompt_dedup_from_store",
+    "q241_ngram_saturation", "q242_packing_efficiency",
+    "q243_politeness_capacity", "q244_dedup_axis_funnel",
+    "q245_lsh_operating_curve", "q246_char_entropy_quality",
+    "q247_pii_luhn_audit", "q248_script_mix_audit",
+    "q249_lsh_verified_pairs", "q250_ppl_rules_calibration",
+    "q251_dup_weighted_budget", "q252_hard_negatives",
+    "q253_cdc_chunk_dedup", "q254_bootstrap_ci",
+    "q255_cluster_grain_split", "q256_contamination_ci",
+    "q257_preference_pairs", "q258_icl_order",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -409,7 +427,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 13
+GATE_ROUND = 14
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -457,6 +475,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm28,
         llm29,
         llm30,
+        llm31,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -500,6 +519,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm28,
         llm29,
         llm30,
+        llm31,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -355,6 +355,18 @@ def q239_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = S.knn_bruteforce(
         e, e.filter(F.col("vec_id") < _RANK_QUERIES), k=_RANK_K
     )
+    return ranking_metrics_from_topk(spark, topk, e)
+
+
+def ranking_metrics_from_topk(
+    spark: SparkSession, topk: DataFrame, e: DataFrame
+) -> DataFrame:
+    """The q239 metric plumbing, candidate-source-agnostic: MRR +
+    NDCG@{_RANK_K} per query from any (query_id, neighbor_id, rank)
+    ranking over the embeddings frame ``e`` (vec_id, label). All
+    aggregates live on the {_RANK_QUERIES}-row query grain; the
+    position-weight dim is {_RANK_K} rows — swapping brute force
+    (q239) for the IVF path (q259) touches nothing here."""
     labels = e.select("vec_id", "label")
     # 10-row position-weight dim; w and its running sum both
     # quantized here, never per result row

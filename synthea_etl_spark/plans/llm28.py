@@ -50,12 +50,12 @@ _NEAR_TIE_MICRO = 50_000
 _CDC_DIV = 8
 _CDC_GRAM = 3
 
-# q254 bootstrap: 100 replicates, percentile ranks 3/98 ≈ 2.5%/97.5%;
+# q254 bootstrap: 100 replicates; adaptive percentile ranks
+# ceil(0.025*R_eff)/ceil(0.975*R_eff) over the replicates that drew a
+# nonzero total weight (3/98 when all 100 survive — the usual case);
 # Poisson(1) pmf cumulative in 1e-4 units: P(0)=.3679, P(<=1)=.7358,
 # P(<=2)=.9197, P(<=3)=.9810, else 4 copies
 _BOOT_R = 100
-_BOOT_LO_RANK = 3
-_BOOT_HI_RANK = 98
 _POIS_CUM = (3679, 7358, 9197, 9810)
 
 
@@ -370,6 +370,12 @@ def q254_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("_st"),
         )
+        # a replicate that drew all-zero Poisson weights has _st = 0
+        # and no defined ratio; drop it (q256's guard) — else the
+        # null est_micro ranks differently in Spark (NULLS FIRST)
+        # vs DuckDB (NULLS LAST). P(all-zero) = e^-n_docs, so ranks
+        # below are ADAPTIVE over the surviving replicate count.
+        .filter(F.col("_st") > 0)
         # offset by one margin unit (raw_margin is in [-1000, 1000]
         # per token): numerator >= 0, so div == floor-div
         .select(
@@ -392,15 +398,24 @@ def q254_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("est_micro", "rep")
+    wc = Window.partitionBy()
     ranked = reps.select(
-        "est_micro", F.row_number().over(w).alias("_rn")
+        "est_micro",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wc).alias("_reff"),
     )
     bounds = ranked.agg(
         F.min(
-            F.when(F.col("_rn") == _BOOT_LO_RANK, F.col("est_micro"))
+            F.when(
+                F.col("_rn") == F.expr("(25 * _reff + 999) div 1000"),
+                F.col("est_micro"),
+            )
         ).alias("lo_micro"),
         F.min(
-            F.when(F.col("_rn") == _BOOT_HI_RANK, F.col("est_micro"))
+            F.when(
+                F.col("_rn") == F.expr("(975 * _reff + 999) div 1000"),
+                F.col("est_micro"),
+            )
         ).alias("hi_micro"),
         F.count("*").cast("long").alias("n_replicates"),
     )
@@ -449,6 +464,7 @@ mrep AS (
                        WHEN hv < {c[2]} THEN 2 WHEN hv < {c[3]} THEN 3
                        ELSE 4 END * n_tokens) AS BIGINT) AS st
   FROM reps GROUP BY rep
+  HAVING st > 0
 ),
 ests AS (
   SELECT rep,
@@ -458,13 +474,14 @@ ests AS (
 ),
 ranked AS (
   SELECT est_micro,
-         row_number() OVER (ORDER BY est_micro, rep) AS rn
+         row_number() OVER (ORDER BY est_micro, rep) AS rn,
+         COUNT(*) OVER () AS reff
   FROM ests
 ),
 bounds AS (
-  SELECT MIN(CASE WHEN rn = {_BOOT_LO_RANK} THEN est_micro END)
+  SELECT MIN(CASE WHEN rn = (25 * reff + 999) // 1000 THEN est_micro END)
            AS lo_micro,
-         MIN(CASE WHEN rn = {_BOOT_HI_RANK} THEN est_micro END)
+         MIN(CASE WHEN rn = (975 * reff + 999) // 1000 THEN est_micro END)
            AS hi_micro,
          CAST(COUNT(*) AS BIGINT) AS n_replicates
   FROM ranked

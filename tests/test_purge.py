@@ -97,6 +97,52 @@ def test_purge_leaves_later_batches_untouched(spark, tmp_path):
     assert ids2 == {1}
 
 
+def test_purge_rejects_slot_below_live_batch(spark, tmp_path):
+    """upto_batch below an existing live positive batch would leave
+    the erased ids visible in that batch while reporting success — a
+    silent right-to-erasure violation. The guard raises instead."""
+    from synthea_etl_spark.operators.dedup import purge_batch_store
+
+    store = str(tmp_path / "bands")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, bh string"
+    )
+    for bid in (1, 5):
+        df.withColumn("batch_id", F.lit(bid)).write.mode(
+            "append"
+        ).partitionBy("batch_id").parquet(store)
+    with pytest.raises(ValueError, match="strictly above every"):
+        purge_batch_store(spark, store, 3, [2], "doc_id")
+    # above every live batch: succeeds
+    purge_batch_store(spark, store, 6, [2], "doc_id")
+
+
+def test_purge_batch_store_string_key(spark, tmp_path):
+    """A store keyed by a string column (e.g. a fingerprint) purges
+    with an iterable of ids: the key type is inferred from the store
+    schema, not hardcoded long."""
+    from synthea_etl_spark.operators.dedup import (
+        batch_watermark_filter,
+        purge_batch_store,
+    )
+
+    store = str(tmp_path / "fps")
+    df = spark.createDataFrame(
+        [("fp_a", 1), ("fp_b", 2), ("fp_c", 3)], "fp string, n long"
+    )
+    df.withColumn("batch_id", F.lit(1)).write.mode("append").partitionBy(
+        "batch_id"
+    ).parquet(store)
+    purge_batch_store(spark, store, 2, ["fp_b"], "fp")
+    got = {
+        r.fp
+        for r in batch_watermark_filter(
+            spark.read.parquet(store), store
+        ).collect()
+    }
+    assert got == {"fp_a", "fp_c"}
+
+
 def test_deletion_slice_token_store_matches_rebuild(spark, tmp_path):
     """Ingest two batches, erase two docs via a negative slice +
     compaction: totals — and the q222 drift report — match a store
