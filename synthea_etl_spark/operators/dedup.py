@@ -624,7 +624,16 @@ def connected_components(
     still checked each round (changed-label probe); each round is
     two joins + one partial-agg groupBy on node id.
     ``localCheckpoint`` truncates the growing lineage so round N
-    doesn't replay rounds 1..N-1."""
+    doesn't replay rounds 1..N-1.
+
+    Defense-in-depth (the round-13 lesson, made structural): if the
+    loop exits at ``max_iters`` with changes still pending, RAISE
+    instead of returning silently-partial labels — every downstream
+    consumer (dedup reps, split assignment, cluster stats) treats
+    cluster_id as ground truth, and a partial labeling is exactly the
+    class of bug only an end-to-end verification column catches.
+    Unreachable below diameter 2^max_iters; reaching it means the
+    graph or the operator is broken, and loud beats plausible."""
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
@@ -671,6 +680,14 @@ def connected_components(
         labels = updated.drop("_changed")
         if no_change:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"pointer-jumping rounds (graph diameter > 2^{max_iters}"
+            f" or labels oscillating) — refusing to return a partial "
+            f"labeling; raise max_iters only after verifying the "
+            f"input pair graph"
+        )
     return labels
 
 
@@ -1626,8 +1643,9 @@ def deletion_slice(slice_df: DataFrame, count_cols: list[str]) -> DataFrame:
     keys, leaving the store bit-identical to one rebuilt from the
     surviving documents (pinned in tests/test_purge.py). Only valid
     for all-'sum' stores — min/max slices don't subtract; those
-    stores purge by rebuild or :func:`purge_batch_store` on their
-    row-grain form."""
+    stores purge via their row-grain companion + repair compaction
+    (:func:`purge_prompt_key_cluster` / :func:`purge_agg_store`) or
+    :func:`purge_batch_store` on a row-grain form."""
     out = slice_df
     for c in count_cols:
         out = out.withColumn(c, (-F.col(c)).cast("long"))
@@ -1890,4 +1908,215 @@ def prompt_clusters_from_store(spark, store_path: str) -> DataFrame:
         "pkey",
         F.col("n").alias("cluster_n"),
         F.col("min_doc").alias("rep_doc_id"),
+    )
+
+
+# --- erasure for the mixed-agg store family ------------------------
+# A min/max aggregate doesn't subtract (deletion_slice covers only
+# all-'sum' stores), so an aggregated (pkey, n, min_doc) store cannot
+# honor a right-to-erasure request from its own partials: erasing the
+# doc that IS a cluster's min_doc needs the next-smallest SURVIVOR,
+# which only doc-grain data knows. The design: a row-grain COMPANION
+# store of (pkey, doc_id) pairs — the erasable source of truth, a
+# purge_batch_store target — plus a repair compaction on the agg
+# store that re-derives ONLY the affected keys from the purged
+# companion. Erasure cost at 100 TB: one filtering compaction of the
+# companion + one agg-store compaction (both store-sized, no corpus
+# rescan), and the agg answering path (q240) is untouched.
+
+
+def prompt_key_pairs_slice(
+    docs: DataFrame,
+    prompt_tokens: int = PROMPT_KEY_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-grain (pkey, doc_id) membership for one batch — the
+    erasure companion of :func:`prompt_key_slice` (same key
+    derivation bit-for-bit, same empty-prompt exclusion)."""
+    prompt = F.concat_ws(" ", F.slice(tokens(text_col), 1, prompt_tokens))
+    return docs.filter(F.size(tokens(text_col)) > 0).select(
+        F.md5(prompt).alias("pkey"),
+        F.col(id_col).cast("long").alias("doc_id"),
+    )
+
+
+def prompt_key_pairs_store(
+    docs: DataFrame,
+    store_path: str,
+    batch_id: int,
+    prompt_tokens: int = PROMPT_KEY_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Publish one batch's (pkey, doc_id) companion partition —
+    batch_id-partitioned dynamic overwrite (replay-idempotent), the
+    same contract as the band-index batches, so
+    :func:`compact_batch_partitions` folds it and
+    :func:`purge_batch_store` erases from it."""
+    if batch_id < 0:
+        raise ValueError(f"batch_id must be >= 0 (got {batch_id})")
+    (
+        prompt_key_pairs_slice(docs, prompt_tokens, text_col, id_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(store_path)
+    )
+
+
+def _max_live_slice(store_path: str) -> int:
+    """Largest live batch<k> slice id in a slice_id-partitioned agg
+    store (driver-side listdir; -1 when none)."""
+    import os
+
+    best = -1
+    for d in os.listdir(store_path):
+        if d.startswith("slice_id=batch"):
+            k = d.split("slice_id=batch", 1)[1]
+            if k.isdigit():
+                best = max(best, int(k))
+    return best
+
+
+def purge_agg_store(
+    spark,
+    store_path: str,
+    upto_batch: int,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    drop_keys: DataFrame,
+    repair_df: DataFrame | None = None,
+    gc_grace_s: float = 0.0,
+) -> None:
+    """Repair compaction for a mixed-aggregate slice store: fold the
+    current compacted partition + every batch slice in (watermark,
+    ``upto_batch``] to totals, DROP every row whose key is in
+    ``drop_keys``, union ``repair_df`` (the recomputed totals for
+    affected keys that still have surviving members — key_cols +
+    agg cols, no slice_id), and publish as ``compacted<upto_batch>``
+    under the standard crash-safe watermark contract (publish →
+    atomic flip → GC; a reader never sees half a purge).
+
+    ``upto_batch`` must be a fresh slot above the watermark AND above
+    every live batch slice — a slice above it would re-add the erased
+    contribution after the repair (the purge_batch_store guard,
+    applied to the slice axis)."""
+    import os
+
+    wm = compaction_watermark(store_path)
+    if upto_batch <= wm:
+        raise ValueError(
+            f"purge_agg_store needs a fresh slot above the watermark "
+            f"(got upto_batch={upto_batch}, watermark={wm})"
+        )
+    max_live = max(wm, _max_live_slice(store_path))
+    if upto_batch <= max_live:
+        raise ValueError(
+            f"purge_agg_store needs upto_batch strictly above every "
+            f"live slice (got upto_batch={upto_batch}, live max "
+            f"batch{max_live}): a later slice would re-add the erased "
+            f"keys' contribution after the repair"
+        )
+    if gc_grace_s > 0:
+        gc_counting_slices(store_path, gc_grace_s)
+    store = spark.read.parquet(store_path)
+    num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+    folded = store.filter(
+        (F.col("slice_id") == f"compacted{wm}")
+        | ((num != "") & (num.cast("long") > wm) & (num.cast("long") <= upto_batch))
+    )
+    merged = (
+        folded.groupBy(*key_cols)
+        .agg(*_slice_agg_exprs(aggs))
+        .join(
+            F.broadcast(drop_keys.select(*key_cols).distinct()),
+            key_cols,
+            "left_anti",
+        )
+    )
+    if repair_df is not None:
+        merged = merged.unionByName(
+            repair_df.select(*key_cols, *aggs.keys())
+        )
+    merged = merged.withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+    tmp = _compaction_watermark_path(store_path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(upto_batch))
+    os.replace(tmp, _compaction_watermark_path(store_path))
+    _record_flip(store_path, upto_batch)
+    if gc_grace_s == 0:
+        gc_counting_slices(store_path, 0.0)
+
+
+def purge_prompt_key_cluster(
+    spark,
+    agg_store_path: str,
+    pairs_store_path: str,
+    ids,
+    upto_batch: int,
+    gc_grace_s: float = 0.0,
+) -> None:
+    """Right-to-erasure for the prompt-key cluster family (agg store
+    + row-grain companion), covering the case deletion_slice can't:
+    erasing a doc that IS its cluster's min_doc representative.
+
+    Steps (each individually crash-safe; a retry re-runs from the
+    top idempotently):
+    1. affected := distinct pkeys of the erased docs, read from the
+       live companion (store-sized semi-join, no corpus scan);
+    2. purge the companion (:func:`purge_batch_store` filtering
+       compaction) — row-grain truth now excludes the docs;
+    3. re-derive (n, min_doc) for ONLY the affected pkeys from the
+       purged companion; clusters with no survivor vanish;
+    4. repair-compact the agg store (:func:`purge_agg_store`): drop
+       affected keys, union the recomputed rows.
+
+    Post-condition (pinned in tests/test_purge.py and
+    tools/purge_lifecycle_drive.py): the agg store answers
+    bit-identically to one rebuilt from only the surviving
+    documents."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(v),) for v in ids], "doc_id long")
+    ids = ids.select("doc_id").distinct()
+    pairs_live = batch_watermark_filter(
+        spark.read.parquet(pairs_store_path), pairs_store_path
+    )
+    affected = (
+        pairs_live.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("pkey")
+        .distinct()
+        .localCheckpoint()  # pin BEFORE the companion purge flips
+    )
+    purge_batch_store(
+        spark, pairs_store_path, upto_batch, ids, "doc_id",
+        gc_grace_s=gc_grace_s,
+    )
+    survivors = batch_watermark_filter(
+        spark.read.parquet(pairs_store_path), pairs_store_path
+    )
+    repair = (
+        survivors.join(F.broadcast(affected), "pkey", "left_semi")
+        .groupBy("pkey")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+    )
+    purge_agg_store(
+        spark,
+        agg_store_path,
+        upto_batch,
+        ["pkey"],
+        PROMPT_KEY_AGGS,
+        drop_keys=affected,
+        repair_df=repair,
+        gc_grace_s=gc_grace_s,
     )

@@ -774,6 +774,7 @@ def prompt_key_ingest_stream(
     store_dir: str,
     checkpoint_dir: str,
     schema: StructType,
+    pairs_store_dir: str | None = None,
 ):
     """Streaming maintenance of the PROMPT-KEY CLUSTER store — the
     ninth stream-maintained artifact family, making the q233 SFT
@@ -787,9 +788,17 @@ def prompt_key_ingest_stream(
     ['pkey'], aggs=PROMPT_KEY_AGGS)`` folds old slices under the
     standard crash-safe watermark contract. Same checkpoint-loss
     caveat as every batch_id-keyed skip: the store and its
-    checkpoint are one integrity domain."""
+    checkpoint are one integrity domain.
+
+    ``pairs_store_dir`` (optional): also maintain the row-grain
+    (pkey, doc_id) ERASURE COMPANION (dedup.prompt_key_pairs_store)
+    on the same batch axis — required for right-to-erasure on this
+    family (min_doc doesn't subtract; dedup.purge_prompt_key_cluster
+    repairs the agg store from the purged companion). Without it the
+    agg store purges only by full rebuild."""
     from synthea_etl_spark.operators.dedup import (
         compaction_watermark,
+        prompt_key_pairs_store,
         prompt_key_store,
     )
 
@@ -799,6 +808,8 @@ def prompt_key_ingest_stream(
         if batch_id <= compaction_watermark(store_dir):
             return
         prompt_key_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
+        if pairs_store_dir is not None:
+            prompt_key_pairs_store(batch_df, pairs_store_dir, batch_id)
 
     return (
         spark.readStream.schema(schema)

@@ -559,7 +559,9 @@ FROM per_doc GROUP BY source
 # ---------------------------------------------------------------------------
 
 def q249_lsh_verified_pairs(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    verify_sample_fraction: float = 1.0,
 ) -> DataFrame:
     """q33's banded-MinHash candidate pairs verified by character
     edit distance: keep pairs with edit similarity
@@ -580,10 +582,40 @@ def q249_lsh_verified_pairs(
     identical to the oracle's unbounded expression while the DP
     computes only the width-(2t+1) diagonal band and abandons far
     pairs early (~2x on near pairs, more on band false
-    positives)."""
+    positives).
+
+    ``verify_sample_fraction`` bounds the DEGENERATE-CLIQUE case: a
+    corpus where near pairs are the majority (the tiled-replica
+    honesty record: 96.6 s at sf1) makes the verify side quadratic in
+    clique size — each candidate pays near-full-band DP. fraction < 1
+    md5-samples the candidate PAIRS deterministically before any text
+    is fetched (the q205/q206 knob, on the pair axis): a hash-stable
+    unbiased estimate of the pair set at fraction x the cost, never a
+    silent truncation — the fraction IS the report's stated coverage.
+    The gate runs fraction=1.0 (identity: every pair verified)."""
     from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
 
     pairs = q33_minhash_lsh_candidates(spark, sf_dir)
+    if verify_sample_fraction < 1.0:
+        bound = int(verify_sample_fraction * (1 << 32))
+        pairs = pairs.filter(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("id_a").cast("string"),
+                            F.col("id_b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            < F.lit(bound)
+        )
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     ta = d.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")

@@ -17,10 +17,13 @@ Jegou et al. 2011).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import synthea_etl_spark.operators.similarity as S
+import synthea_etl_spark.operators.text as T
+from synthea_etl_spark.operators.dedup import PROMPT_KEY_TOKENS
+from synthea_etl_spark.operators.util import rebalance_by_key
 from synthea_etl_spark.plans.common import QuerySpec, load
 from synthea_etl_spark.plans.llm23 import (
     MICRO,
@@ -28,6 +31,7 @@ from synthea_etl_spark.plans.llm23 import (
     _RANK_QUERIES,
     ranking_metrics_from_topk,
 )
+from synthea_etl_spark.plans.llm30 import ORACLE_Q257, q257_preference_pairs
 
 # q259 IVF geometry — q160's certified parameters (16 md5-seeded
 # centroids, 4-cell probe) so the quantizer is closed-form and the
@@ -162,6 +166,287 @@ FROM qrel qr LEFT JOIN per_q p USING (query_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# q260 preference-pair length-bias audit
+# ---------------------------------------------------------------------------
+
+def q260_preference_length_bias(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bias audit of the q257 preference pairs — the standard
+    RLHF data pathology (Singhal et al. 2023: reward models latch
+    onto response LENGTH; pairs where the chosen response is longer
+    teach verbosity, not quality): each confident pair annotated
+    with chosen/rejected token counts, the signed length delta, and
+    the chosen_longer flag a curation dashboard thresholds on.
+
+    100 TB shape: the pair frame is prompt-grain (tiny); the two
+    token-count lookups are broadcast-able id-keyed joins against a
+    (doc_id, n_tokens) projection read once — no second text pass
+    beyond the projection scan."""
+    pairs = q257_preference_pairs(spark, sf_dir)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(T.token_count("text") > 0)
+        .select("doc_id", T.token_count("text").cast("long").alias("_nt"))
+    )
+    return (
+        pairs.join(
+            toks.select(
+                F.col("doc_id").alias("chosen_id"),
+                F.col("_nt").alias("chosen_tokens"),
+            ),
+            "chosen_id",
+        )
+        .join(
+            toks.select(
+                F.col("doc_id").alias("rejected_id"),
+                F.col("_nt").alias("rejected_tokens"),
+            ),
+            "rejected_id",
+        )
+        .select(
+            "prompt_key",
+            "chosen_id",
+            "rejected_id",
+            "margin_milli",
+            "chosen_tokens",
+            "rejected_tokens",
+            (F.col("chosen_tokens") - F.col("rejected_tokens")).alias(
+                "len_delta_tokens"
+            ),
+            (F.col("chosen_tokens") > F.col("rejected_tokens")).alias(
+                "chosen_longer"
+            ),
+        )
+    )
+
+
+ORACLE_Q260 = f"""
+WITH pairs AS ({ORACLE_Q257}),
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS nt
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT p.prompt_key, p.chosen_id, p.rejected_id, p.margin_milli,
+       tc.nt AS chosen_tokens, tr.nt AS rejected_tokens,
+       CAST(tc.nt - tr.nt AS BIGINT) AS len_delta_tokens,
+       tc.nt > tr.nt AS chosen_longer
+FROM pairs p
+JOIN toks tc ON tc.doc_id = p.chosen_id
+JOIN toks tr ON tr.doc_id = p.rejected_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q261 reward-vs-length correlation per source
+# ---------------------------------------------------------------------------
+
+def q261_reward_length_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-level companion to q260: per source, the Pearson
+    correlation and least-squares slope of reward vs token count
+    over ALL responses (not just the selected pairs) — a reward
+    model whose scores correlate with length before any pair
+    selection is biased at the source. Exact moment accumulation
+    (n, Σx, Σy, Σxx, Σxy, Σyy as int64 through decimal(38,0) —
+    the q58 discipline: partial-agg friendly, order-independent)
+    with the double derivation in one fixed expression order, so
+    the result is bit-stable at any parallelism and the DuckDB twin
+    hashes identically. x centered at 90 tokens, y is already
+    near-centered (rewards are ~uniform in [-1000, 1000])."""
+    d = load(spark, sf_dir, "documents").filter(T.token_count("text") > 0)
+    reward = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
+            " STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
+        )
+        - 1000
+    )
+    base = d.select(
+        "source",
+        (T.token_count("text").cast("long") - 90).alias("xi"),
+        reward.cast("long").alias("yi"),
+    )
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(big(F.col("xi"))).cast("double").alias("_sx"),
+        F.sum(big(F.col("yi"))).cast("double").alias("_sy"),
+        F.sum(big(F.col("xi") * F.col("xi"))).cast("double").alias("_sxx"),
+        F.sum(big(F.col("xi") * F.col("yi"))).cast("double").alias("_sxy"),
+        F.sum(big(F.col("yi") * F.col("yi"))).cast("double").alias("_syy"),
+    )
+    nn = F.col("n_docs").cast("double")
+    cov = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    varx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vary = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        "source",
+        "n_docs",
+        F.floor(F.round(cov / F.sqrt(varx * vary), 6) * MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("corr_micro"),
+        F.floor(F.round(cov / varx, 6) * MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("slope_milli_per_token_micro"),
+        F.floor(
+            F.round(F.col("_sx") / nn + F.lit(90.0), 6) * MICRO + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_tokens_micro"),
+        F.floor(F.round(F.col("_sy") / nn, 6) * MICRO + F.lit(0.5))
+        .cast("long")
+        .alias("mean_reward_milli_micro"),
+    )
+
+
+ORACLE_Q261 = f"""
+WITH base AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) - 90
+           AS xi,
+         CAST(concat('0x', substr(md5('rw' || doc_id), 1, 8)) AS BIGINT)
+           % 2001 - 1000 AS yi
+  FROM documents WHERE length(trim(text)) > 0
+),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CAST(SUM(xi) AS HUGEINT) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(yi) AS HUGEINT) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(xi * xi) AS HUGEINT) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(xi * yi) AS HUGEINT) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(yi * yi) AS HUGEINT) AS DOUBLE) AS syy
+  FROM base GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(floor(round((n_docs * sxy - sx * sy) /
+            sqrt((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)), 6)
+            * {MICRO} + 0.5) AS BIGINT) AS corr_micro,
+       CAST(floor(round((n_docs * sxy - sx * sy) /
+            (n_docs * sxx - sx * sx), 6) * {MICRO} + 0.5) AS BIGINT)
+         AS slope_milli_per_token_micro,
+       CAST(floor(round(sx / n_docs + 90.0, 6) * {MICRO} + 0.5) AS BIGINT)
+         AS mean_tokens_micro,
+       CAST(floor(round(sy / n_docs, 6) * {MICRO} + 0.5) AS BIGINT)
+         AS mean_reward_milli_micro
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q262 best-of-n uplift curve
+# ---------------------------------------------------------------------------
+
+_BON_NS = (1, 2, 4, 8)
+
+
+def q262_bon_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection-sampling uplift curve (Stiennon et al.
+    2020 appendix; Nakano et al. 2021 WebGPT §3.3): per n in
+    {1,2,4,8}, over prompt groups with >= n responses, the mean of
+    max(reward of the first n responses in doc_id arrival order) —
+    the measured value of sampling n completions and keeping the
+    best, the curve that prices how many samples per prompt the
+    labeling budget should buy.
+
+    100 TB shape: ONE prompt-key exchange (the q257/q210 window
+    shape) carries the arrival ranking; the conditional maxes
+    collapse to prompt grain map-side and the curve is a 4-row
+    aggregate over group grain."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).filter(T.token_count("text") > 0)
+    reward = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
+            " STRING))), 1, 8), 16, 10) AS BIGINT) % 2001"
+        )
+        - 1000
+    )
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(T.tokens("text"), 1, PROMPT_KEY_TOKENS))
+        ).alias("prompt_key"),
+        reward.cast("long").alias("_r"),
+    )
+    w = Window.partitionBy("prompt_key").orderBy("doc_id")
+    ranked = keyed.select(
+        "prompt_key", "_r", F.row_number().over(w).alias("_rn")
+    )
+    grp = ranked.groupBy("prompt_key").agg(
+        F.count("*").cast("long").alias("_sz"),
+        *[
+            F.max(F.when(F.col("_rn") <= n, F.col("_r"))).alias(f"_b{n}")
+            for n in _BON_NS
+        ],
+    )
+    stacked = grp.select(
+        "_sz",
+        F.expr(
+            "stack(4, "
+            + ", ".join(
+                f"CAST({n} AS BIGINT), _b{n}" for n in _BON_NS
+            )
+            + ") AS (n, best)"
+        ),
+    ).filter(F.col("n") <= F.col("_sz"))
+    return (
+        stacked.groupBy("n")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("best").cast("long").alias("_sb"),
+        )
+        .select(
+            "n",
+            "n_groups",
+            F.expr(
+                f"(_sb + 1000 * n_groups) * {MICRO} div n_groups"
+                f" - 1000 * {MICRO}"
+            )
+            .cast("long")
+            .alias("mean_best_reward_milli_micro"),
+        )
+    )
+
+
+ORACLE_Q262 = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(
+             string_split_regex(trim(text), '\\s+')[1:{PROMPT_KEY_TOKENS}],
+             ' ')) AS prompt_key,
+         CAST(concat('0x', substr(md5('rw' || doc_id), 1, 8)) AS BIGINT)
+           % 2001 - 1000 AS r
+  FROM documents WHERE length(trim(text)) > 0
+),
+ranked AS (
+  SELECT prompt_key, r,
+         row_number() OVER (PARTITION BY prompt_key ORDER BY doc_id)
+           AS rn
+  FROM keyed
+),
+grp AS (
+  SELECT prompt_key,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         {", ".join(f"MAX(r) FILTER (WHERE rn <= {n}) AS b{n}" for n in _BON_NS)}
+  FROM ranked GROUP BY prompt_key
+),
+stacked AS (
+  {" UNION ALL ".join(f"SELECT CAST({n} AS BIGINT) AS n, b{n} AS best, sz FROM grp" for n in _BON_NS)}
+)
+SELECT n, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST((SUM(best) + 1000 * COUNT(*)) * {MICRO} // COUNT(*)
+            - 1000 * {MICRO} AS BIGINT) AS mean_best_reward_milli_micro
+FROM stacked WHERE n <= sz GROUP BY n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q259_ranking_metrics_ann": QuerySpec(
         q259_ranking_metrics_ann,
@@ -169,5 +454,26 @@ QUERIES: dict[str, QuerySpec] = {
         "MRR + NDCG@10 per query over the seeded-IVF ANN ranking —"
         " q239's metric plumbing on the production candidate path",
         ("llm", "similarity", "eval"),
+    ),
+    "q260_preference_length_bias": QuerySpec(
+        q260_preference_length_bias,
+        ORACLE_Q260,
+        "length-bias audit of the preference pairs: token deltas and"
+        " the chosen_longer flag per confident pair",
+        ("llm", "posttrain", "governance"),
+    ),
+    "q261_reward_length_corr": QuerySpec(
+        q261_reward_length_corr,
+        ORACLE_Q261,
+        "per-source Pearson corr + slope of reward vs response"
+        " length from exact int64 moments",
+        ("llm", "posttrain", "governance"),
+    ),
+    "q262_bon_uplift": QuerySpec(
+        q262_bon_uplift,
+        ORACLE_Q262,
+        "best-of-n rejection-sampling uplift curve over prompt"
+        " groups with >= n responses",
+        ("llm", "posttrain", "eval"),
     ),
 }

@@ -181,6 +181,42 @@ def test_lsh_verified_pairs_keeps_and_scores(spark, tmp_path):
     assert not any(3 in k for k in rows)
 
 
+def test_lsh_verify_sample_fraction_bounds_and_nests(spark):
+    """The degenerate-clique bound: fraction=1.0 is the identity
+    (the gate path), a fraction < 1 selects a deterministic,
+    hash-stable SUBSET of the verified pairs (same rows, same
+    scores), and the selection is by pair — rerunning gives the
+    same subset."""
+    from synthea_etl_spark.plans.llm27 import q249_lsh_verified_pairs
+
+    full = {
+        tuple(r)
+        for r in q249_lsh_verified_pairs(spark, SF_DIR).collect()
+    }
+    ident = {
+        tuple(r)
+        for r in q249_lsh_verified_pairs(
+            spark, SF_DIR, verify_sample_fraction=1.0
+        ).collect()
+    }
+    assert ident == full
+    half = {
+        tuple(r)
+        for r in q249_lsh_verified_pairs(
+            spark, SF_DIR, verify_sample_fraction=0.5
+        ).collect()
+    }
+    assert half <= full
+    assert len(half) < len(full) or not full
+    rerun = {
+        tuple(r)
+        for r in q249_lsh_verified_pairs(
+            spark, SF_DIR, verify_sample_fraction=0.5
+        ).collect()
+    }
+    assert rerun == half
+
+
 def test_calibration_table_is_internally_consistent(spark):
     """On the real corpus: one base rate shared by every row,
     pass_micro the exact integer ratio, gap the absolute

@@ -105,6 +105,25 @@ def test_connected_components_converges_on_long_chain(spark):
     assert {r.cluster_id for r in labels} == {0}
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """Defense-in-depth for the same bug class: exiting at max_iters
+    with changes pending must RAISE, never return a silently-partial
+    labeling (every consumer treats cluster_id as ground truth)."""
+    import pytest
+
+    from synthea_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
+    # and the guard does not fire on a converged run at a tight but
+    # sufficient bound: 64 hops needs ~log2(64)+slack jump rounds
+    ok = connected_components(pairs, max_iters=10).collect()
+    assert {r.cluster_id for r in ok} == {0}
+
+
 def test_llm29_match_duckdb_on_testdata(duck, spark):
     from synthea_etl_spark.plans.llm29 import QUERIES
 

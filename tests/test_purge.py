@@ -220,6 +220,68 @@ def test_deletion_slice_token_store_matches_rebuild(spark, tmp_path):
     assert drift_purged == drift_rebuilt
 
 
+def test_purge_prompt_key_cluster_matches_rebuild(spark, tmp_path):
+    """Erasure for the MIXED-AGG store family: erase docs including
+    one that IS its cluster's min_doc representative — the case
+    deletion_slice can't express (min doesn't subtract). The repaired
+    agg store must answer bit-identically to one rebuilt from only
+    the surviving documents: the representative moves to the next
+    smallest survivor, a fully-erased cluster vanishes, untouched
+    clusters keep their rows."""
+    from synthea_etl_spark.operators.dedup import (
+        prompt_clusters_from_store,
+        prompt_key_pairs_store,
+        prompt_key_store,
+        purge_prompt_key_cluster,
+    )
+
+    # prompts: docs 0,2,4 share prompt A (rep=0); 1,3 share B (rep=1);
+    # 5 alone on C. Erase {0 (A's REPRESENTATIVE), 5 (all of C)}.
+    texts = {
+        0: "alpha beta shared prompt a",
+        2: "alpha beta shared prompt a",
+        4: "alpha beta shared prompt a",
+        1: "gamma delta shared prompt b",
+        3: "gamma delta shared prompt b",
+        5: "epsilon zeta lone prompt c",
+    }
+    docs = _docs(spark, sorted(texts.items()))
+    agg = str(tmp_path / "pk_agg")
+    pairs = str(tmp_path / "pk_pairs")
+    for bid, lo, hi in [(1, 0, 3), (2, 3, 6)]:
+        b = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        prompt_key_store(b, agg, slice_id=f"batch{bid}")
+        prompt_key_pairs_store(b, pairs, bid)
+    erased = {0, 5}
+    purge_prompt_key_cluster(spark, agg, pairs, erased, 3)
+    got = {
+        tuple(r)
+        for r in prompt_clusters_from_store(spark, agg).collect()
+    }
+    rebuilt = str(tmp_path / "pk_rebuilt")
+    prompt_key_store(
+        docs.filter(~F.col("doc_id").isin(*erased)), rebuilt, "batch1"
+    )
+    want = {
+        tuple(r)
+        for r in prompt_clusters_from_store(spark, rebuilt).collect()
+    }
+    assert got == want
+    # the representative actually moved (cluster A: 0 -> 2) and the
+    # lone cluster vanished
+    reps = {r.pkey: r.rep_doc_id for r in
+            prompt_clusters_from_store(spark, agg).collect()}
+    assert set(reps.values()) == {1, 2}
+    sizes = sorted(
+        r.cluster_n for r in
+        prompt_clusters_from_store(spark, agg).collect()
+    )
+    assert sizes == [2, 2]
+    # consumed slot replay raises (both halves guard it)
+    with pytest.raises(ValueError):
+        purge_prompt_key_cluster(spark, agg, pairs, {2}, 3)
+
+
 def test_deletion_slice_rejects_nothing_but_negates(spark):
     from synthea_etl_spark.operators.dedup import deletion_slice
 

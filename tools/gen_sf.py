@@ -89,6 +89,18 @@ def _organic_text(mult: int, max_doc_id: int) -> str:
     copy-specific marker — shingle overlap stays high); otherwise an
     independent md5 token soup (60-119 tokens, negligible overlap).
 
+    PREFERENCE-PAIR SHAPE (round-13 VERDICT ask #8): in-cluster
+    mutations SKIP the first 8 tokens — the q233/q257 prompt key —
+    so every organic near-dup cluster doubles as a multi-response
+    PROMPT GROUP (same prompt, divergent responses, md5-seeded
+    reward spread via q257's doc_id-keyed rewards). This gives the
+    post-training family (q257 preference pairs, q232/q233/q240
+    prompt dedup) organic group structure at scale instead of the
+    tiled replicas' all-or-nothing cliques. (Banner hosts add a
+    second, heavier-tailed group shape: all banner docs on one host
+    share the banner-led prompt key — the realistic boilerplate-
+    prompt pathology.)
+
     PER-HOST BOILERPLATE (round-11 VERDICT #9): ~40% of docs
     (seeded) get a host-specific 10-token banner PREPENDED — exactly
     one _LINE_W chunk, so prepending keeps every later chunk
@@ -112,7 +124,7 @@ def _organic_text(mult: int, max_doc_id: int) -> str:
     mutated = (
         "array_to_string(list_transform("
         "string_split_regex(trim(text), '\\s+'),"
-        " (t, j) -> CASE WHEN (j + i) % 12 = 0 THEN 'm' ||"
+        " (t, j) -> CASE WHEN j > 8 AND (j + i) % 12 = 0 THEN 'm' ||"
         " CAST(i AS VARCHAR) ELSE t END), ' ')"
     )
     body = (

@@ -13,6 +13,13 @@ rebuilt from only the surviving documents.
    (fresh batch slot, versioned generation, watermark flip), and
    assert the surviving row set equals the rebuilt index — then
    verify a replayed purge retry raises on the consumed slot.
+3. MIXED-AGG store (prompt-key clusters, the round-13 gap): ingest
+   the agg store + its row-grain erasure companion via the stream,
+   erase a set guaranteed to include cluster REPRESENTATIVES
+   (min_doc members — the case a negative slice cannot express),
+   run the repair compaction (purge_prompt_key_cluster), and assert
+   the cluster view matches a store rebuilt from only the
+   survivors; then verify the consumed-slot replay raises.
 
 Usage: python tools/purge_lifecycle_drive.py \
            [--master local-cluster[2,4,4096]] [--out <json>]
@@ -46,11 +53,17 @@ from synthea_etl_spark.operators.dedup import (  # noqa: E402
     deletion_slice,
     drift_from_token_store,
     minhash_signature,
+    prompt_clusters_from_store,
+    prompt_key_store,
     purge_batch_store,
+    purge_prompt_key_cluster,
     token_stats_slice,
     token_stats_store,
 )
-from synthea_etl_spark.pipeline import token_stats_ingest_stream  # noqa: E402
+from synthea_etl_spark.pipeline import (  # noqa: E402
+    prompt_key_ingest_stream,
+    token_stats_ingest_stream,
+)
 from synthea_etl_spark.session import get_session  # noqa: E402
 
 
@@ -191,6 +204,69 @@ def main() -> None:
     except ValueError:
         slot_guard = True
 
+    # --- mixed-agg store erasure: repair compaction ------------------
+    pk_agg = os.path.join(work, "pk_agg")
+    pk_pairs = os.path.join(work, "pk_pairs")
+    pk_rebuilt = os.path.join(work, "pk_rebuilt")
+    pk_landing = os.path.join(work, "pk_landing")
+    pk_ckpt = os.path.join(work, "pk_ckpt")
+    os.makedirs(pk_landing)
+
+    def pk_land_and_run(bi, rows):
+        with open(os.path.join(pk_landing, f"b{bi}.json"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r.doc_id,
+                            "source": r.source,
+                            "text": r.text,
+                        }
+                    )
+                    + "\n"
+                )
+        prompt_key_ingest_stream(
+            spark, pk_landing, pk_agg, pk_ckpt, schema,
+            pairs_store_dir=pk_pairs,
+        ).awaitTermination(300)
+
+    pk_land_and_run(0, batches[0])
+    pk_land_and_run(1, batches[1])
+    for bi in range(2, len(batches)):
+        pk_land_and_run(bi, batches[bi])
+
+    # erasure set: the REPRESENTATIVES (min_doc) of the 20 largest
+    # clusters — exactly the rows a negative slice cannot erase —
+    # plus a deterministic scatter of non-representatives
+    pre = prompt_clusters_from_store(spark, pk_agg)
+    rep_ids = [
+        r.rep_doc_id
+        for r in pre.orderBy(F.desc("cluster_n"), "pkey").limit(20).collect()
+    ]
+    scatter = [r.doc_id for r in docs if r.doc_id % 29 == 7][:20]
+    pk_erase = sorted(set(rep_ids) | set(scatter))
+    purge_prompt_key_cluster(
+        spark, pk_agg, pk_pairs, pk_erase,
+        len(batches),  # fresh slot above every ingested batch id
+    )
+    pk_survivors = docs_df.filter(~F.col("doc_id").isin(pk_erase))
+    prompt_key_store(pk_survivors, pk_rebuilt, "batch1")
+    got_pk = {
+        tuple(r) for r in prompt_clusters_from_store(spark, pk_agg).collect()
+    }
+    want_pk = {
+        tuple(r)
+        for r in prompt_clusters_from_store(spark, pk_rebuilt).collect()
+    }
+    pk_match = got_pk == want_pk
+    pk_slot_guard = False
+    try:
+        purge_prompt_key_cluster(
+            spark, pk_agg, pk_pairs, [1], len(batches)
+        )
+    except ValueError:
+        pk_slot_guard = True
+
     report = {
         "master": args.master,
         "n_executors": n_exec,
@@ -209,6 +285,15 @@ def main() -> None:
             "consumed_slot_guard_raises": slot_guard,
             "watermark": compaction_watermark(bands),
         },
+        "prompt_key_store": {
+            "n_erased": len(pk_erase),
+            "n_representatives_erased": len(set(rep_ids)),
+            "repaired_clusters_match_rebuild": pk_match,
+            "clusters": len(got_pk),
+            "consumed_slot_guard_raises": pk_slot_guard,
+            "agg_watermark": compaction_watermark(pk_agg),
+            "pairs_watermark": compaction_watermark(pk_pairs),
+        },
     }
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
@@ -222,6 +307,8 @@ def main() -> None:
         and band_match
         and slot_guard
         and store_rows == rebuilt_rows
+        and pk_match
+        and pk_slot_guard
     )
     if not ok:
         raise SystemExit("purge lifecycle drive diverged")
