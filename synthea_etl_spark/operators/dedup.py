@@ -2056,6 +2056,126 @@ def purge_agg_store(
         gc_counting_slices(store_path, 0.0)
 
 
+# --- length-quantile histogram store (10th stream-maintained -------
+# --- family): mergeable log-binned histograms -> approximate --------
+# --- quantiles with a PROVEN relative error bound -------------------
+#
+# Quantile monitoring at 100 TB can't sort, and generic sketches
+# (t-digest, KLL) have merge orders that break bit-reproducibility.
+# A LOG-BINNED histogram is the deterministic mergeable alternative:
+# bin ids are pure integer arithmetic (msb + 3 sub-bits, ~12.5%
+# geometric bin width), per-bin counts are ADDITIVE — the store rides
+# compact_counting_slices / counting_store_totals / deletion_slice
+# unchanged (erasure is free: all-'sum'), and any quantile is a
+# store-sized cumulative walk whose answer is the bin's exact lower
+# bound — error provably < one bin width, identically on any engine.
+
+_LOG_BIN_SQL = (
+    "CASE WHEN {v} < 8 THEN {v} ELSE (length(bin({v})) - 1) * 8"
+    " + (shiftright({v}, cast(length(bin({v})) - 1 - 3 as int)) & 7) END"
+)
+
+# bin id -> exact lower bound (the quantile estimate): ids < 8 are
+# the value itself; id = msb*8 + sub covers [(8+sub) << (msb-3), ...)
+_LOG_BIN_LB_SQL = (
+    "CASE WHEN {b} < 8 THEN {b}"
+    " ELSE shiftleft(8 + ({b} % 8), cast({b} div 8 - 3 as int)) END"
+)
+
+
+def log_bin(col_name: str) -> Column:
+    """Deterministic log-scale bin id for a positive integer column
+    (by NAME — the expression is SQL-templated): values < 8 bin
+    exactly to themselves; otherwise msb*8 + top-3-sub-bits
+    (geometric bins, width factor 2^(1/8) ~ 12.5%). Pure integer
+    codegen — identical in Spark and ANSI SQL."""
+    return F.expr(_LOG_BIN_SQL.format(v=col_name)).cast("long")
+
+
+def length_hist_slice(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One batch's additive (source, b, c) histogram rows of doc
+    token counts — the quantile store's mergeable partial. Empty
+    docs are excluded (token count 0 carries no length signal)."""
+    n = F.size(tokens(text_col)).cast("long")
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select("source", n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select("source", log_bin("_n").alias("b"))
+        .groupBy("source", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def length_hist_store(
+    docs: DataFrame, store_path: str, slice_id: str, text_col: str = "text"
+) -> None:
+    """Publish one batch's histogram slice (same naming + idempotent
+    dynamic-overwrite contract as token_stats_store; compact with
+    compact_counting_slices(keys=['source','b'], count='c');
+    erasure: deletion_slice(length_hist_slice(deleted), ['c']) —
+    all-additive, so the negative-slice path applies verbatim)."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            f"length_hist_store slice_id must be 'batch<k>' (got {slice_id!r})"
+        )
+    (
+        length_hist_slice(docs, text_col)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def quantiles_from_hist_store(
+    spark, store_path: str, q_permilles: list[int]
+) -> DataFrame:
+    """Approximate per-source quantiles answered FROM THE STORE —
+    store-sized arithmetic, the corpus is never rescanned: for each
+    q (permille), the exact lower bound of the bin containing the
+    ceil(q/1000 * n)-th smallest value. Guarantee: the true value v
+    satisfies approx <= v < approx * 2^(1/8) + 1 (one bin width) —
+    the bound a monitoring dashboard thresholds against. Returns
+    (source, q_permille, n_docs, approx)."""
+    from pyspark.sql import Window
+
+    totals = counting_store_totals(spark, store_path, ["source", "b"], "c")
+    w = Window.partitionBy("source").orderBy("b")
+    cum = totals.select(
+        "source",
+        "b",
+        F.sum("c").over(w).cast("long").alias("_cum"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias(
+            "n_docs"
+        ),
+    )
+    qf = F.explode(
+        F.array(*[F.lit(int(q)) for q in q_permilles])
+    ).alias("q_permille")
+    hit = (
+        cum.select("source", "b", "_cum", "n_docs", qf)
+        .filter(
+            F.col("_cum")
+            >= F.expr("(q_permille * n_docs + 999) div 1000")
+        )
+        .groupBy("source", "q_permille")
+        .agg(
+            F.min("n_docs").cast("long").alias("n_docs"),
+            F.min("b").alias("_b"),
+        )
+    )
+    return hit.select(
+        "source",
+        "q_permille",
+        "n_docs",
+        F.expr(_LOG_BIN_LB_SQL.format(b="_b")).cast("long").alias("approx"),
+    )
+
+
 def purge_prompt_key_cluster(
     spark,
     agg_store_path: str,

@@ -768,6 +768,48 @@ def token_stats_ingest_stream(
     )
 
 
+def length_hist_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the LENGTH-QUANTILE HISTOGRAM store —
+    the tenth stream-maintained artifact family: each micro-batch
+    publishes its own (source, log-bin, count) histogram partial as
+    one slice partition (operators/dedup.length_hist_store — dynamic
+    overwrite, replay-idempotent). Bins are pure-integer log-scale
+    (~12.5% width), counts are ADDITIVE, so
+    ``dedup.quantiles_from_hist_store`` answers any per-source
+    quantile with a proven one-bin error bound from store-sized
+    arithmetic, ``dedup.compact_counting_slices(keys=['source','b'],
+    count='c')`` folds old slices, and right-to-erasure rides the
+    negative-slice path verbatim (all-'sum' store). Same
+    checkpoint-loss caveat as every batch_id-keyed skip."""
+    from synthea_etl_spark.operators.dedup import (
+        compaction_watermark,
+        length_hist_store,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= compaction_watermark(store_dir):
+            return
+        length_hist_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def prompt_key_ingest_stream(
     spark: SparkSession,
     landing_dir: str,

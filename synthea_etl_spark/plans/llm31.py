@@ -447,6 +447,432 @@ FROM stacked WHERE n <= sz GROUP BY n
 """
 
 
+# ---------------------------------------------------------------------------
+# q263 matryoshka truncation audit
+# ---------------------------------------------------------------------------
+
+_MRL_WIDTHS = (16, 32, 48)
+
+
+def q263_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022, MRL): per
+    truncation width w in {16,32,48}, the distribution of the
+    prefix-energy fraction sqrt(sum_{i<w} x_i^2 / sum_all x_i^2) —
+    which IS cosine(full, zero-padded truncation), the retrieval
+    quality proxy that decides whether serving can run at w dims.
+    Exact int64: per-dim squared terms quantized at 9 dp and summed
+    (the q258 distance discipline — never a float reduction over
+    dims), fractions derived in one fixed double expression.
+
+    100 TB shape: one posexplode pass with FOUR conditional sums
+    riding the vec_id partitioning (pure codegen — the q246 lesson:
+    HOF lambdas evaluate interpreted per element, a 64-dim explode
+    with whole-stage codegen beats them); the report is a 3-row
+    aggregate over width grain."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    term = F.floor(x * x * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per_vec = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select("vec_id", "pos", term.alias("_t"))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("pos") < w, F.col("_t")).otherwise(0))
+                .cast("long")
+                .alias(f"_e{w}")
+                for w in _MRL_WIDTHS
+            ],
+            F.sum("_t").cast("long").alias("_eall"),
+        )
+        .filter(F.col("_eall") > 0)
+    )
+    stacked = per_vec.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(
+                f"CAST({w} AS BIGINT), _e{w}" for w in _MRL_WIDTHS
+            )
+            + ") AS (width, ew)"
+        ),
+        "_eall",
+    )
+    frac = (
+        F.floor(
+            F.round(
+                F.sqrt(
+                    F.col("ew").cast("double") / F.col("_eall").cast("double")
+                ),
+                6,
+            )
+            * MICRO
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_f")
+    )
+    return (
+        stacked.select("width", frac)
+        .groupBy("width")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr(f"sum(_f) div count(*)").cast("long").alias(
+                "mean_fraction_micro"
+            ),
+            F.min("_f").cast("long").alias("min_fraction_micro"),
+        )
+    )
+
+
+ORACLE_Q263 = f"""
+WITH terms AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * x * 1e9 + 0.5) AS BIGINT))
+           AS t
+  FROM embeddings
+),
+per_vec AS (
+  SELECT vec_id,
+         {", ".join(f"CAST(list_sum(t[1:{w}]) AS BIGINT) AS e{w}" for w in _MRL_WIDTHS)},
+         CAST(list_sum(t) AS BIGINT) AS eall
+  FROM terms
+),
+stacked AS (
+  {" UNION ALL ".join(f"SELECT CAST({w} AS BIGINT) AS width, e{w} AS ew, eall FROM per_vec WHERE eall > 0" for w in _MRL_WIDTHS)}
+),
+fr AS (
+  SELECT width,
+         CAST(floor(round(sqrt(CAST(ew AS DOUBLE) / CAST(eall AS DOUBLE)),
+              6) * {MICRO} + 0.5) AS BIGINT) AS f
+  FROM stacked
+)
+SELECT width, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(f) // COUNT(*) AS BIGINT) AS mean_fraction_micro,
+       CAST(MIN(f) AS BIGINT) AS min_fraction_micro
+FROM fr GROUP BY width
+"""
+
+
+# ---------------------------------------------------------------------------
+# q264 fill-in-middle split accounting
+# ---------------------------------------------------------------------------
+
+def q264_fim_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle transformation accounting (Bavarian et al.
+    2022: reorder each doc to prefix-suffix-middle so an AR model
+    learns infilling): seeded split points — lo = 1 + h1 % (n-1),
+    span = 1 + h2 % (n - lo), both md5-derived from doc_id, so
+    prefix >= 1, middle >= 1, suffix >= 0 tokens — and per-source
+    totals of where the token mass lands. The split RULE is the
+    operator (the transform itself is a concat in PSM order); the
+    accounting is what a data-mix dashboard reads to check the
+    middle-span distribution isn't degenerate.
+
+    100 TB shape: zero joins, zero shuffles beyond the per-source
+    aggregate — token counts and both hashes are codegen expressions
+    on the rebalanced scan."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    )
+    n = T.token_count("text").cast("long")
+    h = lambda salt: F.expr(  # noqa: E731
+        f"CAST(conv(substring(md5(concat('{salt}', CAST(doc_id AS"
+        " STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    base = d.select(
+        "source",
+        n.alias("_n"),
+        h("f1").alias("_h1"),
+        h("f2").alias("_h2"),
+    )
+    split = (
+        base.filter(F.col("_n") >= 2)
+        .withColumn("_lo", F.lit(1) + F.col("_h1") % (F.col("_n") - 1))
+        .withColumn("_span", F.lit(1) + F.col("_h2") % (F.col("_n") - F.col("_lo")))
+    )
+    agg = split.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_fimable"),
+        F.sum("_n").cast("long").alias("fim_tokens"),
+        F.sum("_lo").cast("long").alias("prefix_tokens"),
+        F.sum("_span").cast("long").alias("middle_tokens"),
+        F.sum(F.col("_n") - F.col("_lo") - F.col("_span"))
+        .cast("long")
+        .alias("suffix_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_fimable",
+        "fim_tokens",
+        "prefix_tokens",
+        "middle_tokens",
+        "suffix_tokens",
+        F.expr(f"prefix_tokens * {MICRO} div fim_tokens")
+        .cast("long")
+        .alias("prefix_share_micro"),
+        F.expr(f"middle_tokens * {MICRO} div fim_tokens")
+        .cast("long")
+        .alias("middle_share_micro"),
+        F.expr(f"suffix_tokens * {MICRO} div fim_tokens")
+        .cast("long")
+        .alias("suffix_share_micro"),
+    )
+
+
+ORACLE_Q264 = f"""
+WITH base AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n,
+         CAST(concat('0x', substr(md5('f1' || doc_id), 1, 8)) AS BIGINT)
+           AS h1,
+         CAST(concat('0x', substr(md5('f2' || doc_id), 1, 8)) AS BIGINT)
+           AS h2
+  FROM documents WHERE length(trim(text)) > 0
+),
+split AS (
+  SELECT source, n,
+         1 + h1 % (n - 1) AS lo,
+         1 + h2 % (n - (1 + h1 % (n - 1))) AS span
+  FROM base WHERE n >= 2
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_fimable,
+         CAST(SUM(n) AS BIGINT) AS fim_tokens,
+         CAST(SUM(lo) AS BIGINT) AS prefix_tokens,
+         CAST(SUM(span) AS BIGINT) AS middle_tokens,
+         CAST(SUM(n - lo - span) AS BIGINT) AS suffix_tokens
+  FROM split GROUP BY source
+)
+SELECT source, n_fimable, fim_tokens, prefix_tokens, middle_tokens,
+       suffix_tokens,
+       CAST(prefix_tokens * {MICRO} // fim_tokens AS BIGINT)
+         AS prefix_share_micro,
+       CAST(middle_tokens * {MICRO} // fim_tokens AS BIGINT)
+         AS middle_share_micro,
+       CAST(suffix_tokens * {MICRO} // fim_tokens AS BIGINT)
+         AS suffix_share_micro
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q265 ablation-bucket manifest
+# ---------------------------------------------------------------------------
+
+_ABL_BUCKETS = 16
+
+
+def q265_ablation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-ablation manifest: every document assigned to one of 16
+    seeded hash arms (md5, salt 'ab' — disjoint and complete by
+    construction), per arm the doc/token counts and exact token
+    share — the sampling frame scaling-law data ablations train on
+    (one arm held out per run). Arms are doc_id-keyed, so any arm
+    union is reproducible at any scale without a manifest table.
+
+    100 TB shape: one narrow aggregate; the share denominator is a
+    16-row broadcast window."""
+    d = load(spark, sf_dir, "documents").filter(T.token_count("text") > 0)
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('ab', CAST(doc_id AS STRING))),"
+        " 1, 8), 16, 10) AS BIGINT) % 16"
+    )
+    per = (
+        d.select(bucket.alias("arm"), T.token_count("text").cast("long").alias("_nt"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    return per.select(
+        "arm",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"n_tokens * {MICRO} div sum(n_tokens) over ()")
+        .cast("long")
+        .alias("token_share_micro"),
+    )
+
+
+ORACLE_Q265 = f"""
+WITH per AS (
+  SELECT CAST(concat('0x', substr(md5('ab' || doc_id), 1, 8)) AS BIGINT)
+           % {_ABL_BUCKETS} AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0
+  GROUP BY 1
+)
+SELECT arm, n_docs, n_tokens,
+       CAST(n_tokens * {MICRO} // SUM(n_tokens) OVER () AS BIGINT)
+         AS token_share_micro
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# q266 length quantiles from the histogram store (10th stream family)
+# ---------------------------------------------------------------------------
+
+_QUANT_PERMILLES = (500, 900, 990)
+
+
+def q266_length_quantiles_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source p50/p90/p99 of document token length answered FROM
+    the log-binned histogram store (the tenth stream-maintained
+    family; dedup.length_hist_store / quantiles_from_hist_store),
+    through a mid-build compaction — each row carries the store's
+    approximate answer, the EXACT order statistic, and the
+    within_bound verification column proving the one-bin error
+    guarantee (approx <= exact <= approx + approx/8). The q255
+    in-result-verification discipline: the guarantee is checked in
+    the gated output, not asserted in prose.
+
+    100 TB shape: the production path is the store walk —
+    store-sized cumulative sums over ~80 bins x sources, no corpus
+    rescan, merge-exact across slices because bins are pure-integer
+    and counts additive (erasure rides deletion_slice free). The
+    exact side here is the gate-scale verification twin (a global
+    sort the store exists to avoid), the q240 adjudication."""
+    import shutil
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        compact_counting_slices,
+        length_hist_store,
+        quantiles_from_hist_store,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    store = tempfile.mkdtemp(prefix="q266_hist_store_")
+    try:
+        for b, pred in enumerate(
+            (
+                F.col("doc_id") % 3 == 0,
+                F.col("doc_id") % 3 == 1,
+                F.col("doc_id") % 3 == 2,
+            )
+        ):
+            length_hist_store(docs.filter(pred), store, f"batch{b}")
+            if b == 1:
+                compact_counting_slices(
+                    spark, store, 1, ["source", "b"], "c"
+                )
+        approx = quantiles_from_hist_store(
+            spark, store, list(_QUANT_PERMILLES)
+        )
+        base = (
+            docs.filter(F.length(F.trim("text")) > 0)
+            .select(
+                "doc_id",
+                "source",
+                T.token_count("text").cast("long").alias("_n"),
+            )
+            .filter(F.col("_n") > 0)
+        )
+        w = Window.partitionBy("source").orderBy("_n", "doc_id")
+        ranked = base.select(
+            "source", "_n", F.row_number().over(w).alias("_rn")
+        )
+        qf = F.explode(
+            F.array(*[F.lit(int(q)) for q in _QUANT_PERMILLES])
+        ).alias("q_permille")
+        exact = (
+            ranked.select("source", "_n", "_rn", qf)
+            .join(
+                approx.select("source", "q_permille", "n_docs"),
+                ["source", "q_permille"],
+            )
+            .filter(
+                F.col("_rn")
+                == F.expr("(q_permille * n_docs + 999) div 1000")
+            )
+            .select(
+                "source", "q_permille", F.col("_n").alias("exact")
+            )
+        )
+        out = approx.join(exact, ["source", "q_permille"]).select(
+            "source",
+            "q_permille",
+            "n_docs",
+            "approx",
+            "exact",
+            (F.col("exact") - F.col("approx")).alias("abs_err"),
+            (
+                (F.col("approx") <= F.col("exact"))
+                & (
+                    F.col("exact")
+                    <= F.col("approx") + F.expr("approx div 8")
+                )
+            ).alias("within_bound"),
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+ORACLE_Q266 = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (SELECT * FROM base WHERE n > 0),
+binned AS (
+  SELECT source,
+         CASE WHEN n < 8 THEN n ELSE (length(bin(n)) - 1) * 8
+              + ((n >> (length(bin(n)) - 1 - 3)) & 7) END AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, b,
+         CAST(SUM(c) OVER (PARTITION BY source ORDER BY b) AS BIGINT)
+           AS cm,
+         CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM binned
+),
+qs AS (SELECT UNNEST(ARRAY{list(_QUANT_PERMILLES)}) AS q_permille),
+hit AS (
+  SELECT source, q_permille, MIN(n_docs) AS n_docs, MIN(b) AS mb
+  FROM cum, qs
+  WHERE cm >= (q_permille * n_docs + 999) // 1000
+  GROUP BY source, q_permille
+),
+approx AS (
+  SELECT source, CAST(q_permille AS BIGINT) AS q_permille, n_docs,
+         CAST(CASE WHEN mb < 8 THEN mb
+              ELSE (8 + (mb % 8)) << (mb // 8 - 3) END AS BIGINT)
+           AS approx
+  FROM hit
+),
+ranked AS (
+  SELECT source, n,
+         row_number() OVER (PARTITION BY source ORDER BY n, doc_id)
+           AS rn
+  FROM pos
+),
+exact AS (
+  SELECT r.source, a.q_permille, r.n AS exact
+  FROM ranked r
+  JOIN approx a ON a.source = r.source
+  WHERE r.rn = (a.q_permille * a.n_docs + 999) // 1000
+)
+SELECT a.source, a.q_permille, a.n_docs, a.approx, e.exact,
+       CAST(e.exact - a.approx AS BIGINT) AS abs_err,
+       a.approx <= e.exact AND e.exact <= a.approx + a.approx // 8
+         AS within_bound
+FROM approx a JOIN exact e USING (source, q_permille)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q259_ranking_metrics_ann": QuerySpec(
         q259_ranking_metrics_ann,
@@ -475,5 +901,33 @@ QUERIES: dict[str, QuerySpec] = {
         "best-of-n rejection-sampling uplift curve over prompt"
         " groups with >= n responses",
         ("llm", "posttrain", "eval"),
+    ),
+    "q263_matryoshka_audit": QuerySpec(
+        q263_matryoshka_audit,
+        ORACLE_Q263,
+        "prefix-energy fraction distribution per Matryoshka"
+        " truncation width, exact int64 terms",
+        ("llm", "similarity", "governance"),
+    ),
+    "q264_fim_split_stats": QuerySpec(
+        q264_fim_split_stats,
+        ORACLE_Q264,
+        "fill-in-middle seeded split accounting per source:"
+        " prefix/middle/suffix token mass and shares",
+        ("llm", "text", "curation"),
+    ),
+    "q265_ablation_manifest": QuerySpec(
+        q265_ablation_manifest,
+        ORACLE_Q265,
+        "16-arm seeded data-ablation manifest with exact token"
+        " shares",
+        ("llm", "governance", "curation"),
+    ),
+    "q266_length_quantiles_from_store": QuerySpec(
+        q266_length_quantiles_from_store,
+        ORACLE_Q266,
+        "per-source length quantiles from the log-binned histogram"
+        " store with the in-result one-bin error-bound verification",
+        ("llm", "governance", "streaming"),
     ),
 }
