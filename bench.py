@@ -192,6 +192,15 @@ HEADLINE_OPT = [
     "q256_contamination_ci",
     "q257_preference_pairs",
     "q258_icl_order",
+    # round-14 family
+    "q259_ranking_metrics_ann",
+    "q260_preference_length_bias",
+    "q261_reward_length_corr",
+    "q262_bon_uplift",
+    "q263_matryoshka_audit",
+    "q264_fim_split_stats",
+    "q265_ablation_manifest",
+    "q266_length_quantiles_from_store",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -180,31 +180,30 @@ def q260_preference_length_bias(
     with chosen/rejected token counts, the signed length delta, and
     the chosen_longer flag a curation dashboard thresholds on.
 
-    100 TB shape: the pair frame is prompt-grain (tiny); the two
-    token-count lookups are broadcast-able id-keyed joins against a
-    (doc_id, n_tokens) projection read once — no second text pass
-    beyond the projection scan."""
+    100 TB shape: the pair frame is prompt-grain (at most one row
+    per multi-response prompt — tiny BY CONSTRUCTION), so both
+    token-count lookups BROADCAST the pair side and stream the
+    (doc_id, n_tokens) projection: two narrow corpus scans, zero
+    corpus-sized shuffles. (The hint matters: without it the
+    tiled-replica shape — every doc in a group — planned both joins
+    as full SMJs and measured 3.5x DuckDB; with it the corpus side
+    never sorts.)"""
     pairs = q257_preference_pairs(spark, sf_dir)
     toks = (
         load(spark, sf_dir, "documents")
         .filter(T.token_count("text") > 0)
         .select("doc_id", T.token_count("text").cast("long").alias("_nt"))
     )
+    j1 = toks.select(
+        F.col("doc_id").alias("chosen_id"),
+        F.col("_nt").alias("chosen_tokens"),
+    ).join(F.broadcast(pairs), "chosen_id")
     return (
-        pairs.join(
-            toks.select(
-                F.col("doc_id").alias("chosen_id"),
-                F.col("_nt").alias("chosen_tokens"),
-            ),
-            "chosen_id",
+        toks.select(
+            F.col("doc_id").alias("rejected_id"),
+            F.col("_nt").alias("rejected_tokens"),
         )
-        .join(
-            toks.select(
-                F.col("doc_id").alias("rejected_id"),
-                F.col("_nt").alias("rejected_tokens"),
-            ),
-            "rejected_id",
-        )
+        .join(F.broadcast(j1), "rejected_id")
         .select(
             "prompt_key",
             "chosen_id",
@@ -873,6 +872,454 @@ FROM approx a JOIN exact e USING (source, q_permille)
 """
 
 
+# ---------------------------------------------------------------------------
+# q267 length-distribution drift from the histogram store
+# ---------------------------------------------------------------------------
+
+# drift threshold: flag when p50 OR p90 moves by more than 2 bins
+# (~27% — two geometric bin widths) between the reference and the
+# live slices
+_LEN_DRIFT_PERMILLES = (500, 900)
+
+
+def q267_length_drift_from_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The monitoring query the histogram store EXISTS for: per
+    source, compare the length quantiles of the compacted REFERENCE
+    generation against the live post-watermark slices (the docs that
+    arrived since) and flag sources whose p50/p90 moved more than
+    two geometric bins — the q224 drift-from-store pattern on the
+    tenth family. A source whose median doc length halves mid-crawl
+    is a template change or an extraction regression; this catches
+    it from store-sized arithmetic, no corpus rescan, no batch
+    recompute.
+
+    Gate build: slices 0-1 (doc_id % 3 in {0,1}) are compacted as
+    the reference; slice 2 lands after — so ref quantiles read the
+    compacted partition and live quantiles read batch2, exercising
+    the watermark split the monitor depends on."""
+    import shutil
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        _LOG_BIN_LB_SQL,
+        compact_counting_slices,
+        compaction_watermark,
+        length_hist_store,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    store = tempfile.mkdtemp(prefix="q267_hist_store_")
+    try:
+        for b, pred in enumerate(
+            (
+                F.col("doc_id") % 3 == 0,
+                F.col("doc_id") % 3 == 1,
+                F.col("doc_id") % 3 == 2,
+            )
+        ):
+            length_hist_store(docs.filter(pred), store, f"batch{b}")
+            if b == 1:
+                compact_counting_slices(
+                    spark, store, 1, ["source", "b"], "c"
+                )
+        wm = compaction_watermark(store)
+        raw = spark.read.parquet(store)
+        num = F.regexp_extract("slice_id", r"^batch(\d+)$", 1)
+        ref = raw.filter(F.col("slice_id") == f"compacted{wm}")
+        live = raw.filter((num != "") & (num.cast("long") > wm))
+
+        def quants(hist: DataFrame, tag: str) -> DataFrame:
+            tot = hist.groupBy("source", "b").agg(
+                F.sum("c").cast("long").alias("c")
+            )
+            w = Window.partitionBy("source").orderBy("b")
+            cum = tot.select(
+                "source",
+                "b",
+                F.sum("c").over(w).cast("long").alias("_cum"),
+                F.sum("c")
+                .over(Window.partitionBy("source"))
+                .cast("long")
+                .alias("_n"),
+            )
+            qf = F.explode(
+                F.array(*[F.lit(int(q)) for q in _LEN_DRIFT_PERMILLES])
+            ).alias("q_permille")
+            hit = (
+                cum.select("source", "b", "_cum", "_n", qf)
+                .filter(
+                    F.col("_cum")
+                    >= F.expr("(q_permille * _n + 999) div 1000")
+                )
+                .groupBy("source", "q_permille")
+                .agg(F.min("b").alias("_b"))
+            )
+            return hit.select(
+                "source",
+                "q_permille",
+                F.col("_b").alias(f"bin_{tag}"),
+                F.expr(_LOG_BIN_LB_SQL.format(b="_b"))
+                .cast("long")
+                .alias(f"approx_{tag}"),
+            )
+        out = (
+            quants(ref, "ref")
+            .join(quants(live, "live"), ["source", "q_permille"])
+            .select(
+                "source",
+                "q_permille",
+                "approx_ref",
+                "approx_live",
+                (F.col("bin_live") - F.col("bin_ref")).alias("bin_shift"),
+                (
+                    F.abs(F.col("bin_live") - F.col("bin_ref")) > 2
+                ).alias("drifted"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+ORACLE_Q267 = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (SELECT * FROM base WHERE n > 0),
+tagged AS (
+  SELECT source, n,
+         CASE WHEN doc_id % 3 IN (0, 1) THEN 'ref' ELSE 'live' END AS gen,
+         CASE WHEN n < 8 THEN n ELSE (length(bin(n)) - 1) * 8
+              + ((n >> (length(bin(n)) - 1 - 3)) & 7) END AS b
+  FROM pos
+),
+binned AS (
+  SELECT gen, source, b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tagged GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT gen, source, b,
+         CAST(SUM(c) OVER (PARTITION BY gen, source ORDER BY b)
+              AS BIGINT) AS cm,
+         CAST(SUM(c) OVER (PARTITION BY gen, source) AS BIGINT) AS n_docs
+  FROM binned
+),
+qs AS (SELECT UNNEST(ARRAY{list(_LEN_DRIFT_PERMILLES)}) AS q_permille),
+hit AS (
+  SELECT gen, source, q_permille, MIN(b) AS mb
+  FROM cum, qs
+  WHERE cm >= (q_permille * n_docs + 999) // 1000
+  GROUP BY 1, 2, 3
+),
+lb AS (
+  SELECT gen, source, CAST(q_permille AS BIGINT) AS q_permille, mb,
+         CAST(CASE WHEN mb < 8 THEN mb
+              ELSE (8 + (mb % 8)) << (mb // 8 - 3) END AS BIGINT) AS approx
+  FROM hit
+)
+SELECT r.source, r.q_permille,
+       r.approx AS approx_ref, l.approx AS approx_live,
+       CAST(l.mb - r.mb AS BIGINT) AS bin_shift,
+       abs(l.mb - r.mb) > 2 AS drifted
+FROM lb r JOIN lb l ON r.source = l.source
+       AND r.q_permille = l.q_permille
+       AND r.gen = 'ref' AND l.gen = 'live'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q268 numeric-token audit
+# ---------------------------------------------------------------------------
+
+def q268_numeric_token_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-governance audit of NUMERIC content: per source,
+    the share of tokens containing digits, the share that are pure
+    integers, and the longest digit run — the numbers a tokenizer
+    team reads before choosing a digit-splitting policy (single-digit
+    splitting à la PaLM/Llama vs grouped): a corpus heavy in long
+    digit runs inflates fertility under single-digit splitting, and
+    a high pure-integer share makes right-to-left grouping
+    (Singh & Strouse 2024) worth the complexity.
+
+    100 TB shape: one explode + per-source aggregate riding the doc
+    partitioning; the digit-run scan is a regexp on the token (JVM
+    codegen), never a per-char lambda (the q246 lesson)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    tok = d.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    ).filter(F.length("t") > 0)
+    scored = tok.select(
+        "source",
+        F.col("t").rlike("[0-9]").alias("_has_digit"),
+        F.col("t").rlike("^[0-9]+$").alias("_pure_int"),
+        F.when(
+            F.col("t").rlike("[0-9]"),
+            F.array_max(
+                F.transform(
+                    F.regexp_extract_all(F.col("t"), F.lit("([0-9]+)"), 1),
+                    lambda s: F.length(s),
+                )
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("_run"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_has_digit"), 1).otherwise(0))
+        .cast("long")
+        .alias("digit_tokens"),
+        F.sum(F.when(F.col("_pure_int"), 1).otherwise(0))
+        .cast("long")
+        .alias("int_tokens"),
+        F.max("_run").cast("long").alias("max_digit_run"),
+        F.expr(
+            f"sum(CASE WHEN _has_digit THEN 1 ELSE 0 END) * {MICRO}"
+            " div count(*)"
+        )
+        .cast("long")
+        .alias("digit_share_micro"),
+    )
+
+
+ORACLE_Q268 = f"""
+WITH tok AS (
+  SELECT source, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+scored AS (
+  SELECT source,
+         regexp_matches(t, '[0-9]') AS has_digit,
+         regexp_matches(t, '^[0-9]+$') AS pure_int,
+         CASE WHEN regexp_matches(t, '[0-9]')
+              THEN list_max(list_transform(
+                   regexp_extract_all(t, '([0-9]+)', 1), s -> length(s)))
+              ELSE 0 END AS run
+  FROM tok WHERE length(t) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN has_digit THEN 1 ELSE 0 END) AS BIGINT)
+         AS digit_tokens,
+       CAST(SUM(CASE WHEN pure_int THEN 1 ELSE 0 END) AS BIGINT)
+         AS int_tokens,
+       CAST(MAX(run) AS BIGINT) AS max_digit_run,
+       CAST(SUM(CASE WHEN has_digit THEN 1 ELSE 0 END) * {MICRO}
+            // COUNT(*) AS BIGINT) AS digit_share_micro
+FROM scored GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q269 dedup survivor quality shift
+# ---------------------------------------------------------------------------
+
+def q269_dedup_quality_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does near-dup dedup BIAS quality? Per source: mean classifier
+    margin (q161's exact int64 score) over ALL docs vs over the
+    dedup SURVIVORS (min-doc-id representative per connected
+    near-dup cluster + all unclustered docs), and the shift — the
+    selection-effect audit a curation pipeline runs after flipping
+    on dedup (dedup that systematically drops high-quality docs is
+    misconfigured banding, not cleaning). Exact arithmetic: margins
+    are int64 milli-units; means are (sum + offset) div n with the
+    q254 non-negativity offset so engine/oracle floor-division
+    agrees.
+
+    100 TB shape: clusters ride the certified banded path (q33 →
+    CC, never all-pairs); the survivor frame is an anti-join on the
+    non-representative member list (cluster-sized, tiny next to the
+    corpus); both mean passes are per-source aggregates on the doc
+    partitioning."""
+    from synthea_etl_spark.operators.dedup import connected_components
+    from synthea_etl_spark.operators.retrieval import quality_model_score
+    from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
+
+    d = load(spark, sf_dir, "documents")
+    scored = quality_model_score(d, "text", "doc_id").select(
+        "doc_id", "raw_margin", "n_tokens"
+    )
+    src = d.select("doc_id", "source")
+    pairs = q33_minhash_lsh_candidates(spark, sf_dir)
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    base = scored.join(src, "doc_id")
+    surv = base.join(F.broadcast(dropped), "doc_id", "left_anti")
+
+    def mean_frame(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count("*").cast("long").alias(f"n_{tag}"),
+            F.expr(
+                f"(sum(raw_margin) + 1000 * sum(n_tokens)) * {MICRO}"
+                f" div (1000 * sum(n_tokens)) - {MICRO}"
+            )
+            .cast("long")
+            .alias(f"margin_{tag}_micro"),
+        )
+
+    return (
+        mean_frame(base, "all")
+        .join(mean_frame(surv, "kept"), "source")
+        .select(
+            "source",
+            "n_all",
+            "n_kept",
+            "margin_all_micro",
+            "margin_kept_micro",
+            (F.col("margin_kept_micro") - F.col("margin_all_micro")).alias(
+                "shift_micro"
+            ),
+        )
+    )
+
+
+def _oracle_q269() -> str:
+    from synthea_etl_spark.plans.llm import _sql_minhash_oracle
+
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash_oracle().strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT id AS doc_id FROM comp WHERE id <> cluster_id),
+toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+tok AS (SELECT doc_id, source, UNNEST(w) AS t FROM toks),
+wt AS (
+  SELECT doc_id, source,
+         (CAST(concat('0x', substr(md5('w' || CAST(
+             CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT)
+               % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS raw_margin
+  FROM wt GROUP BY doc_id, source
+),
+alls AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST((SUM(raw_margin) + 1000 * SUM(n_tokens)) * {MICRO}
+              // (1000 * SUM(n_tokens)) - {MICRO} AS BIGINT)
+           AS margin_all_micro
+  FROM per_doc GROUP BY source
+),
+kept AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST((SUM(raw_margin) + 1000 * SUM(n_tokens)) * {MICRO}
+              // (1000 * SUM(n_tokens)) - {MICRO} AS BIGINT)
+           AS margin_kept_micro
+  FROM per_doc p
+  WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = p.doc_id)
+  GROUP BY source
+)
+SELECT a.source, a.n_all, k.n_kept, a.margin_all_micro,
+       k.margin_kept_micro,
+       CAST(k.margin_kept_micro - a.margin_all_micro AS BIGINT)
+         AS shift_micro
+FROM alls a JOIN kept k USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q270 term burstiness audit
+# ---------------------------------------------------------------------------
+
+_BURST_TOPK = 50
+
+
+def q270_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): for the top-{k} terms
+    by collection frequency, cf, df, and burstiness = cf/df in exact
+    micro — a term whose occurrences pile into few documents
+    (burstiness >> 1) is template/boilerplate/spam vocabulary, the
+    lexical complement of the line-frequency store's structural
+    boilerplate signal. Deterministic top-k (cf desc, term asc).
+
+    100 TB shape: two stacked partial aggregates — (term, doc)
+    term-frequency first, then the term rollup (cf = SUM tf, df =
+    COUNT) — NOT count_distinct alongside count, which Catalyst
+    plans as an Expand that doubles every exploded row through the
+    first exchange (measured: the Expand shape ran 4.6 s at sf1 vs
+    1.4 s DuckDB; the stacked shape keeps both aggregates
+    map-side-combining). The report is k rows. The scan is
+    doc_id-rebalanced (the narrow-scan lesson: the explode's
+    parallelism is the scan's)."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id", F.explode(T.tokens("text")).alias("t")
+    ).filter(F.length("t") > 0)
+    stats = (
+        tok.groupBy("t", "doc_id")
+        .agg(F.count("*").cast("long").alias("_tf"))
+        .groupBy("t")
+        .agg(
+            F.sum("_tf").cast("long").alias("cf"),
+            F.count("*").cast("long").alias("df"),
+        )
+    )
+    w = Window.orderBy(F.desc("cf"), F.asc("t"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BURST_TOPK)
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("t").alias("term"),
+            "cf",
+            "df",
+            F.expr(f"cf * {MICRO} div df").cast("long").alias(
+                "burstiness_micro"
+            ),
+        )
+    )
+
+
+ORACLE_Q270 = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+stats AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS cf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok WHERE length(t) > 0 GROUP BY t
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY cf DESC, t ASC) AS rank
+  FROM stats
+)
+SELECT CAST(rank AS BIGINT) AS rank, t AS term, cf, df,
+       CAST(cf * {MICRO} // df AS BIGINT) AS burstiness_micro
+FROM ranked WHERE rank <= {_BURST_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q259_ranking_metrics_ann": QuerySpec(
         q259_ranking_metrics_ann,
@@ -929,5 +1376,33 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source length quantiles from the log-binned histogram"
         " store with the in-result one-bin error-bound verification",
         ("llm", "governance", "streaming"),
+    ),
+    "q267_length_drift_from_store": QuerySpec(
+        q267_length_drift_from_store,
+        ORACLE_Q267,
+        "per-source p50/p90 length drift between the compacted"
+        " reference and live slices, from the histogram store",
+        ("llm", "governance", "streaming"),
+    ),
+    "q268_numeric_token_audit": QuerySpec(
+        q268_numeric_token_audit,
+        ORACLE_Q268,
+        "per-source numeric-token shares and longest digit run —"
+        " the digit-splitting policy audit",
+        ("llm", "text", "governance"),
+    ),
+    "q269_dedup_quality_shift": QuerySpec(
+        q269_dedup_quality_shift,
+        _oracle_q269(),
+        "per-source mean quality margin before vs after near-dup"
+        " survivor selection",
+        ("llm", "dedup", "quality"),
+    ),
+    "q270_burstiness_audit": QuerySpec(
+        q270_burstiness_audit,
+        ORACLE_Q270,
+        "Church-Gale burstiness (cf/df) for the top-50 collection-"
+        "frequency terms",
+        ("llm", "text", "governance"),
     ),
 }
