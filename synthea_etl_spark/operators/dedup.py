@@ -639,7 +639,12 @@ def connected_components(
     )
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # edges join into EVERY round: cut the incoming lineage here so
+    # an expensive pair source (minhash banding, band-index probes)
+    # is materialized once, not re-evaluated per iteration — the
+    # q269 lesson (780 s -> the pair plan replayed each round; the
+    # cut is one small materialization for already-cheap callers)
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

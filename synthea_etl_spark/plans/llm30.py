@@ -67,10 +67,15 @@ def q257_preference_pairs(
     Returns (prompt_key, n_responses, chosen_id, rejected_id,
     chosen_reward_milli, rejected_reward_milli, margin_milli).
 
-    100 TB shape: ONE prompt-key exchange carries both extreme-
-    selection windows and the group count; the chosen/rejected
-    frames are prompt-grain (tiny) and join on the key. Rewards are
-    a zero-shuffle expression; text is read once."""
+    100 TB shape: ONE prompt-key exchange into ONE hash aggregate —
+    max_by/min_by over a (reward, -doc_id) struct comparator carry
+    both extreme selections and the group count with NO sort (the
+    round-14 reshape: the original three-window form sorted every
+    group; on the organic replica's heavy-tailed prompt groups —
+    banner hosts put thousands of responses under one key — the
+    sort-free aggregate halves the wall and removes the skewed-
+    partition sort entirely). Rewards are a zero-shuffle expression;
+    text is read once."""
     from synthea_etl_spark.operators.util import rebalance_by_key
 
     d = rebalance_by_key(
@@ -90,46 +95,36 @@ def q257_preference_pairs(
         ).alias("prompt_key"),
         reward.alias("_r"),
     )
-    w = Window.partitionBy("prompt_key")
-    flagged = keyed.select(
-        "doc_id",
-        "prompt_key",
-        "_r",
-        F.count("*").over(w).cast("long").alias("n_responses"),
-        F.row_number()
-        .over(w.orderBy(F.desc("_r"), F.asc("doc_id")))
-        .alias("_rn_hi"),
-        F.row_number()
-        .over(w.orderBy(F.asc("_r"), F.desc("doc_id")))
-        .alias("_rn_lo"),
-    ).filter(F.col("n_responses") >= 2)
-    chosen = flagged.filter(F.col("_rn_hi") == 1).select(
-        "prompt_key",
-        "n_responses",
-        F.col("doc_id").alias("chosen_id"),
-        F.col("_r").alias("chosen_reward_milli"),
-    )
-    rejected = flagged.filter(F.col("_rn_lo") == 1).select(
-        "prompt_key",
-        F.col("doc_id").alias("rejected_id"),
-        F.col("_r").alias("rejected_reward_milli"),
+    # extreme selection with deterministic tie-breaks as struct
+    # comparators: chosen = max (r, -doc_id) -> max reward, min id;
+    # rejected = min (r, -doc_id) -> min reward, max id — exactly
+    # the original window orderings, without the per-group sort
+    agg = keyed.groupBy("prompt_key").agg(
+        F.count("*").cast("long").alias("n_responses"),
+        F.expr(
+            "max_by(named_struct('id', doc_id, 'r', _r),"
+            " named_struct('r', _r, 'negid', -doc_id))"
+        ).alias("_c"),
+        F.expr(
+            "min_by(named_struct('id', doc_id, 'r', _r),"
+            " named_struct('r', _r, 'negid', -doc_id))"
+        ).alias("_j"),
     )
     return (
-        chosen.join(rejected, "prompt_key")
+        agg.filter(F.col("n_responses") >= 2)
+        .select(
+            "prompt_key",
+            "n_responses",
+            F.col("_c.id").alias("chosen_id"),
+            F.col("_j.id").alias("rejected_id"),
+            F.col("_c.r").cast("long").alias("chosen_reward_milli"),
+            F.col("_j.r").cast("long").alias("rejected_reward_milli"),
+        )
         .withColumn(
             "margin_milli",
             F.col("chosen_reward_milli") - F.col("rejected_reward_milli"),
         )
         .filter(F.col("margin_milli") >= _MIN_MARGIN_MILLI)
-        .select(
-            "prompt_key",
-            "n_responses",
-            "chosen_id",
-            "rejected_id",
-            "chosen_reward_milli",
-            "rejected_reward_milli",
-            "margin_milli",
-        )
     )
 
 

@@ -181,29 +181,35 @@ def q260_preference_length_bias(
     the chosen_longer flag a curation dashboard thresholds on.
 
     100 TB shape: the pair frame is prompt-grain (at most one row
-    per multi-response prompt — tiny BY CONSTRUCTION), so both
-    token-count lookups BROADCAST the pair side and stream the
-    (doc_id, n_tokens) projection: two narrow corpus scans, zero
-    corpus-sized shuffles. (The hint matters: without it the
-    tiled-replica shape — every doc in a group — planned both joins
-    as full SMJs and measured 3.5x DuckDB; with it the corpus side
-    never sorts.)"""
+    per multi-response prompt — tiny BY CONSTRUCTION); both
+    token-count lookups join it against the (doc_id, n_tokens)
+    projection and AQE converts them to runtime broadcasts — NO
+    static hint. (Measured at organic sf10: forcing the builds with
+    explicit broadcast() hints serialized an extra materialization
+    barrier, 13.0 s vs 7.5 s for the hint-free plan whose two
+    projection scans run as parallel stages; the wall is q257's own
+    aggregate, the joins are free.)"""
     pairs = q257_preference_pairs(spark, sf_dir)
     toks = (
         load(spark, sf_dir, "documents")
         .filter(T.token_count("text") > 0)
         .select("doc_id", T.token_count("text").cast("long").alias("_nt"))
     )
-    j1 = toks.select(
-        F.col("doc_id").alias("chosen_id"),
-        F.col("_nt").alias("chosen_tokens"),
-    ).join(F.broadcast(pairs), "chosen_id")
     return (
-        toks.select(
-            F.col("doc_id").alias("rejected_id"),
-            F.col("_nt").alias("rejected_tokens"),
+        pairs.join(
+            toks.select(
+                F.col("doc_id").alias("chosen_id"),
+                F.col("_nt").alias("chosen_tokens"),
+            ),
+            "chosen_id",
         )
-        .join(F.broadcast(j1), "rejected_id")
+        .join(
+            toks.select(
+                F.col("doc_id").alias("rejected_id"),
+                F.col("_nt").alias("rejected_tokens"),
+            ),
+            "rejected_id",
+        )
         .select(
             "prompt_key",
             "chosen_id",
@@ -256,8 +262,12 @@ def q261_reward_length_corr(
     with the double derivation in one fixed expression order, so
     the result is bit-stable at any parallelism and the DuckDB twin
     hashes identically. x centered at 90 tokens, y is already
-    near-centered (rewards are ~uniform in [-1000, 1000])."""
-    d = load(spark, sf_dir, "documents").filter(T.token_count("text") > 0)
+    near-centered (rewards are ~uniform in [-1000, 1000]). The scan
+    is doc_id-rebalanced (narrow-scan lesson: the tokenize-count is
+    per-row work bounded by the scan's parallelism)."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).filter(T.token_count("text") > 0)
     reward = (
         F.expr(
             "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
@@ -1153,7 +1163,10 @@ def q269_dedup_quality_shift(
         "doc_id", "raw_margin", "n_tokens"
     )
     src = d.select("doc_id", "source")
-    pairs = q33_minhash_lsh_candidates(spark, sf_dir)
+    # lineage cut before the iterative loop (the q255 discipline;
+    # CC also cuts internally — belt and braces on a pair source
+    # this expensive)
+    pairs = q33_minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
     comp = connected_components(pairs)
     dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
@@ -1320,6 +1333,91 @@ FROM ranked WHERE rank <= {_BURST_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# q271 response-side SFT dedup
+# ---------------------------------------------------------------------------
+
+def q271_response_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE of q233's prompt dedup: group documents by the
+    RESPONSE OPENER key (md5 of the first 8 tokens AFTER the 8-token
+    prompt) and surface groups of >= 2 — canned answer openings
+    ("As an AI language model...") reused verbatim, the SFT
+    pathology prompt-grain dedup cannot see: a model trained on them
+    learns to emit the stock opener regardless of instruction.
+    Reports response_key, group size, distinct prompt count, and the
+    representative (min doc_id); groups where cross_prompt is true
+    (same opener under DIFFERENT prompts) are the actionable rows.
+
+    100 TB shape: one response-key exchange carrying count +
+    distinct-prompt partial + min — the n_prompts side uses the
+    stacked two-level aggregate (the q270 lesson: never
+    count_distinct alongside count through an Expand)."""
+    d = rebalance_by_key(
+        load(spark, sf_dir, "documents"), "doc_id"
+    ).filter(T.token_count("text") > F.lit(PROMPT_KEY_TOKENS))
+    toks = T.tokens("text")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(toks, 1, PROMPT_KEY_TOKENS))
+        ).alias("pkey"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(toks, PROMPT_KEY_TOKENS + 1, PROMPT_KEY_TOKENS),
+            )
+        ).alias("rkey"),
+    )
+    per_prompt = keyed.groupBy("rkey", "pkey").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.min("doc_id").cast("long").alias("_mn"),
+    )
+    return (
+        per_prompt.groupBy("rkey")
+        .agg(
+            F.sum("_n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_prompts"),
+            F.min("_mn").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.col("rkey").alias("response_key"),
+            "n_docs",
+            "n_prompts",
+            (F.col("n_prompts") > 1).alias("cross_prompt"),
+            "rep_doc_id",
+        )
+    )
+
+
+ORACLE_Q271 = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(w[1:{PROMPT_KEY_TOKENS}], ' ')) AS pkey,
+         md5(array_to_string(
+             w[{PROMPT_KEY_TOKENS + 1}:{2 * PROMPT_KEY_TOKENS}], ' '))
+           AS rkey
+  FROM toks WHERE len(w) > {PROMPT_KEY_TOKENS}
+),
+per_prompt AS (
+  SELECT rkey, pkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(doc_id) AS BIGINT) AS mn
+  FROM keyed GROUP BY rkey, pkey
+)
+SELECT rkey AS response_key,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_prompts,
+       COUNT(*) > 1 AS cross_prompt,
+       CAST(MIN(mn) AS BIGINT) AS rep_doc_id
+FROM per_prompt GROUP BY rkey
+HAVING SUM(n) >= 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q259_ranking_metrics_ann": QuerySpec(
         q259_ranking_metrics_ann,
@@ -1404,5 +1502,12 @@ QUERIES: dict[str, QuerySpec] = {
         "Church-Gale burstiness (cf/df) for the top-50 collection-"
         "frequency terms",
         ("llm", "text", "governance"),
+    ),
+    "q271_response_dedup": QuerySpec(
+        q271_response_dedup,
+        ORACLE_Q271,
+        "response-opener dedup groups with cross-prompt flag —"
+        " stock answer openings reused under different prompts",
+        ("llm", "dedup", "sft"),
     ),
 }

@@ -109,6 +109,54 @@ def test_length_drift_bin_shift_consistency(spark):
         assert r.approx_ref >= 1 and r.approx_live >= 1
 
 
+def test_response_dedup_flags_cross_prompt_openers(spark, tmp_path):
+    """Same 8-token opener under two DIFFERENT prompts -> one group
+    with cross_prompt=true; same opener under the SAME prompt ->
+    cross_prompt=false; unique openers emit nothing."""
+    from synthea_etl_spark.plans.llm31 import q271_response_dedup
+
+    sf = str(tmp_path)
+    p1 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    p2 = "q1 q2 q3 q4 q5 q6 q7 q8"
+    opener = "as an ai language model i cannot do"
+    rows = [
+        (0, f"{p1} {opener} that thing", "s"),
+        (1, f"{p2} {opener} anything else", "s"),
+        (2, f"{p1} {opener} more words", "s"),
+        (3, f"{p1} completely unique answer body here x y z", "s"),
+    ]
+    _write_docs(spark, sf, rows)
+    got = {r.response_key: r for r in q271_response_dedup(spark, sf).collect()}
+    assert len(got) == 1
+    (g,) = got.values()
+    assert g.n_docs == 3
+    assert g.n_prompts == 2
+    assert g.cross_prompt is True
+    assert g.rep_doc_id == 0
+
+
+def test_preference_length_bias_pair_annotations(spark, tmp_path):
+    """Token counts and the chosen_longer flag line up with the
+    underlying docs for a hand-built prompt group."""
+    from synthea_etl_spark.plans.llm31 import q260_preference_length_bias
+
+    sf = str(tmp_path)
+    prompt = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (0, prompt + " short", "s"),
+        (1, prompt + " a much longer response body here", "s"),
+        (2, prompt + " mid sized answer", "s"),
+    ]
+    _write_docs(spark, sf, rows)
+    out = q260_preference_length_bias(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r.chosen_id, r.rejected_id} <= {0, 1, 2}
+    assert r.chosen_tokens >= 9 and r.rejected_tokens >= 9
+    assert r.len_delta_tokens == r.chosen_tokens - r.rejected_tokens
+    assert r.chosen_longer == (r.chosen_tokens > r.rejected_tokens)
+
+
 def test_llm31_match_duckdb_on_testdata(duck, spark):
     from synthea_etl_spark.plans.llm31 import QUERIES
 
