@@ -1573,10 +1573,13 @@ def purge_batch_store(
     flip is one rename, and the ingest stream needs no pause."""
     import os
 
-    store_schema = spark.read.parquet(store_path).schema
     if not isinstance(ids, DataFrame):
         # infer the key type from the store itself — a string-keyed
-        # store (e.g. fingerprint) must not be cast-matched as long
+        # store (e.g. fingerprint) must not be cast-matched as long.
+        # The footer read lives inside this branch: a DataFrame
+        # caller already carries its key type and must not pay (or
+        # fail on) a store-schema lookup it never uses.
+        store_schema = spark.read.parquet(store_path).schema
         id_field = StructType([store_schema[id_col]])
         ids = spark.createDataFrame([(v,) for v in ids], id_field)
     ids = ids.select(id_col).distinct()
@@ -2193,33 +2196,79 @@ def purge_prompt_key_cluster(
     + row-grain companion), covering the case deletion_slice can't:
     erasing a doc that IS its cluster's min_doc representative.
 
-    Steps (each individually crash-safe; a retry re-runs from the
-    top idempotently):
+    Steps, each individually crash-safe. The affected-key set is
+    STAGED DURABLY before any store mutates, because a crash between
+    the companion purge's watermark flip and the agg-store repair
+    would otherwise be unrecoverable: a retry (which must use a
+    fresh batch slot — same-slot retries raise on the consumed slot
+    by contract) recomputes ``affected`` from the ALREADY-PURGED
+    companion, finds nothing, and the agg store silently keeps rows
+    whose min_doc is an erased doc. With staging, any retry with a
+    fresh slot folds every staged set the agg watermark has not yet
+    passed back into ``affected`` and completes the repair:
+    0. recover: staged sets under ``<agg>/_purge_staging/upto=<k>``
+       with k > the agg watermark are incomplete prior purges —
+       union their pkeys into this run's affected set (staged dirs
+       with k <= the watermark are complete; delete them);
     1. affected := distinct pkeys of the erased docs, read from the
-       live companion (store-sized semi-join, no corpus scan);
-    2. purge the companion (:func:`purge_batch_store` filtering
+       live companion (store-sized semi-join, no corpus scan),
+       union the recovered sets;
+    2. STAGE affected to ``_purge_staging/upto=<upto_batch>``
+       (underscore-prefixed: invisible to parquet readers and to
+       the slice GC);
+    3. purge the companion (:func:`purge_batch_store` filtering
        compaction) — row-grain truth now excludes the docs;
-    3. re-derive (n, min_doc) for ONLY the affected pkeys from the
+    4. re-derive (n, min_doc) for ONLY the affected pkeys from the
        purged companion; clusters with no survivor vanish;
-    4. repair-compact the agg store (:func:`purge_agg_store`): drop
-       affected keys, union the recomputed rows.
+    5. repair-compact the agg store (:func:`purge_agg_store`): drop
+       affected keys, union the recomputed rows — the watermark
+       flip marks every staged set <= upto_batch complete;
+    6. delete completed staging dirs (crash here just defers the
+       delete to the next invocation's step 0).
+    Re-repairing an already-repaired pkey is idempotent (the repair
+    recomputes from row-grain survivors), so recovery supersets are
+    safe.
 
     Post-condition (pinned in tests/test_purge.py and
     tools/purge_lifecycle_drive.py): the agg store answers
     bit-identically to one rebuilt from only the surviving
     documents."""
+    import os
+    import shutil
+
     if not isinstance(ids, DataFrame):
         ids = spark.createDataFrame([(int(v),) for v in ids], "doc_id long")
     ids = ids.select("doc_id").distinct()
+    staging_root = os.path.join(agg_store_path, "_purge_staging")
+    agg_wm = compaction_watermark(agg_store_path)
+    recovered: list[DataFrame] = []
+    if os.path.isdir(staging_root):
+        for d in sorted(os.listdir(staging_root)):
+            if not d.startswith("upto="):
+                continue
+            k = d.split("upto=", 1)[1]
+            if not k.isdigit():
+                continue
+            p = os.path.join(staging_root, d)
+            if int(k) <= agg_wm:
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                recovered.append(spark.read.parquet(p).select("pkey"))
     pairs_live = batch_watermark_filter(
         spark.read.parquet(pairs_store_path), pairs_store_path
     )
-    affected = (
-        pairs_live.join(F.broadcast(ids), "doc_id", "left_semi")
-        .select("pkey")
-        .distinct()
-        .localCheckpoint()  # pin BEFORE the companion purge flips
-    )
+    affected = pairs_live.join(
+        F.broadcast(ids), "doc_id", "left_semi"
+    ).select("pkey")
+    for r in recovered:
+        affected = affected.unionByName(r)
+    affected = affected.distinct()
+    # stage durably BEFORE any store mutates (write-then-read also
+    # pins the set, replacing the localCheckpoint this code used
+    # before staging existed)
+    staging_dir = os.path.join(staging_root, f"upto={upto_batch}")
+    affected.write.mode("overwrite").parquet(staging_dir)
+    affected = spark.read.parquet(staging_dir)
     purge_batch_store(
         spark, pairs_store_path, upto_batch, ids, "doc_id",
         gc_grace_s=gc_grace_s,
@@ -2245,3 +2294,14 @@ def purge_prompt_key_cluster(
         repair_df=repair,
         gc_grace_s=gc_grace_s,
     )
+    # the agg watermark now covers every staged set <= upto_batch;
+    # delete them (a crash before this delete just defers it to the
+    # next invocation's recovery scan)
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            if d.startswith("upto="):
+                k = d.split("upto=", 1)[1]
+                if k.isdigit() and int(k) <= upto_batch:
+                    shutil.rmtree(
+                        os.path.join(staging_root, d), ignore_errors=True
+                    )

@@ -847,10 +847,23 @@ def prompt_key_ingest_stream(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if batch_id <= compaction_watermark(store_dir):
-            return
-        prompt_key_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
-        if pairs_store_dir is not None:
+        # PER-STORE replay guards: a single guard on the agg store's
+        # watermark would skip a replayed batch whose agg slice
+        # landed but whose companion write crashed — if the agg
+        # store was then compacted past the batch before restart,
+        # the pairs companion would permanently miss it and later
+        # purge repairs would recompute survivor counts from
+        # incomplete row-grain truth, silently. Each store skips
+        # only batches ITS OWN compaction has folded; rewriting a
+        # live-but-present slice is idempotent (dynamic partition
+        # overwrite of deterministically derived rows), and a
+        # rewritten already-folded slice is invisible to
+        # watermark-filtered readers anyway.
+        if batch_id > compaction_watermark(store_dir):
+            prompt_key_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
+        if pairs_store_dir is not None and batch_id > compaction_watermark(
+            pairs_store_dir
+        ):
             prompt_key_pairs_store(batch_df, pairs_store_dir, batch_id)
 
     return (

@@ -420,6 +420,19 @@ DRIVER_CERTIFIED = frozenset({
     "q253_cdc_chunk_dedup", "q254_bootstrap_ci",
     "q255_cluster_grain_split", "q256_contamination_ci",
     "q257_preference_pairs", "q258_icl_order",
+    # r14 (CORRECTNESS_r14.json 50/50 green -- the ANN-path ranking
+    # metrics, post-training/RLHF audits, Matryoshka/FIM/ablation
+    # accounting, the length-quantile histogram store pair, numeric/
+    # burstiness audits, dedup-quality-shift and response-opener
+    # dedup all landed hash-match rows, closing certification at
+    # 266/266 declared queries)
+    "q259_ranking_metrics_ann", "q260_preference_length_bias",
+    "q261_reward_length_corr", "q262_bon_uplift",
+    "q263_matryoshka_audit", "q264_fim_split_stats",
+    "q265_ablation_manifest", "q266_length_quantiles_from_store",
+    "q267_length_drift_from_store", "q268_numeric_token_audit",
+    "q269_dedup_quality_shift", "q270_burstiness_audit",
+    "q271_response_dedup",
 })
 
 # Round counter, bumped alongside DRIVER_CERTIFIED each round: the
@@ -427,7 +440,7 @@ DRIVER_CERTIFIED = frozenset({
 # rotating the certified list with a per-round stride, so every
 # certified query keeps getting re-verified by the driver on a
 # rolling schedule instead of the same module-order prefix each round.
-GATE_ROUND = 14
+GATE_ROUND = 15
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -476,6 +489,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm29,
         llm30,
         llm31,
+        llm32,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -520,6 +534,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm29,
         llm30,
         llm31,
+        llm32,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

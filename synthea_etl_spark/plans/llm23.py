@@ -124,9 +124,9 @@ def q237_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: the vocabulary is a Heaps-law-bounded unigram dim
     (one token-keyed aggregate with map-side combine); its top-V cut
-    here is a single window over that dim — swap in
-    util.bucketed_rank (the q228 shape) when the vocab outgrows one
-    task. The corpus stream then explodes once and probes the
+    is orderBy+limit — TakeOrderedAndProject, per-partition partial
+    top-V with a V-row merge, never a one-task global sort of the
+    vocab. The corpus stream then explodes once and probes the
     BROADCAST V-row vocab (V is a chosen constant, safely
     broadcastable by construction), aggregating straight to the
     (source, lang) grain with partial aggregation — exchanges:
@@ -140,10 +140,17 @@ def q237_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    wv = Window.orderBy(F.col("c").desc(), F.col("t"))
+    # top-V cut via orderBy+limit (TakeOrderedAndProject: per-
+    # partition partial top-V, k-row merge), NOT an unpartitioned
+    # row_number window — the vocab dim is Heaps-law-bounded but
+    # still hundreds of millions of rows at 100 TB, and a global
+    # window funnels all of it through one sort task. (c desc, t)
+    # is a total order on distinct t, so the limit's survivor set
+    # is exactly the window's r <= V set. Plan pinned by
+    # tests/test_llm23.py.
     vocab = (
-        ref_counts.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= _VOCAB_V)
+        ref_counts.orderBy(F.col("c").desc(), F.col("t"))
+        .limit(_VOCAB_V)
         .select("t", F.lit(True).alias("in_vocab"))
     )
     return (

@@ -1150,10 +1150,11 @@ def q269_dedup_quality_shift(
     agrees.
 
     100 TB shape: clusters ride the certified banded path (q33 →
-    CC, never all-pairs); the survivor frame is an anti-join on the
-    non-representative member list (cluster-sized, tiny next to the
-    corpus); both mean passes are per-source aggregates on the doc
-    partitioning."""
+    CC, never all-pairs); the survivor frame is an UN-HINTED
+    anti-join on the non-representative member list — at web-crawl
+    duplication rates that list is 40-80% of the corpus, so AQE
+    must size the join (broadcast only when it truly fits); both
+    mean passes are per-source aggregates on the doc partitioning."""
     from synthea_etl_spark.operators.dedup import connected_components
     from synthea_etl_spark.operators.retrieval import quality_model_score
     from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
@@ -1172,7 +1173,14 @@ def q269_dedup_quality_shift(
         F.col("id").alias("doc_id")
     )
     base = scored.join(src, "doc_id")
-    surv = base.join(F.broadcast(dropped), "doc_id", "left_anti")
+    # NO broadcast hint on `dropped`: at web-crawl duplication rates
+    # the non-representative member set is 40-80% OF the corpus, so a
+    # forced broadcast is an executor-OOM scale-killer. Un-hinted,
+    # AQE broadcasts when the runtime size actually fits and falls
+    # back to a shuffled anti-join on the doc_id partitioning both
+    # sides already carry (the q260 measurement in this file showed
+    # forced broadcasts were also SLOWER where they did fit).
+    surv = base.join(dropped, "doc_id", "left_anti")
 
     def mean_frame(df: DataFrame, tag: str) -> DataFrame:
         return df.groupBy("source").agg(
@@ -1297,10 +1305,19 @@ def q270_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("df"),
         )
     )
+    # Global top-k via orderBy+limit, NOT an unpartitioned
+    # row_number window: a global window plans a SINGLE-PARTITION
+    # sort of the whole term-stats table (vocabulary-sized —
+    # hundreds of millions of rows at 100 TB by Heaps' law), while
+    # orderBy(...).limit(k) plans TakeOrderedAndProject: each
+    # partition keeps its own top-k and only k-row candidate sets
+    # merge (tests/test_llm31.py pins the physical plan). The rank
+    # column is then a window over the k-row result — trivially
+    # single-partition by construction.
+    topk = stats.orderBy(F.desc("cf"), F.asc("t")).limit(_BURST_TOPK)
     w = Window.orderBy(F.desc("cf"), F.asc("t"))
     return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BURST_TOPK)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(
             F.col("rank").cast("long").alias("rank"),
             F.col("t").alias("term"),

@@ -159,3 +159,15 @@ def test_q236_q239_match_duckdb_on_testdata(duck, spark):
         got = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
         want = {tuple(r) for r in duck.execute(spec.oracle).fetchall()}
         assert got == want, name
+
+
+def test_q237_vocab_cut_plans_take_ordered_not_global_window(spark):
+    """The top-V vocabulary cut must plan as TakeOrderedAndProject —
+    the vocab dim is Heaps-law-bounded but still vocabulary-sized at
+    100 TB, so a global row_number window would serialize it through
+    one sort task (the r14 verdict's scale-hazard, q270's twin)."""
+    from synthea_etl_spark.plans.llm23 import q237_vocab_coverage
+
+    df = q237_vocab_coverage(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -164,3 +164,16 @@ def test_llm31_match_duckdb_on_testdata(duck, spark):
         got = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
         want = {tuple(r) for r in duck.execute(spec.oracle).fetchall()}
         assert got == want, name
+
+
+def test_q270_topk_plans_take_ordered_not_global_window(spark):
+    """The vocabulary top-k must plan as TakeOrderedAndProject
+    (per-partition partial top-k, k-row merge) — never a global
+    row_number window, which funnels the whole Heaps-law-sized
+    term-stats table through one sort task (the r14 verdict's
+    scale-hazard #1). Same assertion style as q45's pruning pin."""
+    from synthea_etl_spark.plans.llm31 import q270_burstiness_audit
+
+    df = q270_burstiness_audit(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -290,3 +290,81 @@ def test_deletion_slice_rejects_nothing_but_negates(spark):
     )
     out = {(r.source, r.t, r.c) for r in deletion_slice(df, ["c"]).collect()}
     assert out == {("a", "t1", -3), ("b", "t2", -1)}
+
+
+def test_purge_prompt_key_cluster_recovers_from_mid_purge_crash(
+    spark, tmp_path, monkeypatch
+):
+    """The r14-ADVICE crash window: the companion purge's watermark
+    flips, then the process dies BEFORE the agg-store repair. A
+    fresh-slot retry must still repair the agg store — the affected
+    pkeys are no longer derivable from the (already purged)
+    companion, so they must come from the durable staging set.
+    Without staging the retry silently keeps agg rows whose min_doc
+    is an erased doc (an undetected right-to-erasure violation)."""
+    import synthea_etl_spark.operators.dedup as dd
+
+    texts = {
+        0: "alpha beta shared prompt a",
+        2: "alpha beta shared prompt a",
+        4: "alpha beta shared prompt a",
+        1: "gamma delta shared prompt b",
+        3: "gamma delta shared prompt b",
+    }
+    docs = _docs(spark, sorted(texts.items()))
+    agg = str(tmp_path / "pk_agg")
+    pairs = str(tmp_path / "pk_pairs")
+    dd.prompt_key_store(docs, agg, slice_id="batch1")
+    dd.prompt_key_pairs_store(docs, pairs, 1)
+
+    # crash: the agg repair (step 5) never runs
+    real = dd.purge_agg_store
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before agg repair")
+
+    monkeypatch.setattr(dd, "purge_agg_store", _boom)
+    with pytest.raises(RuntimeError):
+        dd.purge_prompt_key_cluster(spark, agg, pairs, {0}, 2)
+    monkeypatch.setattr(dd, "purge_agg_store", real)
+
+    # the companion HAS purged doc 0 — the hole the staging closes
+    left = {
+        r.doc_id
+        for r in dd.batch_watermark_filter(
+            spark.read.parquet(pairs), pairs
+        ).collect()
+    }
+    assert 0 not in left
+    # pre-fix behavior check: the agg store still claims rep=0
+    reps = {
+        r.pkey: r.rep_doc_id
+        for r in dd.prompt_clusters_from_store(spark, agg).collect()
+    }
+    assert 0 in set(reps.values())
+
+    # fresh-slot retry completes the erasure from the staged set
+    dd.purge_prompt_key_cluster(spark, agg, pairs, {0}, 3)
+    got = {
+        tuple(r)
+        for r in dd.prompt_clusters_from_store(spark, agg).collect()
+    }
+    rebuilt = str(tmp_path / "pk_rebuilt")
+    dd.prompt_key_store(
+        docs.filter(F.col("doc_id") != 0), rebuilt, "batch1"
+    )
+    want = {
+        tuple(r)
+        for r in dd.prompt_clusters_from_store(spark, rebuilt).collect()
+    }
+    assert got == want
+    reps2 = {
+        r.pkey: r.rep_doc_id
+        for r in dd.prompt_clusters_from_store(spark, agg).collect()
+    }
+    assert set(reps2.values()) == {1, 2}
+    # staging cleaned up after the completed retry
+    import os
+
+    staging = os.path.join(agg, "_purge_staging")
+    assert (not os.path.isdir(staging)) or os.listdir(staging) == []

@@ -498,3 +498,93 @@ def test_streaming_warc_ingest_incremental_and_exactly_once(spark, tmp_path):
     assert final.count() == 10
     uris = {r.target_uri for r in final.collect()}
     assert uris == {f"http://x/{d}/{k}" for d in (1, 2, 3, 4, 5) for k in range(2)}
+
+
+def test_prompt_key_stream_replay_backfills_missing_companion(
+    spark, tmp_path, monkeypatch
+):
+    """The r14-ADVICE replay hole: a micro-batch lands its agg slice,
+    crashes before the pairs-companion write, and the agg store is
+    compacted past that batch before the stream restarts. The replay
+    guard must be PER-STORE — a single guard on the agg watermark
+    would skip the replay entirely, leaving the companion permanently
+    missing the batch (and later purge repairs recomputing survivor
+    counts from incomplete row-grain truth, silently)."""
+    import json
+
+    import synthea_etl_spark.operators.dedup as dd
+    from synthea_etl_spark.pipeline import prompt_key_ingest_stream
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    landing = str(tmp_path / "landing")
+    agg = str(tmp_path / "agg")
+    pairs = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "b0.json"), "w") as fh:
+        for i in range(4):
+            fh.write(
+                json.dumps(
+                    {"doc_id": i, "source": "s", "text": f"p{i % 2} body {i}"}
+                )
+                + "\n"
+            )
+
+    # crash AFTER the agg slice, BEFORE the companion write
+    real_pairs_store = dd.prompt_key_pairs_store
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before companion write")
+
+    # the pipeline imports the store writers at call time from the
+    # dedup module, so patching the module attribute intercepts it
+    monkeypatch.setattr(
+        "synthea_etl_spark.operators.dedup.prompt_key_pairs_store", _boom
+    )
+    q = prompt_key_ingest_stream(
+        spark, landing, agg, ckpt, schema, pairs_store_dir=pairs
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+    monkeypatch.setattr(
+        "synthea_etl_spark.operators.dedup.prompt_key_pairs_store",
+        real_pairs_store,
+    )
+    assert os.path.isdir(agg) and not os.path.isdir(pairs)
+
+    # out-of-band maintenance compacts the agg store past the batch
+    dd.compact_agg_slices(
+        spark, agg, upto_batch=1, key_cols=["pkey"], aggs=dd.PROMPT_KEY_AGGS
+    )
+    assert dd.compaction_watermark(agg) == 1
+
+    # restart with the SAME checkpoint: the batch replays; the agg
+    # write is skipped (covered) but the companion write must run
+    prompt_key_ingest_stream(
+        spark, landing, agg, ckpt, schema, pairs_store_dir=pairs
+    ).awaitTermination(300)
+    got_pairs = {
+        (r.pkey, r.doc_id)
+        for r in dd.batch_watermark_filter(
+            spark.read.parquet(pairs), pairs
+        ).collect()
+    }
+    assert {d for _, d in got_pairs} == {0, 1, 2, 3}
+    # and the agg store did NOT double-count: totals equal a rebuild
+    docs = spark.read.schema(schema).json(landing)
+    rebuilt = str(tmp_path / "rebuilt")
+    dd.prompt_key_store(docs, rebuilt, "batch1")
+    got = {
+        tuple(r) for r in dd.prompt_clusters_from_store(spark, agg).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dd.prompt_clusters_from_store(spark, rebuilt).collect()
+    }
+    assert got == want

@@ -20,6 +20,12 @@ rebuilt from only the surviving documents.
    run the repair compaction (purge_prompt_key_cluster), and assert
    the cluster view matches a store rebuilt from only the
    survivors; then verify the consumed-slot replay raises.
+4. LENGTH-HIST store (the 10th family): stream-ingest the log-bin
+   histograms with a mid-stream compaction, erase via the all-sum
+   negative deletion slice, and assert the store's quantiles match
+   a rebuild-from-survivors immediately AND post-compaction, with
+   the PROVEN one-bin bound re-verified against exact order
+   statistics of the surviving corpus.
 
 Usage: python tools/purge_lifecycle_drive.py \
            [--master local-cluster[2,4,4096]] [--out <json>]
@@ -52,15 +58,19 @@ from synthea_etl_spark.operators.dedup import (  # noqa: E402
     compaction_watermark,
     deletion_slice,
     drift_from_token_store,
+    length_hist_slice,
+    length_hist_store,
     minhash_signature,
     prompt_clusters_from_store,
     prompt_key_store,
     purge_batch_store,
     purge_prompt_key_cluster,
+    quantiles_from_hist_store,
     token_stats_slice,
     token_stats_store,
 )
 from synthea_etl_spark.pipeline import (  # noqa: E402
+    length_hist_ingest_stream,
     prompt_key_ingest_stream,
     token_stats_ingest_stream,
 )
@@ -267,6 +277,91 @@ def main() -> None:
     except ValueError:
         pk_slot_guard = True
 
+    # --- length-hist store erasure (10th family): negative slice ----
+    # all-'sum' additive bins, so right-to-erasure is the verbatim
+    # deletion_slice path; the drive pins that the purged store's
+    # quantiles equal a rebuild-from-survivors BOTH immediately on
+    # slice publish and after the compaction that physically drops
+    # the zero-net bins — and that the PROVEN one-bin bound
+    # (approx <= exact <= approx + approx div 8) holds against exact
+    # order statistics of the surviving corpus.
+    lh_store = os.path.join(work, "lh_store")
+    lh_rebuilt = os.path.join(work, "lh_rebuilt")
+    lh_landing = os.path.join(work, "lh_landing")
+    lh_ckpt = os.path.join(work, "lh_ckpt")
+    os.makedirs(lh_landing)
+
+    def lh_land_and_run(bi, rows):
+        with open(os.path.join(lh_landing, f"b{bi}.json"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": r.doc_id,
+                            "source": r.source,
+                            "text": r.text,
+                        }
+                    )
+                    + "\n"
+                )
+        length_hist_ingest_stream(
+            spark, lh_landing, lh_store, lh_ckpt, schema
+        ).awaitTermination(300)
+
+    lh_land_and_run(0, batches[0])
+    lh_land_and_run(1, batches[1])
+    compact_counting_slices(spark, lh_store, 1, ["source", "b"], "c")
+    for bi in range(2, len(batches)):
+        lh_land_and_run(bi, batches[bi])
+    (
+        deletion_slice(length_hist_slice(erase), ["c"])
+        .withColumn("slice_id", F.lit("batch9"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(lh_store)
+    )
+    length_hist_store(survivors, lh_rebuilt, "batch1")
+
+    _QP = [100, 250, 500, 750, 900, 990]
+
+    def lh_quants(path):
+        return {
+            tuple(r)
+            for r in quantiles_from_hist_store(spark, path, _QP).collect()
+        }
+
+    lh_want = lh_quants(lh_rebuilt)
+    lh_immediate_match = lh_quants(lh_store) == lh_want
+    compact_counting_slices(spark, lh_store, 9, ["source", "b"], "c")
+    lh_post_compact_match = lh_quants(lh_store) == lh_want
+    lh_store_rows = spark.read.parquet(lh_store).count()
+    lh_rebuilt_rows = spark.read.parquet(lh_rebuilt).count()
+    # one-bin bound vs exact order statistics of the SURVIVORS
+    import synthea_etl_spark.operators.text as _T
+
+    surv_n = sorted(
+        (r.source, r.n)
+        for r in survivors.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source", _T.token_count("text").cast("long").alias("n")
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    by_src: dict[str, list[int]] = {}
+    for s, n in surv_n:
+        by_src.setdefault(s, []).append(n)
+    for s in by_src:
+        by_src[s].sort()
+    lh_bound_ok = True
+    for row in quantiles_from_hist_store(spark, lh_store, _QP).collect():
+        ns = by_src[row.source]
+        k = (row.q_permille * row.n_docs + 999) // 1000
+        exact = ns[k - 1]
+        if not (row.approx <= exact <= row.approx + row.approx // 8):
+            lh_bound_ok = False
+
     report = {
         "master": args.master,
         "n_executors": n_exec,
@@ -294,6 +389,14 @@ def main() -> None:
             "agg_watermark": compaction_watermark(pk_agg),
             "pairs_watermark": compaction_watermark(pk_pairs),
         },
+        "length_hist_store": {
+            "immediate_quantile_match_on_slice_publish": lh_immediate_match,
+            "post_compaction_quantile_match": lh_post_compact_match,
+            "one_bin_bound_holds_vs_exact": lh_bound_ok,
+            "store_rows": lh_store_rows,
+            "rebuilt_rows": lh_rebuilt_rows,
+            "compacted_upto": compaction_watermark(lh_store),
+        },
     }
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
@@ -309,6 +412,10 @@ def main() -> None:
         and store_rows == rebuilt_rows
         and pk_match
         and pk_slot_guard
+        and lh_immediate_match
+        and lh_post_compact_match
+        and lh_bound_ok
+        and lh_store_rows == lh_rebuilt_rows
     )
     if not ok:
         raise SystemExit("purge lifecycle drive diverged")
