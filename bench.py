@@ -201,6 +201,13 @@ HEADLINE_OPT = [
     "q264_fim_split_stats",
     "q265_ablation_manifest",
     "q266_length_quantiles_from_store",
+    # round-15 family
+    "q272_ann_health_verdict",
+    "q273_vocab_drift_jaccard",
+    "q274_cluster_source_purity",
+    "q275_stopword_quality_bins",
+    "q276_prefix_cache_accounting",
+    "q277_embedding_dim_health",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -245,3 +245,58 @@ def bucketed_rank(
         .withColumn(out_col, F.col("_cbefore") + F.col("_brank"))
         .drop("_brank", "_cbefore")
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+    bucket_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact per-group top-k WITHOUT one-sort-task-per-group: the
+    group-partitioned twin of the global orderBy+limit swap (q270's
+    TakeOrderedAndProject lesson). A plain row_number window
+    partitioned by few, huge groups (languages, sources: the 100 TB
+    norm is ~20 keys over billions of rows) serializes into ~20
+    giant sort tasks; `bucketed_rank` fixes FULL ranking, but for a
+    top-k cut the cheaper classic applies: stage 1 takes the top-k
+    within (group, hash-bucket) — every sort is ~1/n_buckets of a
+    group — and stage 2 re-ranks the surviving <= n_buckets * k rows
+    per group (a bounded frame regardless of data size). Exact
+    because any global top-k row is necessarily within the top-k of
+    its own bucket. Ties must be broken by ``order_cols`` (a total
+    order), so the survivor set is deterministic and engine-portable;
+    the DuckDB twin is the plain per-group row_number <= k.
+
+    ``bucket_col`` names a column to hash for bucketing (default: the
+    last order column WHEN it is a plain name — typically the
+    tiebreak id, uniformly spreading rows; SortOrder expressions
+    like F.asc(...) cannot be hashed, so callers ordering with those
+    must pass ``bucket_col`` explicitly)."""
+    from pyspark.sql import Window
+
+    if bucket_col is None:
+        if not isinstance(order_cols[-1], str):
+            raise ValueError(
+                "grouped_topk needs bucket_col when order_cols are "
+                "SortOrder expressions (F.desc/F.asc) — pass the "
+                "tiebreak column's name"
+            )
+        bucket_col = order_cols[-1]
+    bk = F.pmod(F.xxhash64(F.col(bucket_col)), F.lit(n_buckets))
+    w1 = Window.partitionBy(*part_cols, "_gtk_bk").orderBy(*order_cols)
+    cand = (
+        df.withColumn("_gtk_bk", bk)
+        .withColumn("_gtk_r1", F.row_number().over(w1))
+        .filter(F.col("_gtk_r1") <= k)
+        .drop("_gtk_r1")
+    )
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        cand.drop("_gtk_bk")
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

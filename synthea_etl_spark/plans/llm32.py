@@ -275,6 +275,446 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q273 vocabulary drift (top-V Jaccard between corpus halves)
+# ---------------------------------------------------------------------------
+
+_Q273_V = 32
+
+
+def q273_vocab_drift_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-language drift of the head vocabulary between a reference
+    half (even doc_id) and a live half (odd doc_id): top-V terms by
+    count on each side, their intersection, Jaccard, and the
+    new-term fraction -- the tokenizer-governance monitor that says
+    when a frozen vocab (q237's cut) has drifted from what the crawl
+    now delivers.
+
+    100 TB shape: one exploded token aggregate with map-side combine
+    (the q270 stacked-agg discipline), then the per-(lang, half)
+    top-V via util.grouped_topk -- the two-stage exact top-k whose
+    stage-1 sorts are 1/64th of a group and whose stage-2 frame is
+    <= 64*V rows per group, never a one-task-per-language vocab sort
+    (the q270/q237 hazard, group-partitioned form). The final
+    Jaccard join runs on two V-row-per-language frames."""
+    from synthea_etl_spark.operators.util import grouped_topk
+    import synthea_etl_spark.operators.text as T
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+        F.explode(T.tokens("text")).alias("t"),
+    ).filter(F.length("t") > 0)
+    counts = tok.groupBy("lang", "half", "t").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    top = grouped_topk(
+        counts,
+        ["lang", "half"],
+        [F.desc("c"), F.asc("t")],
+        _Q273_V,
+        bucket_col="t",
+    )
+    ref = top.filter(F.col("half") == 0).select("lang", "t")
+    live = top.filter(F.col("half") == 1).select("lang", "t")
+    nr = ref.groupBy("lang").agg(F.count("*").cast("long").alias("n_ref"))
+    nl = live.groupBy("lang").agg(F.count("*").cast("long").alias("n_live"))
+    ni = (
+        ref.join(live, ["lang", "t"])
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return (
+        nr.join(nl, "lang")
+        .join(ni, "lang", "left")
+        .fillna(0, subset=["n_common"])
+        .select(
+            "lang",
+            "n_ref",
+            "n_live",
+            "n_common",
+            F.expr(
+                f"n_common * {MICRO} div (n_ref + n_live - n_common)"
+            ).cast("long").alias("jaccard_micro"),
+            F.expr(f"(n_live - n_common) * {MICRO} div n_live")
+            .cast("long")
+            .alias("new_term_frac_micro"),
+        )
+    )
+
+
+ORACLE_Q273 = f"""
+WITH tok AS (
+  SELECT lang, CAST(doc_id % 2 AS INTEGER) AS half,
+         UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+counts AS (
+  SELECT lang, half, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok WHERE length(t) > 0 GROUP BY lang, half, t
+),
+top AS (
+  SELECT lang, half, t FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang, half
+        ORDER BY c DESC, t ASC) AS r
+    FROM counts
+  ) WHERE r <= {_Q273_V}
+),
+nr AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_ref
+       FROM top WHERE half = 0 GROUP BY lang),
+nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_live
+       FROM top WHERE half = 1 GROUP BY lang),
+ni AS (
+  SELECT a.lang, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM top a JOIN top b ON a.lang = b.lang AND a.t = b.t
+  WHERE a.half = 0 AND b.half = 1
+  GROUP BY a.lang
+)
+SELECT nr.lang, nr.n_ref, nl.n_live,
+       COALESCE(ni.n_common, 0) AS n_common,
+       CAST(COALESCE(ni.n_common, 0) * {MICRO}
+            // (nr.n_ref + nl.n_live - COALESCE(ni.n_common, 0))
+         AS BIGINT) AS jaccard_micro,
+       CAST((nl.n_live - COALESCE(ni.n_common, 0)) * {MICRO} // nl.n_live
+         AS BIGINT) AS new_term_frac_micro
+FROM nr JOIN nl ON nr.lang = nl.lang
+LEFT JOIN ni ON nr.lang = ni.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q274 near-dup cluster source purity
+# ---------------------------------------------------------------------------
+
+def q274_cluster_source_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Source-purity histogram of the near-dup clusters: for each
+    MinHash-LSH cluster (q33 candidates -> connected components),
+    how many distinct sources its members span -- then the histogram
+    (n_sources, n_clusters, n_docs). Clusters spanning >1 source are
+    cross-source verbatim propagation (mirrors, syndication,
+    laundered scrapes): the dedup-governance signal that says which
+    survivor-selection policy (per-source vs global) a corpus needs.
+
+    100 TB shape: rides the certified banded candidate path + CC
+    (never all-pairs; CC checkpoints its own edges, dedup.py:647).
+    The purity count is TWO STACKED AGGREGATES -- (cluster, source)
+    grain then cluster grain -- not count_distinct alongside count,
+    which would Expand-double the exploded rows (the q270 lesson,
+    measured there). The histogram grain is tiny."""
+    from synthea_etl_spark.operators.dedup import connected_components
+    from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q33_minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs)
+    member = comp.join(d, comp["id"] == d["doc_id"]).select(
+        "cluster_id", "source"
+    )
+    per_cs = member.groupBy("cluster_id", "source").agg(
+        F.count("*").cast("long").alias("_nd")
+    )
+    per_cluster = per_cs.groupBy("cluster_id").agg(
+        F.sum("_nd").cast("long").alias("_n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return per_cluster.groupBy("n_sources").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("_n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def _oracle_q274() -> str:
+    from synthea_etl_spark.plans.llm import _sql_minhash_oracle
+
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash_oracle().strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+member AS (
+  SELECT comp.cluster_id, d.source
+  FROM comp JOIN documents d ON comp.id = d.doc_id
+),
+per_cs AS (
+  SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS nd
+  FROM member GROUP BY cluster_id, source
+),
+per_cluster AS (
+  SELECT cluster_id, CAST(SUM(nd) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per_cs GROUP BY cluster_id
+)
+SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs
+FROM per_cluster GROUP BY n_sources
+"""
+
+
+# ---------------------------------------------------------------------------
+# q275 stopword-ratio vs quality-margin calibration bins
+# ---------------------------------------------------------------------------
+
+def q275_stopword_quality_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration of the cheap signal against the expensive one:
+    bin documents by stopword ratio (fixed-width tenths -- NO global
+    ntile window, so no single-task sort) and report each bin's doc
+    count, mean quality-model margin, and exact stopword permille.
+    A monotone margin-vs-bin curve validates stopword ratio as a
+    pre-filter; a flat one says the cheap feature carries no signal
+    for this corpus.
+
+    100 TB shape: ONE exploded pass computes the weight and the
+    stopword flag per token (no second scan), one doc-grain
+    aggregate, one 10-row bin aggregate; the mean margin uses q269's
+    positive-offset integer trick so no negative dividend ever meets
+    integer division (div truncation direction differs per engine
+    only below zero)."""
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.retrieval import _bucket, _weight
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.explode(T.tokens("text")).alias("t")
+    )
+    per_doc = (
+        tok.select(
+            "doc_id",
+            _weight(_bucket(F.col("t"))).alias("w"),
+            F.col("t").isin(*T.STOPWORDS_EN).cast("long").alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("raw_margin"),
+            F.sum("s").cast("long").alias("n_stop"),
+        )
+    )
+    binned = per_doc.withColumn(
+        "bin",
+        F.least(F.expr("n_stop * 10 div n_tokens"), F.lit(9)).cast("int"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            f"(sum(raw_margin) + 1000 * sum(n_tokens)) * {MICRO}"
+            f" div (1000 * sum(n_tokens)) - {MICRO}"
+        ).cast("long").alias("mean_margin_micro"),
+        F.expr("sum(n_stop) * 1000 div sum(n_tokens)")
+        .cast("long")
+        .alias("stop_permille"),
+    )
+
+
+_Q275_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+ORACLE_Q275 = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+wt AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('w' || CAST(
+             CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT)
+               % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w,
+         CASE WHEN t IN {_Q275_STOP_SQL} THEN 1 ELSE 0 END AS s
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS raw_margin,
+         CAST(SUM(s) AS BIGINT) AS n_stop
+  FROM wt GROUP BY doc_id
+),
+binned AS (
+  SELECT *, CAST(LEAST(n_stop * 10 // n_tokens, 9) AS INTEGER) AS bin
+  FROM per_doc
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST((SUM(raw_margin) + 1000 * SUM(n_tokens)) * {MICRO}
+            // (1000 * SUM(n_tokens)) - {MICRO} AS BIGINT)
+         AS mean_margin_micro,
+       CAST(SUM(n_stop) * 1000 // SUM(n_tokens) AS BIGINT)
+         AS stop_permille
+FROM binned GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# q276 prompt prefix-cache accounting
+# ---------------------------------------------------------------------------
+
+_Q276_KS = (4, 8, 16)
+
+
+def q276_prefix_cache_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KV-prefix-cache economics over the prompt corpus: at each
+    prefix depth k, group documents by their first-min(k, len)
+    tokens (md5 key -- the q233 prompt-key derivation generalized to
+    a depth sweep) and account the reuse: group count, largest
+    group, reuse fraction, and the exact prefill tokens a prefix
+    cache would save (sum over groups of (n-1) * prefix_len). The
+    capacity-planning query behind serving-cache and packed-SFT
+    prefill budgets.
+
+    100 TB shape: the token array is computed ONCE per doc, the
+    depth sweep explodes 3 rows per doc (k is a tiny constant axis),
+    and each depth is one md5-key aggregate with map-side combine ->
+    a 3-row report. Every statistic is an exact integer."""
+    import synthea_etl_spark.operators.text as T
+
+    d = load(spark, sf_dir, "documents")
+    base = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", T.tokens("text").alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            "doc_id",
+            "_toks",
+            F.explode(
+                F.array(*[F.lit(int(k)) for k in _Q276_KS])
+            ).alias("k"),
+        )
+        .select(
+            "k",
+            F.md5(
+                F.concat_ws(" ", F.expr("slice(_toks, 1, k)"))
+            ).alias("pkey"),
+            F.least(F.size("_toks"), F.col("k")).cast("long").alias(
+                "plen"
+            ),
+        )
+    )
+    groups = base.groupBy("k", "pkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("plen").alias("_plen"),
+    )
+    return groups.groupBy("k").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.max("n").cast("long").alias("max_group_n"),
+        F.expr(f"(sum(n) - count(*)) * {MICRO} div sum(n)")
+        .cast("long")
+        .alias("reuse_micro"),
+        F.sum((F.col("n") - 1) * F.col("_plen"))
+        .cast("long")
+        .alias("tokens_saved"),
+    )
+
+
+ORACLE_Q276 = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+ks AS (SELECT UNNEST([{', '.join(str(k) for k in _Q276_KS)}]) AS k),
+keyed AS (
+  SELECT k,
+         md5(array_to_string(w[1:LEAST(len(w), k)], ' ')) AS pkey,
+         CAST(LEAST(len(w), k) AS BIGINT) AS plen
+  FROM base CROSS JOIN ks
+  WHERE len(w) > 0
+),
+groups AS (
+  SELECT k, pkey, CAST(COUNT(*) AS BIGINT) AS n, MIN(plen) AS plen
+  FROM keyed GROUP BY k, pkey
+)
+SELECT CAST(k AS INTEGER) AS k,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MAX(n) AS BIGINT) AS max_group_n,
+       CAST((SUM(n) - COUNT(*)) * {MICRO} // SUM(n) AS BIGINT)
+         AS reuse_micro,
+       CAST(SUM((n - 1) * plen) AS BIGINT) AS tokens_saved
+FROM groups GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# q277 embedding dimension health audit
+# ---------------------------------------------------------------------------
+
+def q277_embedding_dim_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension health audit of the embedding table: count,
+    exact micro-quantized component sum, min/max/range, and a dead
+    flag (range 0 -- a dimension carrying no information, the
+    symptom of a truncated export or a collapsed encoder). The
+    data-quality gate an embedding pipeline runs before building
+    ANN indexes on a new drop.
+
+    100 TB shape: rebalance the narrow (id, vector) scan, ONE
+    posexplode, one dim-keyed aggregate with map-side combine (the
+    dim cardinality is the vector width -- partial aggregation
+    collapses each partition to width rows before the exchange).
+    Sums are reported as SUMS, not means: a micro-quantized mean
+    would integer-divide a possibly-negative total, and div
+    truncation direction below zero is engine-specific -- the sum
+    itself is exact on any engine."""
+    from synthea_etl_spark.operators.util import rebalance_by_key
+
+    e = rebalance_by_key(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
+    x = F.col("v") * MICRO
+    vm = (
+        F.when(x >= 0, F.floor(x + F.lit(0.5)))
+        .otherwise(-F.floor(-x + F.lit(0.5)))
+        .cast("long")
+    )
+    comp = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "v"
+        )
+    ).select(F.col("dim").cast("int").alias("dim"), vm.alias("vm"))
+    return comp.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("vm").cast("long").alias("sum_micro"),
+        F.min("vm").cast("long").alias("min_micro"),
+        F.max("vm").cast("long").alias("max_micro"),
+        (F.max("vm") - F.min("vm")).cast("long").alias("range_micro"),
+        (F.max("vm") == F.min("vm")).alias("dead"),
+    )
+
+
+ORACLE_Q277 = f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+comp AS (
+  SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+         CASE WHEN emb[u.i] >= 0
+              THEN CAST(floor(emb[u.i] * {MICRO} + 0.5) AS BIGINT)
+              ELSE -CAST(floor(-emb[u.i] * {MICRO} + 0.5) AS BIGINT)
+         END AS vm
+  FROM e, LATERAL (SELECT UNNEST(generate_series(1, len(emb))) AS i) u
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vm) AS BIGINT) AS sum_micro,
+       CAST(MIN(vm) AS BIGINT) AS min_micro,
+       CAST(MAX(vm) AS BIGINT) AS max_micro,
+       CAST(MAX(vm) - MIN(vm) AS BIGINT) AS range_micro,
+       MAX(vm) = MIN(vm) AS dead
+FROM comp GROUP BY dim
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q272_ann_health_verdict": QuerySpec(
         q272_ann_health_verdict,
@@ -283,5 +723,40 @@ QUERIES: dict[str, QuerySpec] = {
         " exact truth + occupancy/coherence thresholds -> one"
         " integer-exact retrain verdict row",
         ("llm", "similarity", "governance"),
+    ),
+    "q273_vocab_drift_jaccard": QuerySpec(
+        q273_vocab_drift_jaccard,
+        ORACLE_Q273,
+        "per-language top-V vocabulary Jaccard between reference and"
+        " live corpus halves via two-stage grouped top-k",
+        ("llm", "text", "governance"),
+    ),
+    "q274_cluster_source_purity": QuerySpec(
+        q274_cluster_source_purity,
+        _oracle_q274(),
+        "source-span histogram of near-dup clusters -- cross-source"
+        " verbatim propagation signal",
+        ("llm", "dedup", "governance"),
+    ),
+    "q275_stopword_quality_bins": QuerySpec(
+        q275_stopword_quality_bins,
+        ORACLE_Q275,
+        "stopword-ratio bins vs mean quality-model margin -- cheap-"
+        "signal calibration curve",
+        ("llm", "quality", "governance"),
+    ),
+    "q276_prefix_cache_accounting": QuerySpec(
+        q276_prefix_cache_accounting,
+        ORACLE_Q276,
+        "prefix-cache reuse and exact prefill-tokens-saved at depths"
+        " 4/8/16 over the prompt corpus",
+        ("llm", "sft", "governance"),
+    ),
+    "q277_embedding_dim_health": QuerySpec(
+        q277_embedding_dim_health,
+        ORACLE_Q277,
+        "per-dimension embedding audit: exact micro sums, ranges,"
+        " dead-dimension flags",
+        ("llm", "similarity", "quality"),
     ),
 }
