@@ -262,12 +262,16 @@ def q261_reward_length_corr(
     with the double derivation in one fixed expression order, so
     the result is bit-stable at any parallelism and the DuckDB twin
     hashes identically. x centered at 90 tokens, y is already
-    near-centered (rewards are ~uniform in [-1000, 1000]). The scan
-    is doc_id-rebalanced (narrow-scan lesson: the tokenize-count is
-    per-row work bounded by the scan's parallelism)."""
-    d = rebalance_by_key(
-        load(spark, sf_dir, "documents"), "doc_id"
-    ).filter(T.token_count("text") > 0)
+    near-centered (rewards are ~uniform in [-1000, 1000]). NO scan
+    rebalance (reverted round 15): the narrow-scan lesson is for
+    EXPLODE-heavy plans where post-shuffle work dwarfs the exchange;
+    here the per-row work is one token_count regex pass, so the
+    rebalance shipped the full text column (88 MB measured at tiled
+    sf10) to spread work cheaper than the shuffle itself — profiled
+    at 4.9 s with vs ~2.5 s without (stage_profile, r15). The moment
+    computation now runs inside the scan stage and partial-aggregates
+    straight to the source grain."""
+    d = load(spark, sf_dir, "documents").filter(T.token_count("text") > 0)
     reward = (
         F.expr(
             "CAST(conv(substring(md5(concat('rw', CAST(doc_id AS"
@@ -1176,26 +1180,38 @@ def q269_dedup_quality_shift(
     # NO broadcast hint on `dropped`: at web-crawl duplication rates
     # the non-representative member set is 40-80% OF the corpus, so a
     # forced broadcast is an executor-OOM scale-killer. Un-hinted,
-    # AQE broadcasts when the runtime size actually fits and falls
-    # back to a shuffled anti-join on the doc_id partitioning both
-    # sides already carry (the q260 measurement in this file showed
-    # forced broadcasts were also SLOWER where they did fit).
-    surv = base.join(dropped, "doc_id", "left_anti")
+    # AQE broadcasts when the runtime size actually fits (verified in
+    # the executed plan at organic sf10) and falls back to a shuffled
+    # join on the doc_id partitioning both sides already carry.
+    # ONE pass, not two: a LEFT join marks each doc kept/dropped and
+    # conditional sums produce the all/kept aggregates together —
+    # the two-frame shape (anti-join + two groupBys) scanned the
+    # scored corpus twice for no semantic gain.
+    flagged = base.join(
+        dropped.withColumn("_d", F.lit(1)), "doc_id", "left"
+    ).withColumn("_k", F.col("_d").isNull().cast("long"))
 
-    def mean_frame(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count("*").cast("long").alias(f"n_{tag}"),
-            F.expr(
-                f"(sum(raw_margin) + 1000 * sum(n_tokens)) * {MICRO}"
-                f" div (1000 * sum(n_tokens)) - {MICRO}"
-            )
-            .cast("long")
-            .alias(f"margin_{tag}_micro"),
-        )
+    def margin(prefix: str) -> str:
+        rm = f"sum({prefix}raw_margin)"
+        nt = f"sum({prefix}n_tokens)"
+        return f"({rm} + 1000 * {nt}) * {MICRO} div (1000 * {nt}) - {MICRO}"
 
     return (
-        mean_frame(base, "all")
-        .join(mean_frame(surv, "kept"), "source")
+        flagged.select(
+            "source",
+            "raw_margin",
+            "n_tokens",
+            "_k",
+            (F.col("_k") * F.col("raw_margin")).alias("k_raw_margin"),
+            (F.col("_k") * F.col("n_tokens")).alias("k_n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_all"),
+            F.sum("_k").cast("long").alias("n_kept"),
+            F.expr(margin("")).cast("long").alias("margin_all_micro"),
+            F.expr(margin("k_")).cast("long").alias("margin_kept_micro"),
+        )
         .select(
             "source",
             "n_all",
