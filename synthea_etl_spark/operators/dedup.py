@@ -2184,6 +2184,123 @@ def quantiles_from_hist_store(
     )
 
 
+# --- counting-Bloom membership store (11th stream-maintained -------
+# --- family): sparse additive buckets -> exact-erasable ------------
+# --- set-membership probes with zero false negatives ---------------
+#
+# A membership precheck at 100 TB ("have we ever ingested this
+# fingerprint?") must not rescan the corpus and must survive
+# right-to-erasure. A classic bitmap Bloom filter can't erase; a
+# COUNTING Bloom can: each fingerprint increments K hashed buckets,
+# so per-bucket counts are ADDITIVE and the store rides the counting-
+# slice machinery unchanged (compact_counting_slices /
+# counting_store_totals / deletion_slice — erasure is the verbatim
+# negative-slice path, and the purged store is bit-identical to one
+# rebuilt from survivors). Storage is SPARSE (only touched buckets
+# hold rows, <= K per ingested fingerprint), the modulus M is a fixed
+# constant so slices from any batch merge exactly, and a probe is a
+# K-row bucket lookup per fingerprint: present iff ALL K buckets are
+# live. No false negatives by construction (every ingested
+# fingerprint's K buckets are all incremented); false positives are
+# collision-bounded by the (n*K/M) load factor — q278 measures the
+# realized FPR against exact membership and verifies FN == 0 as an
+# in-result column (the q255 discipline).
+
+BLOOM_M = 4_194_304  # 2^22 buckets: ~0.5 load at 500k docs x K=4
+BLOOM_K = 4
+
+
+def doc_fingerprint(text_col: str = "text") -> Column:
+    """Engine-portable content fingerprint: md5 of the trimmed text
+    (the exact-dedup key of q30, reused so the Bloom store answers
+    the same question the exact path does)."""
+    return F.md5(F.trim(F.col(text_col)))
+
+
+def bloom_buckets(
+    fp: Column, k: int = BLOOM_K, m: int = BLOOM_M
+) -> Column:
+    """The K hashed bucket ids of a fingerprint, as an array column:
+    bucket_i = int(md5(fp || ':i')[0:8], 16) % m — the same
+    conv-substring-md5 idiom every gated hash in this repo uses, so
+    the DuckDB twin is exact."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(fp, F.lit(f":{i}"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_slice(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One batch's additive (b, c) bucket-count rows: K buckets per
+    non-empty document fingerprint. Feed the same slice of the
+    ERASED docs through :func:`deletion_slice` to subtract them."""
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(doc_fingerprint(text_col).alias("_fp"))
+        .select(F.explode(bloom_buckets(F.col("_fp"))).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def bloom_store(
+    docs: DataFrame, store_path: str, slice_id: str, text_col: str = "text"
+) -> None:
+    """Publish one batch's Bloom bucket slice (same 'batch<k>' naming
+    + idempotent dynamic-overwrite contract as token_stats_store;
+    compact with compact_counting_slices(keys=['b'], count='c');
+    erasure: deletion_slice(bloom_slice(deleted), ['c']))."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            f"bloom_store slice_id must be 'batch<k>' (got {slice_id!r})"
+        )
+    (
+        bloom_slice(docs, text_col)
+        .withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
+    )
+
+
+def bloom_probe_from_store(
+    spark, store_path: str, probes: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """Set-membership verdicts FROM THE STORE — no corpus access:
+    each probe fingerprint expands to its K buckets, equi-joins the
+    watermark-filtered totals (zero-net buckets read as absent, so a
+    pending deletion slice is honored IMMEDIATELY), and is present
+    iff all K buckets are live. Probe sets are query-sized by
+    construction -> broadcast the probe side; the store side never
+    shuffles. Returns (fp, present)."""
+    totals = counting_store_totals(spark, store_path, ["b"], "c")
+    pb = (
+        probes.select(F.col(fp_col).alias("fp"))
+        .distinct()
+        .select("fp", F.explode(bloom_buckets(F.col("fp"))).alias("b"))
+    )
+    hit = F.broadcast(pb).join(totals, "b", "left")
+    return hit.groupBy("fp").agg(
+        (F.sum(F.col("c").isNotNull().cast("int")) == BLOOM_K).alias(
+            "present"
+        )
+    )
+
+
 def purge_prompt_key_cluster(
     spark,
     agg_store_path: str,

@@ -810,6 +810,48 @@ def length_hist_ingest_stream(
     )
 
 
+def bloom_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the COUNTING-BLOOM MEMBERSHIP store —
+    the eleventh stream-maintained artifact family: each micro-batch
+    publishes its own sparse (bucket, count) partial as one slice
+    partition (operators/dedup.bloom_store — dynamic overwrite,
+    replay-idempotent). Bucket counts are ADDITIVE under a fixed
+    modulus, so ``dedup.bloom_probe_from_store`` answers "seen this
+    fingerprint before?" with zero false negatives from store-sized
+    bucket lookups, ``dedup.compact_counting_slices(keys=['b'],
+    count='c')`` folds old slices, and right-to-erasure rides the
+    negative-slice path verbatim (all-'sum' store; the purged store
+    is bit-identical to a rebuild from survivors). Same
+    checkpoint-loss caveat as every batch_id-keyed skip."""
+    from synthea_etl_spark.operators.dedup import (
+        bloom_store,
+        compaction_watermark,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if batch_id <= compaction_watermark(store_dir):
+            return
+        bloom_store(batch_df, store_dir, slice_id=f"batch{batch_id}")
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def prompt_key_ingest_stream(
     spark: SparkSession,
     landing_dir: str,

@@ -715,6 +715,167 @@ FROM comp GROUP BY dim
 """
 
 
+# ---------------------------------------------------------------------------
+# q278 counting-Bloom membership audit (11th stream-store family)
+# ---------------------------------------------------------------------------
+
+_Q278_SYNTH = 500
+
+
+def q278_bloom_membership_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate query for the counting-Bloom membership store (the 11th
+    stream-maintained family): build the store in-query from three
+    batch slices with a mid-stream compaction (the store lifecycle it
+    certifies -- q240/q266 class), probe it with a member panel
+    (corpus fingerprints, doc_id % 17 == 3) and a synthetic absent
+    panel, and report per class: exact membership, Bloom verdicts,
+    false negatives (PROVEN ZERO as the in-result ``fn_zero`` column
+    -- every ingested fingerprint's K buckets are incremented, so a
+    member can never probe absent; the q255 discipline), false
+    positives, and the realized FPR against the collision bound.
+
+    100 TB shape: the production path is the probe -- K broadcast-
+    joined bucket lookups per fingerprint against the watermark-
+    filtered totals, no corpus access; ingest is sparse additive
+    slices (<= K rows per doc) riding the counting-store machinery,
+    so compaction and right-to-erasure (negative slice) are the
+    certified paths. The exact side here is the gate-scale truth the
+    store exists to avoid recomputing."""
+    import shutil
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        bloom_probe_from_store,
+        bloom_store,
+        compact_counting_slices,
+        doc_fingerprint,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="q278_bloom_store_")
+    try:
+        for b, pred in enumerate(
+            (
+                F.col("doc_id") % 3 == 0,
+                F.col("doc_id") % 3 == 1,
+                F.col("doc_id") % 3 == 2,
+            )
+        ):
+            bloom_store(docs.filter(pred), store, f"batch{b}")
+            if b == 1:
+                compact_counting_slices(spark, store, 1, ["b"], "c")
+        nonempty = docs.filter(F.length(F.trim("text")) > 0)
+        members = (
+            nonempty.filter(F.col("doc_id") % 17 == 3)
+            .select(doc_fingerprint().alias("fp"))
+            .distinct()
+            .withColumn("probe_class", F.lit("member"))
+        )
+        synth = spark.range(_Q278_SYNTH).select(
+            F.md5(
+                F.concat(F.lit("absent:"), F.col("id").cast("string"))
+            ).alias("fp"),
+            F.lit("synthetic").alias("probe_class"),
+        )
+        probes = members.unionByName(synth)
+        verdict = bloom_probe_from_store(spark, store, probes)
+        corpus = (
+            nonempty.select(doc_fingerprint().alias("fp"))
+            .distinct()
+            .withColumn("_in", F.lit(1))
+        )
+        out = (
+            probes.join(verdict, "fp")
+            .join(corpus, "fp", "left")
+            .select(
+                "probe_class",
+                F.col("_in").isNotNull().cast("long").alias("_e"),
+                F.col("present").cast("long").alias("_p"),
+            )
+            .groupBy("probe_class")
+            .agg(
+                F.count("*").cast("long").alias("n_probes"),
+                F.sum("_e").cast("long").alias("n_exact_present"),
+                F.sum("_p").cast("long").alias("n_bloom_present"),
+                F.sum(F.expr("_e * (1 - _p)")).cast("long")
+                .alias("n_false_neg"),
+                F.sum(F.expr("(1 - _e) * _p")).cast("long")
+                .alias("n_false_pos"),
+            )
+            .select(
+                "*",
+                F.expr(
+                    f"n_false_pos * {MICRO}"
+                    " div greatest(1, n_probes - n_exact_present)"
+                ).cast("long").alias("fpr_micro"),
+                (F.col("n_false_neg") == 0).alias("fn_zero"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _oracle_q278() -> str:
+    from synthea_etl_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    idx = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+WITH nonempty AS (
+  SELECT md5(trim(text)) AS fp FROM documents
+  WHERE length(trim(text)) > 0
+),
+corpus AS (SELECT DISTINCT fp FROM nonempty),
+buckets AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM corpus CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+members AS (
+  SELECT DISTINCT md5(trim(text)) AS fp, 'member' AS probe_class
+  FROM documents
+  WHERE length(trim(text)) > 0 AND doc_id % 17 = 3
+),
+synth AS (
+  SELECT md5('absent:' || CAST(r AS VARCHAR)) AS fp,
+         'synthetic' AS probe_class
+  FROM range({_Q278_SYNTH}) t(r)
+),
+probes AS (SELECT * FROM members UNION ALL SELECT * FROM synth),
+pb AS (
+  SELECT p.fp, p.probe_class,
+         CAST(concat('0x', substr(md5(p.fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM probes p CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+hit AS (
+  SELECT pb.fp, pb.probe_class,
+         SUM(CASE WHEN bk.b IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}
+           AS present
+  FROM pb LEFT JOIN buckets bk USING (b)
+  GROUP BY pb.fp, pb.probe_class
+),
+ann AS (
+  SELECT h.probe_class,
+         CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CASE WHEN h.present THEN 1 ELSE 0 END AS p
+  FROM hit h LEFT JOIN corpus c ON h.fp = c.fp
+)
+SELECT probe_class, CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(e) AS BIGINT) AS n_exact_present,
+       CAST(SUM(p) AS BIGINT) AS n_bloom_present,
+       CAST(SUM(e * (1 - p)) AS BIGINT) AS n_false_neg,
+       CAST(SUM((1 - e) * p) AS BIGINT) AS n_false_pos,
+       CAST(SUM((1 - e) * p) * {MICRO}
+            // GREATEST(1, COUNT(*) - SUM(e)) AS BIGINT) AS fpr_micro,
+       SUM(e * (1 - p)) = 0 AS fn_zero
+FROM ann GROUP BY probe_class
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q272_ann_health_verdict": QuerySpec(
         q272_ann_health_verdict,
@@ -758,5 +919,12 @@ QUERIES: dict[str, QuerySpec] = {
         "per-dimension embedding audit: exact micro sums, ranges,"
         " dead-dimension flags",
         ("llm", "similarity", "quality"),
+    ),
+    "q278_bloom_membership_audit": QuerySpec(
+        q278_bloom_membership_audit,
+        _oracle_q278(),
+        "counting-Bloom membership store: zero-false-negative proof"
+        " + realized FPR vs exact membership",
+        ("llm", "dedup", "streaming"),
     ),
 }
