@@ -2241,16 +2241,51 @@ def bloom_buckets(
     )
 
 
+def bloom_slice_from_fps(
+    fps: DataFrame, fp_col: str = "fp"
+) -> DataFrame:
+    """:func:`bloom_slice` on a frame that already carries the
+    fingerprints — the shape for callers that reuse one fingerprint
+    pass across several slices/panels (q278 persists it once instead
+    of rescanning the corpus per slice)."""
+    return (
+        fps.select(F.explode(bloom_buckets(F.col(fp_col))).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
 def bloom_slice(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One batch's additive (b, c) bucket-count rows: K buckets per
     non-empty document fingerprint. Feed the same slice of the
     ERASED docs through :func:`deletion_slice` to subtract them."""
-    return (
-        docs.filter(F.length(F.trim(text_col)) > 0)
-        .select(doc_fingerprint(text_col).alias("_fp"))
-        .select(F.explode(bloom_buckets(F.col("_fp"))).alias("b"))
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("c"))
+    return bloom_slice_from_fps(
+        docs.filter(F.length(F.trim(text_col)) > 0).select(
+            doc_fingerprint(text_col).alias("_fp")
+        ),
+        "_fp",
+    )
+
+
+def publish_counting_slice(
+    slice_df: DataFrame, store_path: str, slice_id: str
+) -> None:
+    """Publish any additive (keys, count) slice under the standard
+    'batch<k>' naming + idempotent dynamic-overwrite contract — the
+    shared writer behind bloom_store (and usable for negative
+    deletion slices)."""
+    import re
+
+    if not re.fullmatch(r"batch\d+", slice_id):
+        raise ValueError(
+            f"counting slice_id must be 'batch<k>' (got {slice_id!r})"
+        )
+    (
+        slice_df.withColumn("slice_id", F.lit(slice_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("slice_id")
+        .parquet(store_path)
     )
 
 
@@ -2261,20 +2296,7 @@ def bloom_store(
     + idempotent dynamic-overwrite contract as token_stats_store;
     compact with compact_counting_slices(keys=['b'], count='c');
     erasure: deletion_slice(bloom_slice(deleted), ['c']))."""
-    import re
-
-    if not re.fullmatch(r"batch\d+", slice_id):
-        raise ValueError(
-            f"bloom_store slice_id must be 'batch<k>' (got {slice_id!r})"
-        )
-    (
-        bloom_slice(docs, text_col)
-        .withColumn("slice_id", F.lit(slice_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("slice_id")
-        .parquet(store_path)
-    )
+    publish_counting_slice(bloom_slice(docs, text_col), store_path, slice_id)
 
 
 def bloom_probe_from_store(
