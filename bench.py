@@ -209,6 +209,8 @@ HEADLINE_OPT = [
     "q276_prefix_cache_accounting",
     "q277_embedding_dim_health",
     "q278_bloom_membership_audit",
+    "q279_bloom_dedup_funnel",
+    "q280_bloom_novelty_bounds",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -883,6 +883,275 @@ FROM ann GROUP BY probe_class
 """
 
 
+# ---------------------------------------------------------------------------
+# q279 Bloom-precheck dedup funnel / q280 bounded novelty audit
+# ---------------------------------------------------------------------------
+
+def q279_bloom_dedup_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 11th family's operational use: an INCOMING batch
+    (doc_id % 7 == 1) is prechecked against the Bloom store of the
+    ALREADY-INGESTED corpus (the other 6/7) before any exact dedup
+    work. One row: batch size, Bloom hits (the only docs that need
+    exact verification), exact duplicates among them, the realized
+    precheck precision, and the exact-work-avoided fraction — the
+    measurement that justifies fronting an exact-dedup pipeline with
+    a store probe. ``fn_zero`` proves in-result that no true
+    duplicate escaped the precheck (the Bloom guarantee: exact dups
+    are a subset of Bloom hits).
+
+    100 TB shape: the store probe is K bucket lookups per batch doc
+    (batch-sized work against store-sized state); the exact join
+    runs ONLY on the Bloom-hit subset — at honest duplication rates
+    that is the whole point: (1 - hit-rate) of the batch never pays
+    the exact-verification join."""
+    import shutil
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        bloom_probe_from_store,
+        bloom_slice_from_fps,
+        compact_counting_slices,
+        doc_fingerprint,
+        publish_counting_slice,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="q279_bloom_store_")
+    fps = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", doc_fingerprint().alias("fp"))
+        .persist()
+    )
+    try:
+        ingested = fps.filter(F.col("doc_id") % 7 != 1)
+        batch = fps.filter(F.col("doc_id") % 7 == 1)
+        publish_counting_slice(
+            bloom_slice_from_fps(ingested), store, "batch0"
+        )
+        compact_counting_slices(spark, store, 0, ["b"], "c")
+        verdict = bloom_probe_from_store(
+            spark, store, batch.select("fp")
+        )
+        ing_fps = ingested.select("fp").distinct().withColumn(
+            "_in", F.lit(1)
+        )
+        ann = (
+            batch.join(verdict, "fp")
+            .join(ing_fps, "fp", "left")
+            .select(
+                F.col("present").cast("long").alias("_h"),
+                F.col("_in").isNotNull().cast("long").alias("_e"),
+            )
+        )
+        out = ann.agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum("_h").cast("long").alias("n_bloom_hits"),
+            F.sum("_e").cast("long").alias("n_exact_dups"),
+            F.sum(F.expr("_e * (1 - _h)")).cast("long")
+            .alias("n_escaped"),
+        ).select(
+            "*",
+            F.expr(
+                f"n_exact_dups * {MICRO} div greatest(1, n_bloom_hits)"
+            ).cast("long").alias("precision_micro"),
+            F.expr(
+                f"(n_batch - n_bloom_hits) * {MICRO} div n_batch"
+            ).cast("long").alias("exact_work_avoided_micro"),
+            (F.col("n_escaped") == 0).alias("fn_zero"),
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        fps.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _oracle_q279() -> str:
+    from synthea_etl_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    idx = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+WITH fps AS (
+  SELECT doc_id, md5(trim(text)) AS fp FROM documents
+  WHERE length(trim(text)) > 0
+),
+ingested AS (SELECT fp FROM fps WHERE doc_id % 7 <> 1),
+batch AS (SELECT fp FROM fps WHERE doc_id % 7 = 1),
+buckets AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM (SELECT DISTINCT fp FROM ingested)
+       CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+pb AS (
+  SELECT p.fp,
+         CAST(concat('0x', substr(md5(p.fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM (SELECT DISTINCT fp FROM batch) p
+       CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+hit AS (
+  SELECT pb.fp,
+         SUM(CASE WHEN bk.b IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}
+           AS present
+  FROM pb LEFT JOIN buckets bk USING (b)
+  GROUP BY pb.fp
+),
+ann AS (
+  SELECT CASE WHEN h.present THEN 1 ELSE 0 END AS h,
+         CASE WHEN i.fp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM batch b
+  JOIN hit h ON b.fp = h.fp
+  LEFT JOIN (SELECT DISTINCT fp FROM ingested) i ON b.fp = i.fp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(h) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(e) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(e * (1 - h)) AS BIGINT) AS n_escaped,
+       CAST(SUM(e) * {MICRO} // GREATEST(1, SUM(h)) AS BIGINT)
+         AS precision_micro,
+       CAST((COUNT(*) - SUM(h)) * {MICRO} // COUNT(*) AS BIGINT)
+         AS exact_work_avoided_micro,
+       SUM(e * (1 - h)) = 0 AS fn_zero
+FROM ann
+"""
+
+
+def q280_bloom_novelty_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source novelty of a live half (odd doc_id) against the
+    Bloom store of a reference half (even doc_id), WITH the bound
+    semantics made explicit: a Bloom-absent fingerprint is PROVEN
+    novel (no false negatives), a Bloom-present one is only maybe-
+    duplicate — so the store gives a certified LOWER bound on
+    novelty, and the exact join measures how tight it is at the
+    realized load factor. ``bound_ok`` verifies novel_min <=
+    novel_exact in-result (the q255 discipline): a violated bound
+    would mean a false negative, i.e. a broken store.
+
+    100 TB shape: the probe side is the live half's distinct
+    fingerprints (store-sized bucket lookups); the exact side is the
+    gate-scale truth a production monitor replaces with the bound."""
+    import shutil
+    import tempfile
+
+    from synthea_etl_spark.operators.dedup import (
+        bloom_probe_from_store,
+        bloom_slice_from_fps,
+        compact_counting_slices,
+        doc_fingerprint,
+        publish_counting_slice,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    store = tempfile.mkdtemp(prefix="q280_bloom_store_")
+    fps = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", "source", doc_fingerprint().alias("fp"))
+        .persist()
+    )
+    try:
+        ref = fps.filter(F.col("doc_id") % 2 == 0)
+        live = fps.filter(F.col("doc_id") % 2 == 1)
+        publish_counting_slice(bloom_slice_from_fps(ref), store, "batch0")
+        compact_counting_slices(spark, store, 0, ["b"], "c")
+        live_fps = live.select("source", "fp").distinct()
+        verdict = bloom_probe_from_store(
+            spark, store, live_fps.select("fp")
+        )
+        ref_fps = ref.select("fp").distinct().withColumn("_in", F.lit(1))
+        ann = (
+            live_fps.join(verdict, "fp")
+            .join(ref_fps, "fp", "left")
+            .select(
+                "source",
+                (~F.col("present")).cast("long").alias("_novel_min"),
+                F.col("_in").isNull().cast("long").alias("_novel_exact"),
+            )
+        )
+        out = (
+            ann.groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_live_fps"),
+                F.sum("_novel_min").cast("long").alias("novel_min"),
+                F.sum("_novel_exact").cast("long").alias("novel_exact"),
+            )
+            .select(
+                "*",
+                F.expr(f"novel_min * {MICRO} div n_live_fps")
+                .cast("long")
+                .alias("novelty_lower_micro"),
+                F.expr(f"novel_exact * {MICRO} div n_live_fps")
+                .cast("long")
+                .alias("novelty_exact_micro"),
+                (F.col("novel_min") <= F.col("novel_exact")).alias(
+                    "bound_ok"
+                ),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        fps.unpersist()
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _oracle_q280() -> str:
+    from synthea_etl_spark.operators.dedup import BLOOM_K, BLOOM_M
+
+    idx = ", ".join(str(i) for i in range(BLOOM_K))
+    return f"""
+WITH fps AS (
+  SELECT doc_id, source, md5(trim(text)) AS fp FROM documents
+  WHERE length(trim(text)) > 0
+),
+ref AS (SELECT fp FROM fps WHERE doc_id % 2 = 0),
+live AS (SELECT DISTINCT source, fp FROM fps WHERE doc_id % 2 = 1),
+buckets AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM (SELECT DISTINCT fp FROM ref)
+       CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+pb AS (
+  SELECT p.fp,
+         CAST(concat('0x', substr(md5(p.fp || ':' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {BLOOM_M} AS b
+  FROM (SELECT DISTINCT fp FROM live) p
+       CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+hit AS (
+  SELECT pb.fp,
+         SUM(CASE WHEN bk.b IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}
+           AS present
+  FROM pb LEFT JOIN buckets bk USING (b)
+  GROUP BY pb.fp
+),
+ann AS (
+  SELECT l.source,
+         CASE WHEN h.present THEN 0 ELSE 1 END AS novel_min,
+         CASE WHEN r.fp IS NULL THEN 1 ELSE 0 END AS novel_exact
+  FROM live l
+  JOIN hit h ON l.fp = h.fp
+  LEFT JOIN (SELECT DISTINCT fp FROM ref) r ON l.fp = r.fp
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_live_fps,
+       CAST(SUM(novel_min) AS BIGINT) AS novel_min,
+       CAST(SUM(novel_exact) AS BIGINT) AS novel_exact,
+       CAST(SUM(novel_min) * {MICRO} // COUNT(*) AS BIGINT)
+         AS novelty_lower_micro,
+       CAST(SUM(novel_exact) * {MICRO} // COUNT(*) AS BIGINT)
+         AS novelty_exact_micro,
+       SUM(novel_min) <= SUM(novel_exact) AS bound_ok
+FROM ann GROUP BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q272_ann_health_verdict": QuerySpec(
         q272_ann_health_verdict,
@@ -933,5 +1202,19 @@ QUERIES: dict[str, QuerySpec] = {
         "counting-Bloom membership store: zero-false-negative proof"
         " + realized FPR vs exact membership",
         ("llm", "dedup", "streaming"),
+    ),
+    "q279_bloom_dedup_funnel": QuerySpec(
+        q279_bloom_dedup_funnel,
+        _oracle_q279(),
+        "Bloom-precheck dedup funnel: exact work avoided, precheck"
+        " precision, in-result no-escape proof",
+        ("llm", "dedup", "streaming"),
+    ),
+    "q280_bloom_novelty_bounds": QuerySpec(
+        q280_bloom_novelty_bounds,
+        _oracle_q280(),
+        "per-source novelty with a certified Bloom lower bound vs"
+        " the exact rate",
+        ("llm", "dedup", "governance"),
     ),
 }

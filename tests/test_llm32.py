@@ -171,3 +171,24 @@ def test_llm32_match_duckdb_on_testdata(duck, spark):
         got = {tuple(r) for r in spec.fn(spark, SF_DIR).collect()}
         want = {tuple(r) for r in duck.execute(spec.oracle).fetchall()}
         assert got == want, name
+
+
+def test_q279_funnel_bloom_superset_of_exact(spark):
+    """Exact dups are a subset of Bloom hits (no escapes), and the
+    funnel fractions are consistent."""
+    from synthea_etl_spark.plans.llm32 import q279_bloom_dedup_funnel
+
+    r = q279_bloom_dedup_funnel(spark, SF_DIR).collect()[0]
+    assert r.n_escaped == 0 and r.fn_zero
+    assert r.n_exact_dups <= r.n_bloom_hits <= r.n_batch
+    assert 0 <= r.exact_work_avoided_micro <= 1_000_000
+
+
+def test_q280_novelty_bound_holds_per_source(spark):
+    from synthea_etl_spark.plans.llm32 import q280_bloom_novelty_bounds
+
+    rows = q280_bloom_novelty_bounds(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bound_ok and r.novel_min <= r.novel_exact <= r.n_live_fps
+        assert r.novelty_lower_micro <= r.novelty_exact_micro
