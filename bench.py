@@ -211,6 +211,7 @@ HEADLINE_OPT = [
     "q278_bloom_membership_audit",
     "q279_bloom_dedup_funnel",
     "q280_bloom_novelty_bounds",
+    "q281_source_quality_shortlist",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -2303,23 +2303,31 @@ def bloom_probe_from_store(
     spark, store_path: str, probes: DataFrame, fp_col: str = "fp"
 ) -> DataFrame:
     """Set-membership verdicts FROM THE STORE — no corpus access:
-    each probe fingerprint expands to its K buckets, equi-joins the
+    each probe fingerprint expands to its K buckets, INNER-joins the
     watermark-filtered totals (zero-net buckets read as absent, so a
     pending deletion slice is honored IMMEDIATELY), and is present
-    iff all K buckets are live. Probe sets are query-sized by
-    construction -> broadcast the probe side; the store side never
-    shuffles. Returns (fp, present)."""
+    iff all K bucket rows found a live match. The probe side is
+    query-sized by construction and broadcast for the inner join (an
+    outer join could not build the probe side: Spark only builds the
+    preserved-row side's OPPOSITE, which here is the store); probes
+    whose buckets all miss simply drop out of the inner join and are
+    recovered by a tiny left join against the distinct probe list.
+    The store side never shuffles. Returns (fp, present)."""
     totals = counting_store_totals(spark, store_path, ["b"], "c")
-    pb = (
-        probes.select(F.col(fp_col).alias("fp"))
-        .distinct()
-        .select("fp", F.explode(bloom_buckets(F.col("fp"))).alias("b"))
+    fps = probes.select(F.col(fp_col).alias("fp")).distinct()
+    pb = fps.select(
+        "fp", F.explode(bloom_buckets(F.col("fp"))).alias("b")
     )
-    hit = F.broadcast(pb).join(totals, "b", "left")
-    return hit.groupBy("fp").agg(
-        (F.sum(F.col("c").isNotNull().cast("int")) == BLOOM_K).alias(
+    live = (
+        totals.join(F.broadcast(pb), "b")
+        .groupBy("fp")
+        .agg(F.count("*").cast("int").alias("_n_live"))
+    )
+    return fps.join(live, "fp", "left").select(
+        "fp",
+        (F.coalesce(F.col("_n_live"), F.lit(0)) == BLOOM_K).alias(
             "present"
-        )
+        ),
     )
 
 

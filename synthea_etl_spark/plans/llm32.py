@@ -761,10 +761,16 @@ def q278_bloom_membership_audit(
     # all read it — without this the gate pays ~5 corpus scans for a
     # lifecycle the stream pays once per batch (measured 9.3 s -> the
     # committed wall at organic sf10).
+    # EAGER localCheckpoint, not persist: the probe/exact/slice
+    # branches launch concurrently inside later jobs, and a lazy
+    # cache is racy there — each branch recomputes the parquet scan
+    # before the cache fills (profiled: 4 parallel 19 MB rescans at
+    # organic sf10). The checkpoint materializes the fingerprint
+    # pass ONCE, up front, and cuts the lineage.
     fps = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select("doc_id", doc_fingerprint().alias("fp"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         for b in range(2):
@@ -821,7 +827,6 @@ def q278_bloom_membership_audit(
         )
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
-        fps.unpersist()
         shutil.rmtree(store, ignore_errors=True)
 
 
@@ -912,25 +917,33 @@ def q279_bloom_dedup_funnel(
     from synthea_etl_spark.operators.dedup import (
         bloom_probe_from_store,
         bloom_slice_from_fps,
-        compact_counting_slices,
         doc_fingerprint,
         publish_counting_slice,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     store = tempfile.mkdtemp(prefix="q279_bloom_store_")
+    # EAGER localCheckpoint, not persist: the probe/exact/slice
+    # branches launch concurrently inside later jobs, and a lazy
+    # cache is racy there — each branch recomputes the parquet scan
+    # before the cache fills (profiled: 4 parallel 19 MB rescans at
+    # organic sf10). The checkpoint materializes the fingerprint
+    # pass ONCE, up front, and cuts the lineage.
     fps = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select("doc_id", doc_fingerprint().alias("fp"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         ingested = fps.filter(F.col("doc_id") % 7 != 1)
         batch = fps.filter(F.col("doc_id") % 7 == 1)
+        # one published slice, no in-query compaction: the slice/
+        # compaction/erasure lifecycle is q278's and the drive's
+        # subject; this query certifies the USE (precheck funnel), so
+        # it pays only the store writes a stream batch pays
         publish_counting_slice(
             bloom_slice_from_fps(ingested), store, "batch0"
         )
-        compact_counting_slices(spark, store, 0, ["b"], "c")
         verdict = bloom_probe_from_store(
             spark, store, batch.select("fp")
         )
@@ -963,7 +976,6 @@ def q279_bloom_dedup_funnel(
         )
         return spark.createDataFrame(out.collect(), schema=out.schema)
     finally:
-        fps.unpersist()
         shutil.rmtree(store, ignore_errors=True)
 
 
@@ -1032,72 +1044,92 @@ def q280_bloom_novelty_bounds(
     novel_exact in-result (the q255 discipline): a violated bound
     would mean a false negative, i.e. a broken store.
 
-    100 TB shape: the probe side is the live half's distinct
-    fingerprints (store-sized bucket lookups); the exact side is the
-    gate-scale truth a production monitor replaces with the bound."""
-    import shutil
-    import tempfile
-
+    100 TB shape: the bound is a property of the Bloom
+    REPRESENTATION, so this query computes the reference bucket set
+    in-plan (the store-backed probe path is q278/q279's certified
+    subject — no store write here, one fewer lifecycle to pay): one
+    bucket aggregate over the reference half, an inner bucket join
+    against the live half's fingerprints (the q278 inner+recover
+    shape), and the exact semi-truth the monitor replaces with the
+    bound."""
     from synthea_etl_spark.operators.dedup import (
-        bloom_probe_from_store,
+        BLOOM_K,
+        bloom_buckets,
         bloom_slice_from_fps,
-        compact_counting_slices,
         doc_fingerprint,
-        publish_counting_slice,
     )
 
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    store = tempfile.mkdtemp(prefix="q280_bloom_store_")
-    fps = (
+    # ONE corpus pass to fingerprint grain: in_ref (exact membership
+    # of the reference half) and the live half's source set come out
+    # of a single groupBy — no separate ref-distinct / live-distinct
+    # / slice scans (profiled: three 20 MB rescans, or three 74 MB
+    # checkpoint rereads, in the branch-per-frame shape). The
+    # checkpointed per-fp frame is narrow and every later branch is
+    # fp-grain-sized.
+    per_fp = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select("doc_id", "source", doc_fingerprint().alias("fp"))
-        .persist()
+        .groupBy("fp")
+        .agg(
+            F.max((F.col("doc_id") % 2 == 0).cast("int")).alias(
+                "in_ref"
+            ),
+            F.collect_set(
+                F.when(F.col("doc_id") % 2 == 1, F.col("source"))
+            ).alias("_live_srcs"),
+        )
+        .localCheckpoint()
     )
-    try:
-        ref = fps.filter(F.col("doc_id") % 2 == 0)
-        live = fps.filter(F.col("doc_id") % 2 == 1)
-        publish_counting_slice(bloom_slice_from_fps(ref), store, "batch0")
-        compact_counting_slices(spark, store, 0, ["b"], "c")
-        live_fps = live.select("source", "fp").distinct()
-        verdict = bloom_probe_from_store(
-            spark, store, live_fps.select("fp")
+    ref_buckets = bloom_slice_from_fps(
+        per_fp.filter(F.col("in_ref") == 1), "fp"
+    ).select("b")
+    live_fps = per_fp.filter(F.size("_live_srcs") > 0).select(
+        "fp", "in_ref", F.explode("_live_srcs").alias("source")
+    )
+    # explode from the fp GRAIN (per_fp), not from live_fps's
+    # (fp, source) rows: a multi-source fp must not double its
+    # bucket rows, but a same-fp hash COLLISION must keep its
+    # multiplicity (present = K matched rows, duplicates included —
+    # the bloom_probe_from_store / oracle semantics; a distinct here
+    # would turn an all-live collided fp into a false negative)
+    pb = per_fp.filter(F.size("_live_srcs") > 0).select(
+        "fp", F.explode(bloom_buckets(F.col("fp"))).alias("b")
+    )
+    n_live = (
+        ref_buckets.join(F.broadcast(pb), "b")
+        .groupBy("fp")
+        .agg(F.count("*").cast("int").alias("_n"))
+    )
+    ann = live_fps.join(n_live, "fp", "left").select(
+        "source",
+        (F.coalesce(F.col("_n"), F.lit(0)) < BLOOM_K)
+        .cast("long")
+        .alias("_novel_min"),
+        (F.col("in_ref") == 0).cast("long").alias("_novel_exact"),
+    )
+    return (
+        ann.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_live_fps"),
+            F.sum("_novel_min").cast("long").alias("novel_min"),
+            F.sum("_novel_exact").cast("long").alias("novel_exact"),
         )
-        ref_fps = ref.select("fp").distinct().withColumn("_in", F.lit(1))
-        ann = (
-            live_fps.join(verdict, "fp")
-            .join(ref_fps, "fp", "left")
-            .select(
-                "source",
-                (~F.col("present")).cast("long").alias("_novel_min"),
-                F.col("_in").isNull().cast("long").alias("_novel_exact"),
-            )
+        .select(
+            "*",
+            F.expr(f"novel_min * {MICRO} div n_live_fps")
+            .cast("long")
+            .alias("novelty_lower_micro"),
+            F.expr(f"novel_exact * {MICRO} div n_live_fps")
+            .cast("long")
+            .alias("novelty_exact_micro"),
+            (F.col("novel_min") <= F.col("novel_exact")).alias(
+                "bound_ok"
+            ),
         )
-        out = (
-            ann.groupBy("source")
-            .agg(
-                F.count("*").cast("long").alias("n_live_fps"),
-                F.sum("_novel_min").cast("long").alias("novel_min"),
-                F.sum("_novel_exact").cast("long").alias("novel_exact"),
-            )
-            .select(
-                "*",
-                F.expr(f"novel_min * {MICRO} div n_live_fps")
-                .cast("long")
-                .alias("novelty_lower_micro"),
-                F.expr(f"novel_exact * {MICRO} div n_live_fps")
-                .cast("long")
-                .alias("novelty_exact_micro"),
-                (F.col("novel_min") <= F.col("novel_exact")).alias(
-                    "bound_ok"
-                ),
-            )
-        )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
-    finally:
-        fps.unpersist()
-        shutil.rmtree(store, ignore_errors=True)
+    )
 
 
 def _oracle_q280() -> str:
@@ -1149,6 +1181,98 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_live_fps,
          AS novelty_exact_micro,
        SUM(novel_min) <= SUM(novel_exact) AS bound_ok
 FROM ann GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q281 per-source curation shortlist (grouped top-k at corpus scale)
+# ---------------------------------------------------------------------------
+
+_Q281_K = 10
+
+
+def q281_source_quality_shortlist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source top-k documents by quality-model margin — the
+    curation shortlist a data team pulls for manual review ("show me
+    each source's best docs"). Rank key is the exact integer
+    normalized margin (raw_margin * MICRO div n_tokens: raw_margin
+    is bounded by 1000 * n_tokens, so the dividend is positive after
+    the +1000 offset — the q269/q275 integer-division discipline),
+    tie-broken by doc_id.
+
+    100 TB shape: the scoring pass is one exploded aggregate to doc
+    grain; the per-source cut is util.grouped_topk — sources are the
+    canonical few-huge-groups case (~20 keys over billions of docs),
+    where a plain partitioned window serializes into ~20 giant sort
+    tasks and grouped_topk's bucketed stage-1 sorts are each
+    1/64th of a source (stage 2 re-ranks <= 64k rows per source).
+    The oracle is the plain per-source row_number — exactness of the
+    two-stage cut is the operator's contract (property-tested across
+    bucket counts in test_llm32)."""
+    from synthea_etl_spark.operators.retrieval import quality_model_score
+    from synthea_etl_spark.operators.util import grouped_topk
+
+    d = load(spark, sf_dir, "documents")
+    scored = quality_model_score(d, "text", "doc_id").select(
+        "doc_id", "raw_margin", "n_tokens"
+    )
+    src = d.select("doc_id", "source")
+    keyed = scored.join(src, "doc_id").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(raw_margin + 1000 * n_tokens) * {MICRO}"
+            f" div (1000 * n_tokens) - {MICRO}"
+        ).cast("long").alias("margin_micro"),
+    )
+    return grouped_topk(
+        keyed,
+        ["source"],
+        [F.desc("margin_micro"), F.asc("doc_id")],
+        _Q281_K,
+        bucket_col="doc_id",
+    ).select(
+        "source",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "margin_micro",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+ORACLE_Q281 = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+wt AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('w' || CAST(
+             CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT)
+               % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w) AS BIGINT) AS raw_margin
+  FROM wt GROUP BY doc_id
+),
+keyed AS (
+  SELECT d.source, p.doc_id, p.n_tokens,
+         CAST((p.raw_margin + 1000 * p.n_tokens) * {MICRO}
+              // (1000 * p.n_tokens) - {MICRO} AS BIGINT) AS margin_micro
+  FROM per_doc p JOIN documents d USING (doc_id)
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, margin_micro,
+       n_tokens
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY margin_micro DESC, doc_id ASC) AS rank
+  FROM keyed
+) WHERE rank <= {_Q281_K}
 """
 
 
@@ -1216,5 +1340,12 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source novelty with a certified Bloom lower bound vs"
         " the exact rate",
         ("llm", "dedup", "governance"),
+    ),
+    "q281_source_quality_shortlist": QuerySpec(
+        q281_source_quality_shortlist,
+        ORACLE_Q281,
+        "per-source top-k curation shortlist by exact integer quality"
+        " margin via skew-free grouped top-k",
+        ("llm", "quality", "curation"),
     ),
 }

@@ -209,6 +209,7 @@ def test_no_accidental_cartesian_products(spark):
         "q250_ppl_rules_calibration",    # q220's 1-row crossJoins + the 1-row base-rate frame
         "q252_hard_negatives",           # bm25_topk's 1-row corpus-stats crossJoin
         "q254_bootstrap_ci",             # crossJoin of the 1-row point estimate x 1-row bounds
+        "q272_ann_health_verdict",       # q183's class: crossJoins of 1-row cell/hit totals
     }
     bad = []
     for name, fn in ent.queries().items():

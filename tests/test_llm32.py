@@ -192,3 +192,28 @@ def test_q280_novelty_bound_holds_per_source(spark):
     for r in rows:
         assert r.bound_ok and r.novel_min <= r.novel_exact <= r.n_live_fps
         assert r.novelty_lower_micro <= r.novelty_exact_micro
+
+
+def test_q281_shortlist_shape_and_order(spark):
+    """k rows per source, ranks 1..k, margin non-increasing within a
+    source with doc_id tiebreak."""
+    from synthea_etl_spark.plans.llm32 import (
+        _Q281_K,
+        q281_source_quality_shortlist,
+    )
+
+    rows = q281_source_quality_shortlist(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _Q281_K
+        for a, b in zip(rs, rs[1:]):
+            assert (a.margin_micro, -a.doc_id) >= (
+                b.margin_micro,
+                -b.doc_id,
+            ) or a.margin_micro > b.margin_micro or (
+                a.margin_micro == b.margin_micro and a.doc_id < b.doc_id
+            )
