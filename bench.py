@@ -212,6 +212,8 @@ HEADLINE_OPT = [
     "q279_bloom_dedup_funnel",
     "q280_bloom_novelty_bounds",
     "q281_source_quality_shortlist",
+    "q282_rep_policy_audit",
+    "q283_budget_forecast_bounds",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -17,7 +17,7 @@ health checks are standard ANN operations practice).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import synthea_etl_spark.operators.similarity as S
@@ -1276,6 +1276,341 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# q282 near-dup representative policy audit
+# ---------------------------------------------------------------------------
+
+def q282_rep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which survivor does dedup KEEP? Compare the two standard
+    representative policies over the same near-dup clusters (q33
+    candidates -> CC): ``min_doc`` (the deterministic default every
+    store in this repo uses) vs ``best_quality`` (max quality-model
+    margin, doc_id tiebreak). One row per policy: kept-doc count
+    (identical by construction — one rep per cluster plus all
+    unclustered docs), kept token mass, and the mean kept margin —
+    the measurement that tells a curation team what the cheap
+    min_doc convention costs in retained quality.
+
+    100 TB shape: clusters ride the certified banded path + CC; the
+    best-quality rep is a per-cluster ARGMAX — an aggregate
+    (max_by over a (margin, -doc_id) struct comparator, the q257
+    lesson), never a per-cluster sort window; kept sets are
+    anti/semi joins on the doc partitioning; means use the
+    positive-offset integer trick (margin_micro in [-1e6, 1e6] is
+    offset by +1e6 before the div)."""
+    from synthea_etl_spark.operators.dedup import connected_components
+    from synthea_etl_spark.operators.retrieval import quality_model_score
+    from synthea_etl_spark.plans.llm import q33_minhash_lsh_candidates
+
+    d = load(spark, sf_dir, "documents")
+    # the scored frame feeds member + both policies' kept aggregates
+    # (3+ consumers): eager checkpoint so the explode-scan scoring
+    # pass runs once (the q278 lazy-cache lesson)
+    scored = (
+        quality_model_score(d, "text", "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                f"(raw_margin + 1000 * n_tokens) * {MICRO}"
+                f" div (1000 * n_tokens) - {MICRO}"
+            ).cast("long").alias("margin_micro"),
+        )
+        .localCheckpoint()
+    )
+    pairs = q33_minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs)
+    member = comp.join(
+        scored, comp["id"] == scored["doc_id"]
+    ).select("cluster_id", "doc_id", "margin_micro")
+    reps_min = member.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("rep")
+    )
+    reps_q = member.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("margin_micro"), (-F.col("doc_id")).alias("nid")),
+        ).alias("rep")
+    )
+
+    def kept_stats(reps: DataFrame, policy: str) -> DataFrame:
+        dropped = member.join(
+            reps, member["doc_id"] == reps["rep"], "left_anti"
+        ).select("doc_id")
+        kept = scored.join(dropped, "doc_id", "left_anti")
+        return kept.agg(
+            F.lit(policy).alias("policy"),
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("tokens_kept"),
+            F.expr(
+                f"(sum(margin_micro) + {MICRO} * count(*))"
+                f" div count(*) - {MICRO}"
+            ).cast("long").alias("mean_margin_kept_micro"),
+        )
+
+    return kept_stats(reps_min, "min_doc").unionByName(
+        kept_stats(reps_q, "best_quality")
+    )
+
+
+def _oracle_q282() -> str:
+    from synthea_etl_spark.plans.llm import _sql_minhash_oracle
+
+    return f"""
+WITH RECURSIVE cand AS ({_sql_minhash_oracle().strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION ALL SELECT id_b, id_a FROM cand
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id
+),
+comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+wt AS (
+  SELECT doc_id,
+         (CAST(concat('0x', substr(md5('w' || CAST(
+             CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT)
+               % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+  FROM tok
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST((SUM(w) + 1000 * COUNT(*)) * {MICRO}
+              // (1000 * COUNT(*)) - {MICRO} AS BIGINT) AS margin_micro
+  FROM wt GROUP BY doc_id
+),
+member AS (
+  SELECT c.cluster_id, s.doc_id, s.margin_micro
+  FROM comp c JOIN scored s ON c.id = s.doc_id
+),
+reps AS (
+  SELECT 'min_doc' AS policy, cluster_id,
+         MIN(doc_id) AS rep
+  FROM member GROUP BY cluster_id
+  UNION ALL
+  SELECT 'best_quality' AS policy, cluster_id, rep FROM (
+    SELECT cluster_id, doc_id AS rep,
+           row_number() OVER (PARTITION BY cluster_id
+               ORDER BY margin_micro DESC, doc_id ASC) AS rn
+    FROM member
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT p.policy, m.doc_id
+  FROM (VALUES ('min_doc'), ('best_quality')) p(policy)
+  JOIN member m ON TRUE
+  LEFT JOIN reps r ON r.policy = p.policy AND r.rep = m.doc_id
+  WHERE r.rep IS NULL
+)
+SELECT policy, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST((SUM(margin_micro) + {MICRO} * COUNT(*))
+            // COUNT(*) - {MICRO} AS BIGINT) AS mean_margin_kept_micro
+FROM (
+  SELECT p.policy, s.doc_id, s.n_tokens, s.margin_micro
+  FROM (VALUES ('min_doc'), ('best_quality')) p(policy)
+  CROSS JOIN scored s
+  LEFT JOIN dropped d ON d.policy = p.policy AND d.doc_id = s.doc_id
+  WHERE d.doc_id IS NULL
+)
+GROUP BY policy
+"""
+
+
+# ---------------------------------------------------------------------------
+# q283 token-budget forecast with PROVEN bounds from the log-bin hist
+# ---------------------------------------------------------------------------
+
+_Q283_BUDGET = 20_000
+
+
+def q283_budget_forecast_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capacity planning from the length-histogram representation
+    (family 10): per source, how many shortest-first documents fit a
+    fixed token budget? The histogram answers with PROVEN bounds —
+    every doc in bin b has lb(b) <= tokens <= lb(b) + lb(b) div 8
+    (q266's verified one-bin guarantee), so an ascending-bin walk
+    with partial-boundary-bin division yields fit_min (certain to
+    fit: charged at the UPPER per-doc mass) and fit_max (charged at
+    the LOWER mass). ``bound_ok`` verifies fit_min <= fit_exact <=
+    fit_max in-result against the exact shortest-first packing (the
+    q255 discipline). Bins are value-disjoint and ascending, so the
+    exact packing is a prefix of the bin order — the bound argument
+    is exact, not heuristic.
+
+    100 TB shape: the production path is STORE-SIZED — one histogram
+    aggregate (or the maintained store's totals), a per-source
+    cumulative walk over ~80 bins, integer division for the boundary
+    bin. The exact side here is the gate-scale measurement twin the
+    bound replaces (a per-source sort of every document)."""
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.dedup import (
+        _LOG_BIN_LB_SQL,
+        length_hist_slice,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    hist = length_hist_slice(d)
+    lb = F.expr(_LOG_BIN_LB_SQL.format(b="b")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    B = _Q283_BUDGET
+    binned = (
+        hist.select("source", "b", "c", lb.alias("lb"))
+        .withColumn("ub", F.col("lb") + F.expr("lb div 8"))
+        .withColumn("cum_docs_prev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .withColumn(
+            "cum_lb_prev",
+            F.coalesce(F.sum(F.col("c") * F.col("lb")).over(w), F.lit(0)),
+        )
+        .withColumn(
+            "cum_ub_prev",
+            F.coalesce(F.sum(F.col("c") * F.col("ub")).over(w), F.lit(0)),
+        )
+    )
+    fit = binned.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.max(
+            F.col("cum_docs_prev")
+            + F.least(
+                F.col("c"),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"({B} - cum_ub_prev) div ub"),
+                ),
+            )
+        ).cast("long").alias("fit_min"),
+        F.max(
+            F.col("cum_docs_prev")
+            + F.least(
+                F.col("c"),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"({B} - cum_lb_prev) div lb"),
+                ),
+            )
+        ).cast("long").alias("fit_max"),
+    )
+    base = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source",
+            "doc_id",
+            T.token_count("text").cast("long").alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+    we = (
+        Window.partitionBy("source")
+        .orderBy("_n", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exact = (
+        base.withColumn("_cum", F.sum("_n").over(we))
+        .filter(F.col("_cum") <= B)
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("fit_exact"))
+    )
+    return (
+        fit.join(exact, "source", "left")
+        .fillna(0, subset=["fit_exact"])
+        .select(
+            "source",
+            F.lit(B).cast("long").alias("budget_tokens"),
+            "n_docs",
+            "fit_min",
+            "fit_exact",
+            "fit_max",
+            (
+                (F.col("fit_min") <= F.col("fit_exact"))
+                & (F.col("fit_exact") <= F.col("fit_max"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+def _oracle_q283() -> str:
+    B = _Q283_BUDGET
+    # DuckDB spellings of the log-bin and lower-bound expressions
+    # (Spark's `div`/`shiftright` are `//`/`>>` there — the q266
+    # oracle's idiom)
+    bin_sql = (
+        "CASE WHEN n < 8 THEN n ELSE (length(bin(n)) - 1) * 8"
+        " + ((n >> (length(bin(n)) - 1 - 3)) & 7) END"
+    )
+    lb_sql = (
+        "CASE WHEN b < 8 THEN b"
+        " ELSE (8 + (b % 8)) << (b // 8 - 3) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents WHERE length(trim(text)) > 0
+),
+pos AS (SELECT * FROM base WHERE n > 0),
+hist AS (
+  SELECT source, CAST({bin_sql} AS BIGINT) AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM pos GROUP BY source, CAST({bin_sql} AS BIGINT)
+),
+binned AS (
+  SELECT source, b, c,
+         CAST({lb_sql} AS BIGINT) AS lb,
+         CAST({lb_sql} AS BIGINT)
+           + CAST({lb_sql} AS BIGINT) // 8 AS ub
+  FROM hist
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_docs_prev,
+         COALESCE(SUM(c * lb) OVER (PARTITION BY source ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_lb_prev,
+         COALESCE(SUM(c * ub) OVER (PARTITION BY source ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_ub_prev
+  FROM binned
+),
+fit AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(MAX(cum_docs_prev + LEAST(c, GREATEST(0,
+             ({B} - cum_ub_prev) // ub))) AS BIGINT) AS fit_min,
+         CAST(MAX(cum_docs_prev + LEAST(c, GREATEST(0,
+             ({B} - cum_lb_prev) // lb))) AS BIGINT) AS fit_max
+  FROM cum GROUP BY source
+),
+exact AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS fit_exact FROM (
+    SELECT source,
+           SUM(n) OVER (PARTITION BY source ORDER BY n, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+    FROM pos
+  ) WHERE cum <= {B}
+  GROUP BY source
+)
+SELECT f.source, CAST({B} AS BIGINT) AS budget_tokens, f.n_docs,
+       f.fit_min, COALESCE(e.fit_exact, 0) AS fit_exact, f.fit_max,
+       f.fit_min <= COALESCE(e.fit_exact, 0)
+         AND COALESCE(e.fit_exact, 0) <= f.fit_max AS bound_ok
+FROM fit f LEFT JOIN exact e ON f.source = e.source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q272_ann_health_verdict": QuerySpec(
         q272_ann_health_verdict,
@@ -1347,5 +1682,19 @@ QUERIES: dict[str, QuerySpec] = {
         "per-source top-k curation shortlist by exact integer quality"
         " margin via skew-free grouped top-k",
         ("llm", "quality", "curation"),
+    ),
+    "q282_rep_policy_audit": QuerySpec(
+        q282_rep_policy_audit,
+        _oracle_q282(),
+        "near-dup representative policy comparison: min_doc vs"
+        " best-quality rep, kept mass and mean margin",
+        ("llm", "dedup", "quality"),
+    ),
+    "q283_budget_forecast_bounds": QuerySpec(
+        q283_budget_forecast_bounds,
+        _oracle_q283(),
+        "per-source shortest-first budget fit with proven histogram"
+        " bounds verified against the exact packing",
+        ("llm", "governance", "curation"),
     ),
 }

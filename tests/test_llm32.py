@@ -217,3 +217,27 @@ def test_q281_shortlist_shape_and_order(spark):
             ) or a.margin_micro > b.margin_micro or (
                 a.margin_micro == b.margin_micro and a.doc_id < b.doc_id
             )
+
+
+def test_q282_policies_same_count_quality_no_worse(spark):
+    """Both policies keep the same doc count (one rep per cluster),
+    and the best-quality policy's mean kept margin is >= min_doc's."""
+    from synthea_etl_spark.plans.llm32 import q282_rep_policy_audit
+
+    out = {r.policy: r for r in q282_rep_policy_audit(spark, SF_DIR).collect()}
+    assert set(out) == {"min_doc", "best_quality"}
+    assert out["min_doc"].n_kept == out["best_quality"].n_kept
+    assert (
+        out["best_quality"].mean_margin_kept_micro
+        >= out["min_doc"].mean_margin_kept_micro
+    )
+
+
+def test_q283_bounds_hold_and_are_ordered(spark):
+    from synthea_etl_spark.plans.llm32 import q283_budget_forecast_bounds
+
+    rows = q283_budget_forecast_bounds(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.bound_ok
+        assert 0 <= r.fit_min <= r.fit_exact <= r.fit_max <= r.n_docs
