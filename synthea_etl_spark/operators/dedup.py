@@ -2452,3 +2452,200 @@ def purge_prompt_key_cluster(
                     shutil.rmtree(
                         os.path.join(staging_root, d), ignore_errors=True
                     )
+
+
+# --- Count-Min / candidate "frequency sandwich" store (12th -------
+# --- stream-maintained family): term-frequency answers with -------
+# --- PROVEN two-sided bounds from store-sized state ---------------
+
+# Gate-scale geometry. The test corpus's vocabulary is a fixed 31
+# words, so W=16 FORCES collisions (≈2 terms/cell/row) and the upper
+# bound is demonstrably non-trivial (est > exact for colliding
+# terms); K=32 makes the strict batch-local candidate threshold
+# c·K > N catch a real candidate set. At 100 TB both are sizing
+# parameters: W ~ 2^22 cells/row keeps the whole sketch D·W rows
+# (a few MB — executor-broadcastable) while collisions stay ~N/W,
+# and K is the heavy-hitter sensitivity N/K. The store size NEVER
+# grows with the corpus — that is the point.
+CMS_D = 4
+CMS_W = 16
+HH_K = 32
+
+
+def cms_bucket(t: Column, d: int, w: int = CMS_W) -> Column:
+    """Row-``d`` bucket of term ``t``: int(md5(t || ':cms<d>')[0:8],
+    16) % w — the conv-substring-md5 idiom every gated hash in this
+    repo uses, so the DuckDB twin is exact."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(t, F.lit(f":cms{d}"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % w
+    )
+
+
+def batch_term_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One batch's exact (t, c) whitespace-term counts — the shared
+    pre-aggregation both sandwich slices derive from (aggregate the
+    batch ONCE, then emit D sketch rows per distinct term, not per
+    token occurrence)."""
+    return (
+        docs.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def cms_slice_from_counts(
+    term_counts: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """One batch's additive Count-Min slice: (d, b, c) cell rows,
+    c = sum of the batch counts of every term hashing to cell (d,b).
+    Merging slices = summing cells (CMS is a linear sketch), so the
+    counting-store machinery (compaction, watermark, negative
+    deletion slices) applies unchanged; a deletion slice built from
+    the SAME erased docs subtracts their contribution exactly and
+    the invariant est >= true survives erasure."""
+    parts = [
+        term_counts.select(
+            F.lit(i).alias("d"), cms_bucket(F.col("t"), i, w).alias("b"), "c"
+        )
+        for i in range(d)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("d", "b").agg(F.sum("c").cast("long").alias("c"))
+
+
+def cms_store(
+    docs: DataFrame, store_path: str, slice_id: str, text_col: str = "text"
+) -> None:
+    """Publish one batch's Count-Min slice under the standard
+    'batch<k>' + idempotent dynamic-overwrite contract (compact with
+    compact_counting_slices(keys=['d','b'], count='c'); erase with
+    deletion_slice(cms_slice_from_counts(batch_term_counts(erased)),
+    ['c']))."""
+    publish_counting_slice(
+        cms_slice_from_counts(batch_term_counts(docs, text_col)),
+        store_path,
+        slice_id,
+    )
+
+
+def hh_candidate_slice(
+    term_counts: DataFrame, k: int = HH_K
+) -> DataFrame:
+    """One batch's GUARANTEED heavy-hitter candidates: terms with
+    batch count c·k > N_batch (strict). At most k-1 terms can clear
+    the strict threshold (they would otherwise sum past N_batch), so
+    the slice is k-bounded regardless of vocabulary size; and any
+    term with GLOBAL count·k > N appears in at least one batch's
+    slice (if c_b·k <= N_b in every batch, summing gives c·k <= N).
+    The stored counts are the term's batch counts, so the store's
+    per-term SUM is a PROVEN LOWER bound of the true global count
+    (it misses exactly the batches where the term ran below
+    threshold)."""
+    n = term_counts.agg(F.sum("c").cast("long").alias("_n"))
+    return (
+        term_counts.crossJoin(F.broadcast(n))
+        .filter(F.col("c") * k > F.col("_n"))
+        .select("t", "c")
+    )
+
+
+def hh_candidate_store(
+    docs: DataFrame,
+    store_path: str,
+    slice_id: str,
+    k: int = HH_K,
+    text_col: str = "text",
+) -> None:
+    """Publish one batch's candidate slice (same contract as
+    cms_store; erasure = deletion_slice of the erased docs' FULL
+    batch_term_counts — over-subtracting a term's candidate credit
+    only LOOSENS the lower bound, and the reader clamps at zero)."""
+    publish_counting_slice(
+        hh_candidate_slice(batch_term_counts(docs, text_col), k),
+        store_path,
+        slice_id,
+    )
+
+
+def cms_estimate_from_store(
+    spark,
+    store_path: str,
+    probes: DataFrame,
+    term_col: str = "t",
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Per-term Count-Min estimates FROM THE STORE — no corpus
+    access: each probe term expands to its D cells, broadcast-joins
+    the watermark-filtered totals (the store side never shuffles),
+    and est = min over rows of the cell value, with a missing or
+    zero-netted cell reading as 0 (so a term fully erased by a
+    pending deletion slice reads 0 IMMEDIATELY). est >= true always
+    (cells only ever add counts of terms genuinely present).
+    Returns (t, est)."""
+    totals = counting_store_totals(spark, store_path, ["d", "b"], "c")
+    ts = probes.select(F.col(term_col).alias("t")).distinct()
+    pb = ts.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        cms_bucket(F.col("t"), i, w).alias("b"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_db"),
+    ).select("t", F.col("_db.d").alias("d"), F.col("_db.b").alias("b"))
+    live = (
+        totals.join(F.broadcast(pb), ["d", "b"])
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("_nl"),
+            F.min("c").cast("long").alias("_mc"),
+        )
+    )
+    return ts.join(live, "t", "left").select(
+        "t",
+        F.when(F.coalesce(F.col("_nl"), F.lit(0)) < d, F.lit(0))
+        .otherwise(F.col("_mc"))
+        .cast("long")
+        .alias("est"),
+    )
+
+
+def hh_lower_from_store(spark, store_path: str) -> DataFrame:
+    """Per-term PROVEN lower bounds from the candidate store: the
+    watermark-filtered per-term sum, clamped to positive rows (an
+    erasure deletion slice subtracts the erased docs' FULL counts,
+    which can exceed the term's candidate credit — the net then
+    undershoots, which is still a valid lower bound, and
+    non-positive nets simply drop out). Returns (t, lower)."""
+    return (
+        counting_store_totals(spark, store_path, ["t"], "c")
+        .filter(F.col("c") > 0)
+        .select("t", F.col("c").alias("lower"))
+    )
+
+
+def cms_total_tokens(spark, store_path: str, d_row: int = 0) -> DataFrame:
+    """Exact surviving token count N from the sketch itself: every
+    CMS row partitions the token mass, so one row's cell sum IS N
+    (erasure deletion slices subtract from every row equally).
+    Returns a 1-row (n_tokens) frame — store-sized arithmetic, no
+    corpus access."""
+    return (
+        counting_store_totals(spark, store_path, ["d", "b"], "c")
+        .filter(F.col("d") == d_row)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"))
+    )

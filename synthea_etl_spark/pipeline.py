@@ -917,3 +917,59 @@ def prompt_key_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_sandwich_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    cms_store_dir: str,
+    cand_store_dir: str,
+    checkpoint_dir: str,
+    schema: StructType,
+):
+    """Streaming maintenance of the frequency-sandwich pair — the
+    twelfth stream-maintained artifact family: each micro-batch is
+    term-counted ONCE (dedup.batch_term_counts), then publishes its
+    Count-Min cell slice (upper bounds) and its k-bounded candidate
+    slice (lower bounds) under the standard 'batch<k>' idempotent
+    dynamic-overwrite contract. Both stores are additive counting
+    stores, so compaction (compact_counting_slices) and right-to-
+    erasure (negative deletion_slice) ride the certified machinery
+    unchanged. PER-STORE replay guards, per the prompt-key lesson: a
+    single guard on one store's watermark would let a replayed batch
+    whose other-store write crashed go permanently missing once the
+    guarded store compacts past it."""
+    from synthea_etl_spark.operators.dedup import (
+        batch_term_counts,
+        cms_slice_from_counts,
+        compaction_watermark,
+        hh_candidate_slice,
+        publish_counting_slice,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_wm = compaction_watermark(cms_store_dir)
+        cand_wm = compaction_watermark(cand_store_dir)
+        if batch_id <= cms_wm and batch_id <= cand_wm:
+            return
+        tc = batch_df.transform(batch_term_counts).localCheckpoint()
+        if batch_id > cms_wm:
+            publish_counting_slice(
+                cms_slice_from_counts(tc), cms_store_dir, f"batch{batch_id}"
+            )
+        if batch_id > cand_wm:
+            publish_counting_slice(
+                hh_candidate_slice(tc), cand_store_dir, f"batch{batch_id}"
+            )
+
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", True)
+        .json(landing_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
