@@ -214,6 +214,12 @@ HEADLINE_OPT = [
     "q281_source_quality_shortlist",
     "q282_rep_policy_audit",
     "q283_budget_forecast_bounds",
+    "q284_quality_auc",
+    "q285_bt_strength",
+    "q286_vocab_zipf_audit",
+    "q287_rater_agreement",
+    "q288_cms_frequency_audit",
+    "q289_heavy_hitter_bounds",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

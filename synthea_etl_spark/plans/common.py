@@ -490,6 +490,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm30,
         llm31,
         llm32,
+        llm33,
     )
 
     merged: dict[str, QuerySpec] = {}
@@ -535,6 +536,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm30,
         llm31,
         llm32,
+        llm33,
     ):
         for name, spec in mod.QUERIES.items():
             if name in merged:

@@ -1,0 +1,1007 @@
+"""Round-15 LLM-pipeline queries, batch 3: evaluation statistics the
+curation loop runs over its own signals — ROC-AUC calibration of a
+cheap filter signal, Bradley-Terry strength fitting over pairwise
+preference outcomes, vocabulary/Zipf-head audits, inter-rater
+agreement (Cohen's kappa), and the frequency-sandwich store gate
+(q288/q289: Count-Min upper + candidate lower bounds, the 12th
+stream-maintained family).
+
+All metrics are exact integer (micro fixed-point) arithmetic so the
+verdict columns — not just the inputs — hash-match the DuckDB twin.
+
+Reference scope: beyond-reference extension surface; methods public
+(ROC/AUC via the Mann-Whitney rank statistic; Bradley-Terry 1952
+with the Hunter 2004 MM update; Good-Turing 1953 unseen-mass and
+Simpson concentration; Cohen 1960 kappa; Count-Min per Cormode &
+Muthukrishnan 2005; the candidate threshold argument is the classic
+frequent-items batch bound, Misra-Gries 1982 form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from synthea_etl_spark.plans.common import QuerySpec, load
+from synthea_etl_spark.plans.llm23 import MICRO
+
+# Shared doc-grain signal frame (the q275 conventions: md5 quality
+# margin, the 7-term stopword list) -- SQL twin in _PER_DOC_SQL.
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+# per-token quality weight, the q275 oracle idiom: w(t) in [-1000, 1000]
+_W_SQL = (
+    "(CAST(concat('0x', substr(md5('w' || CAST("
+    "CAST(concat('0x', substr(md5('q' || t), 1, 8)) AS BIGINT) % 4096"
+    " AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000"
+)
+
+_PER_DOC_SQL = f"""
+  SELECT lang, doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({_W_SQL}) AS BIGINT) AS raw_margin,
+         CAST(SUM(CASE WHEN t IN {_STOP_SQL} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_stop
+  FROM (
+    SELECT lang, doc_id,
+           UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY lang, doc_id
+"""
+
+
+def _per_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id, n_tokens, raw_margin, n_stop) in ONE exploded
+    pass — the q275 discipline: every query in this module derives
+    its doc-grain signals from this single corpus scan shape."""
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.retrieval import _bucket, _weight
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "lang", "doc_id", F.explode(T.tokens("text")).alias("t")
+    )
+    return (
+        tok.select(
+            "lang",
+            "doc_id",
+            _weight(_bucket(F.col("t"))).alias("w"),
+            F.col("t").isin(*T.STOPWORDS_EN).cast("long").alias("s"),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("raw_margin"),
+            F.sum("s").cast("long").alias("n_stop"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q284 binned ROC-AUC of the cheap signal
+# ---------------------------------------------------------------------------
+
+def q284_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC calibration of the CHEAP curation signal (stopword
+    decile) against the quality-model label (raw_margin > 0), per
+    language — the q275 calibration curve collapsed to the one
+    number a filter-tuning loop thresholds on, plus the KS statistic
+    (max TPR-FPR gap over the decile thresholds).
+
+    AUC is the Mann-Whitney rank statistic computed on the BINNED
+    score: per (lang, decile) positive/negative counts, then
+    auc = sum_b p_b * (cum_n_below + n_b/2) / (P*N) with exact
+    half-credit for in-bin ties — integer micro arithmetic
+    throughout, so the result hashes.
+
+    100 TB shape: one exploded token pass -> doc-grain aggregate ->
+    (lang, decile) aggregate (the only corpus-sized shuffles); the
+    rank prefix-sums run on the <= 10-rows-per-language decile frame
+    — NO corpus-sized window, no global sort (the q270 lesson). The
+    decile binning is the scale device that replaces per-document
+    global ranking; the oracle applies the identical binning."""
+    per_doc = _per_doc_signals(spark, sf_dir)
+    binned = (
+        per_doc.select(
+            "lang",
+            F.least(F.expr("n_stop * 10 div n_tokens"), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+            (F.col("raw_margin") > 0).cast("long").alias("pos"),
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.sum("pos").cast("long").alias("p_b"),
+            F.sum(1 - F.col("pos")).cast("long").alias("n_b"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("bin")
+    wl = Window.partitionBy("lang")
+    ranked = binned.select(
+        "lang",
+        "bin",
+        "p_b",
+        "n_b",
+        (F.sum("n_b").over(w) - F.col("n_b")).alias("cum_n_below"),
+        F.sum("p_b").over(w).alias("cum_p"),
+        F.sum("n_b").over(w).alias("cum_n"),
+        F.sum("p_b").over(wl).alias("tot_p"),
+        F.sum("n_b").over(wl).alias("tot_n"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.max("tot_p").cast("long").alias("n_pos"),
+        F.max("tot_n").cast("long").alias("n_neg"),
+        F.expr(
+            f"sum(p_b * (2 * cum_n_below + n_b)) * {MICRO}"
+            " div greatest(1, 2 * max(tot_p) * max(tot_n))"
+        ).cast("long").alias("auc_micro"),
+        F.expr(
+            f"max(abs(cum_p * {MICRO} div greatest(1, tot_p)"
+            f" - cum_n * {MICRO} div greatest(1, tot_n)))"
+        ).cast("long").alias("ks_micro"),
+    )
+
+
+ORACLE_Q284 = f"""
+WITH per_doc AS ({_PER_DOC_SQL}),
+binned AS (
+  SELECT lang,
+         CAST(LEAST(n_stop * 10 // n_tokens, 9) AS INTEGER) AS bin,
+         CAST(SUM(CASE WHEN raw_margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS p_b,
+         CAST(SUM(CASE WHEN raw_margin > 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_b
+  FROM per_doc GROUP BY lang, bin
+),
+ranked AS (
+  SELECT lang, bin, p_b, n_b,
+         SUM(n_b) OVER (PARTITION BY lang ORDER BY bin) - n_b
+           AS cum_n_below,
+         SUM(p_b) OVER (PARTITION BY lang ORDER BY bin) AS cum_p,
+         SUM(n_b) OVER (PARTITION BY lang ORDER BY bin) AS cum_n,
+         SUM(p_b) OVER (PARTITION BY lang) AS tot_p,
+         SUM(n_b) OVER (PARTITION BY lang) AS tot_n
+  FROM binned
+)
+SELECT lang,
+       CAST(MAX(tot_p) AS BIGINT) AS n_pos,
+       CAST(MAX(tot_n) AS BIGINT) AS n_neg,
+       CAST(SUM(p_b * (2 * cum_n_below + n_b)) * {MICRO}
+            // GREATEST(1, 2 * MAX(tot_p) * MAX(tot_n)) AS BIGINT)
+         AS auc_micro,
+       CAST(MAX(ABS(cum_p * {MICRO} // GREATEST(1, tot_p)
+                    - cum_n * {MICRO} // GREATEST(1, tot_n))) AS BIGINT)
+         AS ks_micro
+FROM ranked GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q285 Bradley-Terry policy strengths from pairwise outcomes
+# ---------------------------------------------------------------------------
+
+_BT_POLICIES = 4
+_BT_ITERS = 2
+
+
+def _bt_policy(doc_id) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pol"), F.col(doc_id).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BT_POLICIES
+    )
+
+
+def q285_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fit over pairwise preference outcomes
+    — the model an RLHF evaluation harness runs over its A/B match
+    log to turn win counts into policy ratings (Bradley & Terry
+    1952; MM update per Hunter 2004). Matches are the adjacent-doc
+    pairs (doc_id, doc_id+1) whose md5-assigned policies differ;
+    the higher quality-model margin wins (tie -> lower policy id).
+
+    Two MM iterations from the uniform start, in exact micro-integer
+    arithmetic: s_i' = W_i * M^2 div sum_j [n_ij * M^2 div
+    (s_i + s_j)] — both engines run the identical integer ops, so
+    the strengths (not just the win matrix) hash. The final
+    strengths are normalized to sum ~= _BT_POLICIES * M.
+
+    100 TB shape: the corpus collapses to a policies^2 win matrix in
+    one self-join + one aggregate; the MM iterations run on that
+    tiny matrix (policy count is harness-bounded, here 4), never on
+    the corpus. Long arithmetic holds to ~1e6 matches per pair cell
+    (W*M^2 < 2^63); past that, pre-scale the matrix by total games
+    — a store-sized rescale, noted not implemented."""
+    per_doc = _per_doc_signals(spark, sf_dir).select(
+        "doc_id", "raw_margin"
+    )
+    a = per_doc.alias("a")
+    b = per_doc.alias("b")
+    matches = (
+        a.join(b, F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(
+            _bt_policy("a.doc_id").alias("p1"),
+            _bt_policy("b.doc_id").alias("p2"),
+            (
+                (F.col("a.raw_margin") > F.col("b.raw_margin"))
+            ).alias("first_wins"),
+            (F.col("a.raw_margin") == F.col("b.raw_margin")).alias("tie"),
+        )
+        .filter(F.col("p1") != F.col("p2"))
+        .select(
+            F.least("p1", "p2").alias("pa"),
+            F.greatest("p1", "p2").alias("pb"),
+            F.when(
+                F.col("tie"), F.lit(1)  # tie -> lower policy id wins
+            )
+            .when(
+                (F.col("p1") < F.col("p2")) & F.col("first_wins"), F.lit(1)
+            )
+            .when(
+                (F.col("p1") > F.col("p2")) & ~F.col("first_wins"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("wa"),
+        )
+    )
+    matrix = matches.groupBy("pa", "pb").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("wa").cast("long").alias("wa"),
+    )
+    # symmetric directed view (i, j, n_ij, w_i): 2 rows per pair
+    sym = matrix.select(
+        F.col("pa").alias("i"), F.col("pb").alias("j"), "n",
+        F.col("wa").alias("w"),
+    ).unionByName(
+        matrix.select(
+            F.col("pb").alias("i"), F.col("pa").alias("j"), "n",
+            (F.col("n") - F.col("wa")).alias("w"),
+        )
+    ).localCheckpoint()
+    wins = sym.groupBy("i").agg(
+        F.sum("n").cast("long").alias("games"),
+        F.sum("w").cast("long").alias("wins"),
+    )
+    s = wins.select("i", F.lit(MICRO).cast("long").alias("s"))
+    for _ in range(_BT_ITERS):
+        den = (
+            sym.join(s.withColumnRenamed("s", "s_i"), "i")
+            .join(
+                s.select(F.col("i").alias("j"), F.col("s").alias("s_j")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(
+                F.expr(
+                    f"sum(n * cast({MICRO} as bigint) * {MICRO}"
+                    " div (s_i + s_j))"
+                ).cast("long").alias("den")
+            )
+        )
+        s = (
+            wins.join(den, "i")
+            .select(
+                "i",
+                F.expr(
+                    f"wins * cast({MICRO} as bigint) * {MICRO}"
+                    " div greatest(1, den)"
+                ).cast("long").alias("s"),
+            )
+        )
+    tot = s.agg(F.sum("s").cast("long").alias("tot"))
+    out = (
+        wins.join(s, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").cast("int").alias("policy"),
+            "games",
+            "wins",
+            F.expr(
+                f"s * cast({_BT_POLICIES} as bigint) * {MICRO}"
+                " div greatest(1, tot)"
+            ).cast("long").alias("strength_micro"),
+        )
+    )
+    w = Window.orderBy(F.desc("strength_micro"), F.asc("policy"))
+    return out.select(
+        "*", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+def _oracle_q285() -> str:
+    pol = (
+        "CAST(concat('0x', substr(md5('pol' || CAST({d} AS VARCHAR)),"
+        " 1, 8)) AS BIGINT) % " + str(_BT_POLICIES)
+    )
+    it = f"""
+  SELECT i, CAST(w.wins * CAST({MICRO} AS BIGINT) * {MICRO}
+         // GREATEST(1, d.den) AS BIGINT) AS s
+  FROM wins w JOIN (
+    SELECT sym.i,
+           CAST(SUM(sym.n * CAST({MICRO} AS BIGINT) * {MICRO}
+                // (si.s + sj.s)) AS BIGINT) AS den
+    FROM sym
+    JOIN {{prev}} si ON si.i = sym.i
+    JOIN {{prev}} sj ON sj.i = sym.j
+    GROUP BY sym.i
+  ) d USING (i)
+"""
+    return f"""
+WITH per_doc AS ({_PER_DOC_SQL}),
+m0 AS (
+  SELECT {pol.format(d='a.doc_id')} AS p1,
+         {pol.format(d='b.doc_id')} AS p2,
+         a.raw_margin > b.raw_margin AS first_wins,
+         a.raw_margin = b.raw_margin AS tie
+  FROM per_doc a JOIN per_doc b ON a.doc_id + 1 = b.doc_id
+),
+matches AS (
+  SELECT LEAST(p1, p2) AS pa, GREATEST(p1, p2) AS pb,
+         CAST(CASE WHEN tie THEN 1
+                   WHEN p1 < p2 AND first_wins THEN 1
+                   WHEN p1 > p2 AND NOT first_wins THEN 1
+                   ELSE 0 END AS BIGINT) AS wa
+  FROM m0 WHERE p1 <> p2
+),
+matrix AS (
+  SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(wa) AS BIGINT) AS wa
+  FROM matches GROUP BY pa, pb
+),
+sym AS (
+  SELECT pa AS i, pb AS j, n, wa AS w FROM matrix
+  UNION ALL
+  SELECT pb AS i, pa AS j, n, n - wa AS w FROM matrix
+),
+wins AS (
+  SELECT i, CAST(SUM(n) AS BIGINT) AS games,
+         CAST(SUM(w) AS BIGINT) AS wins
+  FROM sym GROUP BY i
+),
+s0 AS (SELECT i, CAST({MICRO} AS BIGINT) AS s FROM wins),
+s1 AS ({it.format(prev='s0')}),
+s2 AS ({it.format(prev='s1')}),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS tot FROM s2)
+SELECT CAST(w.i AS INTEGER) AS policy, w.games, w.wins,
+       CAST(s.s * CAST({_BT_POLICIES} AS BIGINT) * {MICRO}
+            // GREATEST(1, tot.tot) AS BIGINT) AS strength_micro,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY s.s * CAST({_BT_POLICIES} AS BIGINT) * {MICRO}
+                  // GREATEST(1, tot.tot) DESC, w.i ASC
+       ) AS INTEGER) AS rank
+FROM wins w JOIN s2 s USING (i) CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# q286 vocabulary / Zipf-head audit
+# ---------------------------------------------------------------------------
+
+def q286_vocab_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary audit: token mass N, vocabulary V,
+    hapax/dis-legomena counts, Good-Turing unseen-probability mass
+    (n1/N — the held-out mass a smoothing scheme must reserve),
+    Simpson concentration (repeat-draw collision probability,
+    sum c(c-1)/N(N-1)), and the head term with its mass fraction —
+    the one-page distribution card a tokenizer/mixture decision
+    reads per language.
+
+    100 TB shape: one exploded pass -> (lang, t) exact counts (the
+    only corpus-sized shuffle), then a vocabulary-sized aggregate
+    per language; the head term is recovered by an aggregate max +
+    a semi-join on (lang, top_c) — NO vocabulary-sized window (the
+    q270 lesson: a per-lang row_number over the vocab is a one-task
+    sort per language). Long arithmetic in the Simpson numerator
+    holds while sum c^2 * 1e6 < 2^63 — beyond ~3e12 tokens per
+    language, move the numerator to DECIMAL(38,0) (store-sized
+    change, noted not implemented)."""
+    import synthea_etl_spark.operators.text as T
+
+    d = load(spark, sf_dir, "documents")
+    tc = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select("lang", F.explode(T.tokens("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    stats = tc.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("dis"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_coll"),
+        F.max("c").cast("long").alias("_top_c"),
+    )
+    tops = stats.select(F.col("lang").alias("_l"), "_top_c")
+    top = (
+        tc.join(
+            F.broadcast(tops),
+            (tc["lang"] == F.col("_l")) & (tc["c"] == F.col("_top_c")),
+        )
+        .groupBy("lang")
+        .agg(F.min("t").alias("top_term"))
+    )
+    return (
+        stats.join(top, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            "dis",
+            F.expr(f"hapax * cast({MICRO} as bigint) div n_tokens")
+            .cast("long").alias("gt_unseen_micro"),
+            F.expr(
+                f"_coll * cast({MICRO} as bigint)"
+                " div greatest(1, n_tokens * (n_tokens - 1))"
+            ).cast("long").alias("simpson_micro"),
+            "top_term",
+            F.expr(f"_top_c * cast({MICRO} as bigint) div n_tokens")
+            .cast("long").alias("top_mass_micro"),
+        )
+    )
+
+
+ORACLE_Q286 = f"""
+WITH tc AS (
+  SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT lang, UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents WHERE length(trim(text)) > 0
+  ) GROUP BY lang, t
+),
+stats AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS coll,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM tc GROUP BY lang
+),
+top AS (
+  SELECT tc.lang, MIN(tc.t) AS top_term
+  FROM tc JOIN stats s ON tc.lang = s.lang AND tc.c = s.top_c
+  GROUP BY tc.lang
+)
+SELECT s.lang, s.n_tokens, s.vocab, s.hapax, s.dis,
+       CAST(s.hapax * CAST({MICRO} AS BIGINT) // s.n_tokens AS BIGINT)
+         AS gt_unseen_micro,
+       CAST(s.coll * CAST({MICRO} AS BIGINT)
+            // GREATEST(1, s.n_tokens * (s.n_tokens - 1)) AS BIGINT)
+         AS simpson_micro,
+       t.top_term,
+       CAST(s.top_c * CAST({MICRO} AS BIGINT) // s.n_tokens AS BIGINT)
+         AS top_mass_micro
+FROM stats s JOIN top t USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q287 inter-rater agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+def q287_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic keep/drop raters over
+    the corpus, per language — the agreement audit a curation
+    pipeline runs before trusting a cheap rule as a stand-in for the
+    expensive one (Cohen 1960). Rater A is the cheap rule (stopword
+    mass <= 60% and >= 5 tokens); rater B is the quality-model rule
+    (raw_margin > 0). Reports the confusion counts, observed and
+    chance agreement, and kappa — all micro-integer, with the
+    negative-kappa branch sign-split so both engines truncate
+    identically (div semantics differ below zero; each branch's
+    operands are non-negative).
+
+    100 TB shape: one exploded pass -> doc-grain signals -> one
+    (lang) aggregate; everything after the confusion counts is
+    per-language scalar arithmetic."""
+    per_doc = _per_doc_signals(spark, sf_dir)
+    conf = (
+        per_doc.select(
+            "lang",
+            (
+                (F.col("n_stop") * 1000 <= F.col("n_tokens") * 600)
+                & (F.col("n_tokens") >= 5)
+            ).cast("long").alias("a"),
+            (F.col("raw_margin") > 0).cast("long").alias("b"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+            F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+            F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+            F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long")
+            .alias("n00"),
+        )
+    )
+    return conf.select(
+        "lang",
+        F.col("t").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(f"(n11 + n00) * cast({MICRO} as bigint) div t")
+        .cast("long").alias("po_micro"),
+        F.expr(
+            f"((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+            f" * cast({MICRO} as bigint) div (t * t)"
+        ).cast("long").alias("pe_micro"),
+    ).select(
+        "*",
+        F.expr(
+            f"CASE WHEN po_micro >= pe_micro THEN"
+            f" (po_micro - pe_micro) * cast({MICRO} as bigint)"
+            f" div greatest(1, {MICRO} - pe_micro)"
+            f" ELSE -((pe_micro - po_micro) * cast({MICRO} as bigint)"
+            f" div greatest(1, {MICRO} - pe_micro)) END"
+        ).cast("long").alias("kappa_micro"),
+    ).select(
+        "*",
+        (F.col("kappa_micro") >= 400_000).alias("moderate_agreement"),
+    )
+
+
+ORACLE_Q287 = f"""
+WITH per_doc AS ({_PER_DOC_SQL}),
+conf AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(a * b) AS BIGINT) AS n11,
+         CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+         CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+         CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM (
+    SELECT lang,
+           CASE WHEN n_stop * 1000 <= n_tokens * 600
+                 AND n_tokens >= 5 THEN 1 ELSE 0 END AS a,
+           CASE WHEN raw_margin > 0 THEN 1 ELSE 0 END AS b
+    FROM per_doc
+  ) GROUP BY lang
+),
+agg AS (
+  SELECT lang, t AS n_docs, n11, n10, n01, n00,
+         CAST((n11 + n00) * CAST({MICRO} AS BIGINT) // t AS BIGINT)
+           AS po_micro,
+         CAST(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+              * CAST({MICRO} AS BIGINT) // (t * t) AS BIGINT)
+           AS pe_micro
+  FROM conf
+)
+SELECT *,
+       CAST(CASE WHEN po_micro >= pe_micro THEN
+              (po_micro - pe_micro) * CAST({MICRO} AS BIGINT)
+                // GREATEST(1, {MICRO} - pe_micro)
+            ELSE -((pe_micro - po_micro) * CAST({MICRO} AS BIGINT)
+                // GREATEST(1, {MICRO} - pe_micro)) END AS BIGINT)
+         AS kappa_micro,
+       CASE WHEN CASE WHEN po_micro >= pe_micro THEN
+              (po_micro - pe_micro) * CAST({MICRO} AS BIGINT)
+                // GREATEST(1, {MICRO} - pe_micro)
+            ELSE -((pe_micro - po_micro) * CAST({MICRO} AS BIGINT)
+                // GREATEST(1, {MICRO} - pe_micro)) END >= 400000
+            THEN TRUE ELSE FALSE END AS moderate_agreement
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q288/q289 frequency-sandwich store (12th stream family)
+# ---------------------------------------------------------------------------
+
+_Q288_SYNTH = 5
+
+
+def _sandwich_stores(spark: SparkSession, sf_dir: str):
+    """Shared gate-scale store build: ONE corpus token pass ->
+    per-(batch, term) exact counts (localCheckpointed — five
+    downstream consumers), then both sandwich stores on a 2-batch
+    axis (doc parity) with a mid-stream CMS compaction (the
+    lifecycle the gate certifies). Returns (tcb, cms_dir, cand_dir);
+    caller rmtrees the dirs."""
+    import tempfile
+
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.dedup import (
+        cms_slice_from_counts,
+        compact_counting_slices,
+        hh_candidate_slice,
+        publish_counting_slice,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tcb = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            (F.col("doc_id") % 2).alias("bt"),
+            F.explode(T.tokens("text")).alias("t"),
+        )
+        .groupBy("bt", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    cms_dir = tempfile.mkdtemp(prefix="q288_cms_")
+    cand_dir = tempfile.mkdtemp(prefix="q288_cand_")
+    for b in (0, 1):
+        bc = tcb.filter(F.col("bt") == b).select("t", "c")
+        publish_counting_slice(
+            cms_slice_from_counts(bc), cms_dir, f"batch{b}"
+        )
+        publish_counting_slice(hh_candidate_slice(bc), cand_dir, f"batch{b}")
+        if b == 0:
+            compact_counting_slices(spark, cms_dir, 0, ["d", "b"], "c")
+    return tcb, cms_dir, cand_dir
+
+
+def q288_cms_frequency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gate query for the frequency-sandwich pair (the 12th stream-
+    maintained family): a Count-Min sketch store (PROVEN upper
+    bounds: est >= true, cells only ever sum genuine counts) and a
+    batch-threshold candidate store (PROVEN lower bounds: per-term
+    sums of above-threshold batch counts). Build both on a 2-batch
+    axis with a mid-stream CMS compaction, probe the full corpus
+    vocabulary plus a synthetic absent panel, and report per probe
+    class the bound-violation counts (PROVEN ZERO in-result, the
+    q255/q278 discipline), the aggregate sandwich width, and the
+    sketch's own token-mass accounting (one CMS row's cell sum IS
+    the exact corpus token count).
+
+    100 TB shape: the production paths are store-sized — estimates
+    are D broadcast cell lookups per probe term against a D*W-row
+    store that never grows with the corpus, candidates are k-bounded
+    per batch; ingest is one term-count aggregate per batch riding
+    the certified counting-store machinery (compaction + negative-
+    slice erasure). The exact side here is the gate-scale truth the
+    stores exist to avoid recomputing. W=16 at gate scale forces
+    real collisions so the upper bound is certified non-trivially
+    (est > exact for colliding terms, yet never below)."""
+    import shutil
+
+    from synthea_etl_spark.operators.dedup import (
+        cms_estimate_from_store,
+        cms_total_tokens,
+        hh_lower_from_store,
+    )
+
+    tcb, cms_dir, cand_dir = _sandwich_stores(spark, sf_dir)
+    try:
+        tc = tcb.groupBy("t").agg(F.sum("c").cast("long").alias("c"))
+        probes = (
+            tc.select("t")
+            .withColumn("probe_class", F.lit("corpus"))
+            .unionByName(
+                spark.range(_Q288_SYNTH).select(
+                    F.concat(F.lit("absent:"), F.col("id").cast("string"))
+                    .alias("t"),
+                    F.lit("synthetic").alias("probe_class"),
+                )
+            )
+        )
+        est = cms_estimate_from_store(spark, cms_dir, probes)
+        lower = hh_lower_from_store(spark, cand_dir)
+        n_store = cms_total_tokens(spark, cms_dir)
+        joined = (
+            probes.join(est, "t")
+            .join(lower, "t", "left")
+            .join(tc.withColumnRenamed("c", "exact"), "t", "left")
+            .select(
+                "probe_class",
+                "t",
+                "est",
+                F.coalesce("lower", F.lit(0)).cast("long").alias("lower"),
+                F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+            )
+        )
+        out = (
+            joined.groupBy("probe_class")
+            .agg(
+                F.count("*").cast("long").alias("n_terms"),
+                F.sum((F.col("lower") > 0).cast("long")).cast("long")
+                .alias("n_candidates"),
+                F.sum("exact").cast("long").alias("sum_exact"),
+                F.sum("est").cast("long").alias("sum_est"),
+                F.sum("lower").cast("long").alias("sum_lower"),
+                F.max(F.col("est") - F.col("exact")).cast("long")
+                .alias("max_overcount"),
+                F.sum((F.col("est") < F.col("exact")).cast("long"))
+                .cast("long").alias("n_upper_viol"),
+                F.sum((F.col("lower") > F.col("exact")).cast("long"))
+                .cast("long").alias("n_lower_viol"),
+            )
+            .crossJoin(F.broadcast(n_store))
+            .crossJoin(
+                F.broadcast(
+                    tc.agg(F.sum("c").cast("long").alias("_n_corpus"))
+                )
+            )
+            .select(
+                "probe_class",
+                "n_terms",
+                "n_candidates",
+                "sum_exact",
+                "sum_est",
+                "sum_lower",
+                "max_overcount",
+                "n_upper_viol",
+                "n_lower_viol",
+                ((F.col("n_upper_viol") == 0) & (F.col("n_lower_viol") == 0))
+                .alias("bounds_ok"),
+                (F.col("n_tokens") == F.col("_n_corpus"))
+                .alias("store_mass_exact"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(cms_dir, ignore_errors=True)
+        shutil.rmtree(cand_dir, ignore_errors=True)
+
+
+def _cms_sql_cte() -> str:
+    """Shared oracle CTEs replicating both stores' totals: per-batch
+    term counts, the candidate lower sums, the CMS cells, and the
+    corpus term truth."""
+    from synthea_etl_spark.operators.dedup import CMS_D, CMS_W, HH_K
+
+    idx = ", ".join(str(i) for i in range(CMS_D))
+    return f"""
+tokb AS (
+  SELECT doc_id % 2 AS bt,
+         UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+tcb AS (
+  SELECT bt, t, CAST(COUNT(*) AS BIGINT) AS c FROM tokb GROUP BY bt, t
+),
+nb AS (SELECT bt, CAST(SUM(c) AS BIGINT) AS n FROM tcb GROUP BY bt),
+cand AS (
+  SELECT t, CAST(SUM(c) AS BIGINT) AS lower
+  FROM tcb JOIN nb USING (bt) WHERE c * {HH_K} > n GROUP BY t
+),
+tc AS (SELECT t, CAST(SUM(c) AS BIGINT) AS c FROM tcb GROUP BY t),
+cells AS (
+  SELECT i AS d,
+         CAST(concat('0x', substr(md5(t || ':cms' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {CMS_W} AS b,
+         CAST(SUM(c) AS BIGINT) AS c
+  FROM tc CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+  GROUP BY d, b
+)"""
+
+
+def _cms_est_sql(probe_cte: str) -> str:
+    """Oracle estimate CTE: min over rows of the probe term's cell,
+    a missing cell reading 0 (the store-absent semantics)."""
+    from synthea_etl_spark.operators.dedup import CMS_D, CMS_W
+
+    idx = ", ".join(str(i) for i in range(CMS_D))
+    return f"""
+pb AS (
+  SELECT p.t, i AS d,
+         CAST(concat('0x', substr(md5(p.t || ':cms' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {CMS_W} AS b
+  FROM {probe_cte} p CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+),
+est AS (
+  SELECT pb.t, CAST(MIN(COALESCE(cells.c, 0)) AS BIGINT) AS est
+  FROM pb LEFT JOIN cells ON pb.d = cells.d AND pb.b = cells.b
+  GROUP BY pb.t
+)"""
+
+
+def _oracle_q288() -> str:
+    return f"""
+WITH {_cms_sql_cte()},
+probes AS (
+  SELECT t, 'corpus' AS probe_class FROM tc
+  UNION ALL
+  SELECT 'absent:' || CAST(r AS VARCHAR) AS t, 'synthetic' AS probe_class
+  FROM range({_Q288_SYNTH}) x(r)
+),
+{_cms_est_sql('probes')},
+joined AS (
+  SELECT p.probe_class, p.t, e.est,
+         COALESCE(cd.lower, 0) AS lower, COALESCE(tc.c, 0) AS exact
+  FROM probes p
+  JOIN est e USING (t)
+  LEFT JOIN cand cd USING (t)
+  LEFT JOIN tc USING (t)
+),
+scalars AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells WHERE d = 0)
+           AS n_tokens,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM tc) AS n_corpus
+)
+SELECT probe_class,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(CASE WHEN lower > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(SUM(exact) AS BIGINT) AS sum_exact,
+       CAST(SUM(est) AS BIGINT) AS sum_est,
+       CAST(SUM(lower) AS BIGINT) AS sum_lower,
+       CAST(MAX(est - exact) AS BIGINT) AS max_overcount,
+       CAST(SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_upper_viol,
+       CAST(SUM(CASE WHEN lower > exact THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lower_viol,
+       SUM(CASE WHEN est < exact THEN 1 ELSE 0 END) = 0
+         AND SUM(CASE WHEN lower > exact THEN 1 ELSE 0 END) = 0
+         AS bounds_ok,
+       MAX(s.n_tokens) = MAX(s.n_corpus) AS store_mass_exact
+FROM joined CROSS JOIN scalars s
+GROUP BY probe_class
+"""
+
+
+def q289_heavy_hitter_bounds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The sandwich's operational answer: the heavy-hitter report a
+    100 TB pipeline serves FROM THE STORES — candidate terms with
+    their proven lower (candidate sums) and upper (Count-Min)
+    bounds, classified against the frequency threshold N/k with N
+    read off the sketch itself: 'heavy' is PROVEN by lower*k > N,
+    'light' is PROVEN by est*k <= N, 'uncertain' is the honest
+    remainder. Completeness is structural: every term with true
+    count*k > N is in the candidate store (the batch-threshold
+    union argument in hh_candidate_slice) — verified in-result as
+    ``all_heavy_covered`` along with per-term ``class_proven``
+    against the gate-scale exact counts.
+
+    100 TB shape: the report is candidate-sized (k-bounded per
+    batch) x D cell lookups — no corpus access on the serving path;
+    the exact join exists only at gate scale to certify the proofs
+    (q278 class)."""
+    import shutil
+
+    from synthea_etl_spark.operators.dedup import (
+        HH_K,
+        cms_estimate_from_store,
+        cms_total_tokens,
+        hh_lower_from_store,
+    )
+
+    tcb, cms_dir, cand_dir = _sandwich_stores(spark, sf_dir)
+    try:
+        tc = tcb.groupBy("t").agg(F.sum("c").cast("long").alias("exact"))
+        lower = hh_lower_from_store(spark, cand_dir)
+        est = cms_estimate_from_store(spark, cms_dir, lower)
+        n_store = cms_total_tokens(spark, cms_dir)
+        # completeness: exact-heavy terms missing from the candidate
+        # store (PROVEN empty; the 1-row count becomes a column)
+        heavy_exact = (
+            tc.crossJoin(F.broadcast(n_store))
+            .filter(F.col("exact") * HH_K > F.col("n_tokens"))
+            .select("t")
+        )
+        missed = heavy_exact.join(lower, "t", "left_anti").agg(
+            F.count("*").cast("long").alias("_n_missed")
+        )
+        out = (
+            lower.join(est, "t")
+            .join(tc, "t", "left")
+            .crossJoin(F.broadcast(n_store))
+            .crossJoin(F.broadcast(missed))
+            .select(
+                "t",
+                "lower",
+                "est",
+                F.coalesce("exact", F.lit(0)).cast("long").alias("exact"),
+                "n_tokens",
+                F.when(
+                    F.col("lower") * HH_K > F.col("n_tokens"), "heavy"
+                )
+                .when(F.col("est") * HH_K <= F.col("n_tokens"), "light")
+                .otherwise("uncertain")
+                .alias("class"),
+                (F.col("_n_missed") == 0).alias("all_heavy_covered"),
+            )
+            .select(
+                "*",
+                F.when(
+                    F.col("class") == "heavy",
+                    F.col("exact") * HH_K > F.col("n_tokens"),
+                )
+                .when(
+                    F.col("class") == "light",
+                    F.col("exact") * HH_K <= F.col("n_tokens"),
+                )
+                .otherwise(F.lit(True))
+                .alias("class_proven"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(cms_dir, ignore_errors=True)
+        shutil.rmtree(cand_dir, ignore_errors=True)
+
+
+def _oracle_q289() -> str:
+    from synthea_etl_spark.operators.dedup import HH_K
+
+    return f"""
+WITH {_cms_sql_cte()},
+{_cms_est_sql('cand')},
+scalars AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells WHERE d = 0)
+           AS n_tokens
+),
+missed AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_missed
+  FROM tc CROSS JOIN scalars s
+  WHERE tc.c * {HH_K} > s.n_tokens
+    AND tc.t NOT IN (SELECT t FROM cand)
+),
+rep AS (
+  SELECT cd.t, cd.lower, e.est, COALESCE(tc.c, 0) AS exact,
+         s.n_tokens,
+         CASE WHEN cd.lower * {HH_K} > s.n_tokens THEN 'heavy'
+              WHEN e.est * {HH_K} <= s.n_tokens THEN 'light'
+              ELSE 'uncertain' END AS class,
+         m.n_missed = 0 AS all_heavy_covered
+  FROM cand cd
+  JOIN est e USING (t)
+  LEFT JOIN tc USING (t)
+  CROSS JOIN scalars s CROSS JOIN missed m
+)
+SELECT *,
+       CASE WHEN class = 'heavy' THEN exact * {HH_K} > n_tokens
+            WHEN class = 'light' THEN exact * {HH_K} <= n_tokens
+            ELSE TRUE END AS class_proven
+FROM rep
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q284_quality_auc": QuerySpec(
+        q284_quality_auc,
+        ORACLE_Q284,
+        "per-language binned ROC-AUC + KS of the stopword signal vs"
+        " the quality-model label, exact micro rank statistic",
+        ("llm", "quality", "governance"),
+    ),
+    "q285_bt_strength": QuerySpec(
+        q285_bt_strength,
+        _oracle_q285(),
+        "Bradley-Terry MM strengths over pairwise preference"
+        " outcomes, exact integer two-step fit",
+        ("llm", "posttrain", "governance"),
+    ),
+    "q286_vocab_zipf_audit": QuerySpec(
+        q286_vocab_zipf_audit,
+        ORACLE_Q286,
+        "per-language vocabulary card: Good-Turing unseen mass,"
+        " Simpson concentration, head-term mass",
+        ("llm", "tokenizer", "quality"),
+    ),
+    "q287_rater_agreement": QuerySpec(
+        q287_rater_agreement,
+        ORACLE_Q287,
+        "Cohen's kappa between the cheap rule and the quality-model"
+        " rule, per language, sign-exact micro arithmetic",
+        ("llm", "quality", "governance"),
+    ),
+    "q288_cms_frequency_audit": QuerySpec(
+        q288_cms_frequency_audit,
+        _oracle_q288(),
+        "frequency-sandwich store gate: Count-Min upper + candidate"
+        " lower bounds proven violation-free in-result",
+        ("llm", "tokenizer", "streaming"),
+    ),
+    "q289_heavy_hitter_bounds": QuerySpec(
+        q289_heavy_hitter_bounds,
+        _oracle_q289(),
+        "store-served heavy-hitter report with proven sandwich"
+        " bounds and completeness certificate",
+        ("llm", "tokenizer", "streaming"),
+    ),
+}

@@ -1,0 +1,97 @@
+"""Round-15 batch-3 tests: AUC rank statistic, Bradley-Terry fit,
+vocabulary audit invariants, kappa sign semantics, and the
+frequency-sandwich gate properties at sf0.01 (the oracle
+differential itself is covered by tools/selfcheck + the driver
+gate; these pin the INTERNAL math invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_q284_auc_in_range_and_perfect_on_separable(spark):
+    """AUC lands in [0, M]; a synthetically separable corpus scores
+    exactly M (binned AUC of a perfectly ordered signal)."""
+    from synthea_etl_spark.plans.llm33 import q284_quality_auc
+
+    rows = q284_quality_auc(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.auc_micro <= 1_000_000
+        assert 0 <= r.ks_micro <= 1_000_000
+        assert r.n_pos + r.n_neg > 0
+
+
+def test_q285_bt_strengths_sum_and_order(spark):
+    """Normalized strengths sum to ~policies*M (integer truncation
+    only), ranks are a permutation, and the win matrix is conserved
+    (sum of wins = total games / 2 directed)."""
+    from synthea_etl_spark.plans.llm33 import _BT_POLICIES, q285_bt_strength
+
+    rows = q285_bt_strength(spark, SF_DIR).collect()
+    assert len(rows) == _BT_POLICIES
+    tot = sum(r.strength_micro for r in rows)
+    assert _BT_POLICIES * 1_000_000 - 4 * _BT_POLICIES <= tot \
+        <= _BT_POLICIES * 1_000_000
+    assert sorted(r.rank for r in rows) == list(range(1, _BT_POLICIES + 1))
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.strength_micro >= b.strength_micro
+    assert sum(r.wins for r in rows) * 2 == sum(r.games for r in rows)
+
+
+def test_q286_vocab_invariants(spark):
+    """hapax <= vocab, top mass <= total, Good-Turing mass equals
+    hapax/N in micro, and the head term really is a max-count term."""
+    from synthea_etl_spark.plans.llm33 import q286_vocab_zipf_audit
+
+    rows = q286_vocab_zipf_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.hapax + r.dis <= r.vocab
+        assert 0 <= r.gt_unseen_micro <= 1_000_000
+        assert 0 <= r.simpson_micro <= 1_000_000
+        assert 0 < r.top_mass_micro <= 1_000_000
+        assert r.hapax * 1_000_000 // r.n_tokens == r.gt_unseen_micro
+
+
+def test_q287_kappa_bounds_and_confusion_conservation(spark):
+    from synthea_etl_spark.plans.llm33 import q287_rater_agreement
+
+    rows = q287_rater_agreement(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n11 + r.n10 + r.n01 + r.n00 == r.n_docs
+        assert -1_000_000 <= r.kappa_micro <= 1_000_000
+        assert r.moderate_agreement == (r.kappa_micro >= 400_000)
+
+
+def test_q288_bounds_proven_and_mass_exact(spark):
+    from synthea_etl_spark.plans.llm33 import q288_cms_frequency_audit
+
+    rows = {r.probe_class: r for r in
+            q288_cms_frequency_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {"corpus", "synthetic"}
+    for r in rows.values():
+        assert r.n_upper_viol == 0 and r.n_lower_viol == 0
+        assert r.bounds_ok and r.store_mass_exact
+    c = rows["corpus"]
+    # the sandwich is non-trivial at gate scale: W=16 forces real
+    # collisions (upper strictly over) and the candidate store
+    # genuinely undershoots (lower strictly under)
+    assert c.sum_est > c.sum_exact > c.sum_lower
+    assert c.n_candidates > 0
+
+
+def test_q289_classes_proven_and_complete(spark):
+    from synthea_etl_spark.plans.llm33 import q289_heavy_hitter_bounds
+
+    rows = q289_heavy_hitter_bounds(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.all_heavy_covered for r in rows)
+    assert all(r.class_proven for r in rows)
+    for r in rows:
+        assert r.lower <= r.exact <= r.est
+        assert r["class"] in ("heavy", "light", "uncertain")
