@@ -362,6 +362,75 @@ def main() -> None:
         if not (row.approx <= exact <= row.approx + row.approx // 8):
             lh_bound_ok = False
 
+
+    # --- frequency-sandwich pair erasure (12th family) --------------
+    # CMS cells are linear sums -> verbatim deletion_slice path with
+    # bit-exact rebuild parity; the candidate store's deletion slice
+    # over-subtracts by design (full erased counts vs thresholded
+    # credit), so its post-erasure contract is the PROVEN lower
+    # bound vs the surviving exact counts, not slice parity.
+    from synthea_etl_spark.operators.dedup import (
+        batch_term_counts,
+        cms_estimate_from_store,
+        cms_slice_from_counts,
+        cms_store,
+        counting_store_totals,
+        hh_candidate_store,
+        hh_lower_from_store,
+        publish_counting_slice,
+    )
+
+    cms_dir = os.path.join(work, "cms_store")
+    cms_rebuilt = os.path.join(work, "cms_rebuilt")
+    cand_dir = os.path.join(work, "cand_store")
+    for bi, rows in enumerate(batches):
+        bdf = spark.createDataFrame(
+            [(r.doc_id, r.source, r.text) for r in rows], schema
+        )
+        cms_store(bdf, cms_dir, f"batch{bi}")
+        hh_candidate_store(bdf, cand_dir, f"batch{bi}")
+    ec = batch_term_counts(erase)
+    publish_counting_slice(
+        deletion_slice(cms_slice_from_counts(ec), ["c"]), cms_dir, "batch9"
+    )
+    publish_counting_slice(deletion_slice(ec, ["c"]), cand_dir, "batch9")
+    cms_store(survivors, cms_rebuilt, "batch0")
+
+    def _cms_cells(path):
+        return {
+            (r.d, r.b): r.c
+            for r in counting_store_totals(
+                spark, path, ["d", "b"], "c"
+            ).collect()
+        }
+
+    cms_immediate_match = _cms_cells(cms_dir) == _cms_cells(cms_rebuilt)
+    compact_counting_slices(spark, cms_dir, 9, ["d", "b"], "c")
+    compact_counting_slices(spark, cand_dir, 9, ["t"], "c")
+    cms_post_compact_match = _cms_cells(cms_dir) == _cms_cells(cms_rebuilt)
+    _exact_surv = {
+        r.t: r.c for r in batch_term_counts(survivors).collect()
+    }
+    cand_lower_ok = all(
+        r.lower <= _exact_surv.get(r.t, 0)
+        for r in hh_lower_from_store(spark, cand_dir).collect()
+    )
+    # estimates off the purged sketch still upper-bound the
+    # surviving truth for every surviving term
+    _est_surv = {
+        r.t: r.est
+        for r in cms_estimate_from_store(
+            spark,
+            cms_dir,
+            spark.createDataFrame(
+                [(t,) for t in _exact_surv], "t string"
+            ),
+        ).collect()
+    }
+    cms_upper_ok = all(
+        _est_surv[t] >= c for t, c in _exact_surv.items()
+    )
+
     report = {
         "master": args.master,
         "n_executors": n_exec,
@@ -397,6 +466,14 @@ def main() -> None:
             "rebuilt_rows": lh_rebuilt_rows,
             "compacted_upto": compaction_watermark(lh_store),
         },
+        "cms_sandwich_store": {
+            "cms_immediate_match_on_slice_publish": cms_immediate_match,
+            "cms_post_compaction_match": cms_post_compact_match,
+            "cand_lower_bound_holds_post_erasure": cand_lower_ok,
+            "cms_upper_bound_holds_post_erasure": cms_upper_ok,
+            "cms_watermark": compaction_watermark(cms_dir),
+            "cand_watermark": compaction_watermark(cand_dir),
+        },
     }
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
@@ -416,6 +493,10 @@ def main() -> None:
         and lh_post_compact_match
         and lh_bound_ok
         and lh_store_rows == lh_rebuilt_rows
+        and cms_immediate_match
+        and cms_post_compact_match
+        and cand_lower_ok
+        and cms_upper_ok
     )
     if not ok:
         raise SystemExit("purge lifecycle drive diverged")
