@@ -220,6 +220,8 @@ HEADLINE_OPT = [
     "q287_rater_agreement",
     "q288_cms_frequency_audit",
     "q289_heavy_hitter_bounds",
+    "q290_ece_calibration",
+    "q291_containment_direction",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

@@ -2584,15 +2584,28 @@ def cms_estimate_from_store(
     w: int = CMS_W,
 ) -> DataFrame:
     """Per-term Count-Min estimates FROM THE STORE — no corpus
-    access: each probe term expands to its D cells, broadcast-joins
-    the watermark-filtered totals (the store side never shuffles),
-    and est = min over rows of the cell value, with a missing or
-    zero-netted cell reading as 0 (so a term fully erased by a
-    pending deletion slice reads 0 IMMEDIATELY). est >= true always
-    (cells only ever add counts of terms genuinely present).
-    Returns (t, est)."""
-    totals = counting_store_totals(spark, store_path, ["d", "b"], "c")
+    access: each probe term expands to its D cells, left-joins the
+    watermark-filtered totals, and est = min over rows of the cell
+    value, with a missing or zero-netted cell reading as 0 (so a
+    term fully erased by a pending deletion slice reads 0
+    IMMEDIATELY). est >= true always (cells only ever add counts of
+    terms genuinely present). Returns (t, est).
+
+    NO broadcast hint on either side (the q269 lesson): the probe
+    set is query-sized for point lookups but VOCABULARY-sized when a
+    gate audits every term, and a forced probe-side broadcast would
+    be the exact OOM hazard the round-14 verdict flagged. The totals
+    side is bounded at D*W rows by construction, so AQE broadcasts
+    it whenever it fits and the probe side never shuffles; an empty
+    store (stream never ingested) reads as all-zero estimates."""
+    import glob
+    import os
+
     ts = probes.select(F.col(term_col).alias("t")).distinct()
+    if not glob.glob(os.path.join(store_path, "**", "*.parquet"),
+                     recursive=True):
+        return ts.select("t", F.lit(0).cast("long").alias("est"))
+    totals = counting_store_totals(spark, store_path, ["d", "b"], "c")
     pb = ts.select(
         "t",
         F.explode(
@@ -2607,20 +2620,14 @@ def cms_estimate_from_store(
             )
         ).alias("_db"),
     ).select("t", F.col("_db.d").alias("d"), F.col("_db.b").alias("b"))
-    live = (
-        totals.join(F.broadcast(pb), ["d", "b"])
+    return (
+        pb.join(totals, ["d", "b"], "left")
         .groupBy("t")
         .agg(
-            F.count("*").alias("_nl"),
-            F.min("c").cast("long").alias("_mc"),
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("est")
         )
-    )
-    return ts.join(live, "t", "left").select(
-        "t",
-        F.when(F.coalesce(F.col("_nl"), F.lit(0)) < d, F.lit(0))
-        .otherwise(F.col("_mc"))
-        .cast("long")
-        .alias("est"),
     )
 
 
@@ -2630,7 +2637,23 @@ def hh_lower_from_store(spark, store_path: str) -> DataFrame:
     erasure deletion slice subtracts the erased docs' FULL counts,
     which can exceed the term's candidate credit — the net then
     undershoots, which is still a valid lower bound, and
-    non-positive nets simply drop out). Returns (t, lower)."""
+    non-positive nets simply drop out). Returns (t, lower).
+
+    A store with NO data files reads as empty, not as an error: on
+    a near-uniform corpus every batch's strict threshold c*k > N_b
+    can legitimately admit zero candidates (measured at organic
+    sf10: 12M-term vocabulary, max count 100k, zero candidates per
+    batch), and an all-empty-slice store then holds only _SUCCESS
+    markers Spark cannot infer a schema from. The existence probe
+    is a driver-side listing of the LOCAL store root (the
+    _max_live_slice precedent; revisit if store roots move to an
+    object store)."""
+    import glob
+    import os
+
+    if not glob.glob(os.path.join(store_path, "**", "*.parquet"),
+                     recursive=True):
+        return spark.createDataFrame([], "t string, lower long")
     return (
         counting_store_totals(spark, store_path, ["t"], "c")
         .filter(F.col("c") > 0)

@@ -961,6 +961,387 @@ FROM rep
 """
 
 
+# ---------------------------------------------------------------------------
+# q290 expected calibration error of the quality signal
+# ---------------------------------------------------------------------------
+
+def q290_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the quality signal treated as a
+    PROBABILITY: the odd-position token half of each document
+    predicts the even half (a deterministic held-out split — no
+    randomness, both engines agree), the normalized odd-half margin
+    is squashed to a confidence p in [0, 1], and the report is the
+    standard reliability decomposition per language: expected
+    calibration error (confidence-vs-accuracy gap weighted by bin
+    mass, Naeini et al. 2015 binned form), max calibration error,
+    and the Brier score — all exact micro integers.
+
+    100 TB shape: one posexploded pass -> doc-grain aggregate ->
+    (lang, decile-bin) aggregate -> language rollup; no windows, no
+    corpus-sized exchange beyond the two aggregates. Brier's
+    squared-error sum holds in int64 to ~9e18 micro^2-doc units
+    (~9e6 docs per language at worst-case gap); past that the
+    accumulator moves to DECIMAL(38,0) (noted, not implemented)."""
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.retrieval import _bucket, _weight
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.filter(F.length(F.trim("text")) > 0).select(
+        "lang",
+        "doc_id",
+        F.posexplode(T.tokens("text")).alias("pos", "t"),
+    )
+    per_doc = (
+        tok.select(
+            "lang",
+            "doc_id",
+            (F.col("pos") % 2).alias("half"),
+            _weight(_bucket(F.col("t"))).alias("w"),
+        )
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.sum(F.when(F.col("half") == 1, F.col("w")).otherwise(0))
+            .cast("long").alias("m_odd"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+            .cast("long").alias("n_odd"),
+            F.sum(F.when(F.col("half") == 0, F.col("w")).otherwise(0))
+            .cast("long").alias("m_even"),
+        )
+        .filter(F.col("n_odd") > 0)
+        .select(
+            "lang",
+            # p = (margin/1000token + 1)/2 in micro; numerator is
+            # offset non-negative so both engines truncate alike
+            F.expr(
+                f"(m_odd + 1000 * n_odd) * cast({MICRO} as bigint)"
+                " div (2000 * n_odd)"
+            ).cast("long").alias("p"),
+            (F.col("m_even") > 0).cast("long").alias("y"),
+        )
+    )
+    binned = (
+        per_doc.select(
+            "lang",
+            F.least(F.expr(f"p * 10 div {MICRO}"), F.lit(9))
+            .cast("int").alias("bin"),
+            "p",
+            "y",
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("p").cast("long").alias("sum_p"),
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(
+                (F.col("p") - F.col("y") * MICRO)
+                * (F.col("p") - F.col("y") * MICRO)
+            ).cast("long").alias("sum_sq"),
+        )
+        .select(
+            "lang",
+            "n_b",
+            "sum_sq",
+            F.expr(
+                "abs(sum_p div n_b - n_pos * cast(1000000 as bigint)"
+                " div n_b)"
+            ).cast("long").alias("gap"),
+        )
+    )
+    return binned.groupBy("lang").agg(
+        F.sum("n_b").cast("long").alias("n_docs"),
+        F.expr("sum(n_b * gap) div sum(n_b)").cast("long")
+        .alias("ece_micro"),
+        F.max("gap").cast("long").alias("max_gap_micro"),
+        F.expr(f"sum(sum_sq) div (sum(n_b) * cast({MICRO} as bigint))")
+        .cast("long").alias("brier_micro"),
+    )
+
+
+ORACLE_Q290 = f"""
+WITH tok AS (
+  SELECT lang, doc_id,
+         generate_subscripts(w, 1) - 1 AS pos, UNNEST(w) AS t
+  FROM (
+    SELECT lang, doc_id, string_split_regex(trim(text), '\\s+') AS w
+    FROM documents WHERE length(trim(text)) > 0
+  )
+),
+per_doc0 AS (
+  SELECT lang, doc_id,
+         CAST(SUM(CASE WHEN pos % 2 = 1 THEN {_W_SQL} ELSE 0 END)
+           AS BIGINT) AS m_odd,
+         CAST(SUM(CASE WHEN pos % 2 = 1 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_odd,
+         CAST(SUM(CASE WHEN pos % 2 = 0 THEN {_W_SQL} ELSE 0 END)
+           AS BIGINT) AS m_even
+  FROM tok GROUP BY lang, doc_id
+),
+per_doc AS (
+  SELECT lang,
+         CAST((m_odd + 1000 * n_odd) * CAST({MICRO} AS BIGINT)
+              // (2000 * n_odd) AS BIGINT) AS p,
+         CASE WHEN m_even > 0 THEN 1 ELSE 0 END AS y
+  FROM per_doc0 WHERE n_odd > 0
+),
+binned AS (
+  SELECT lang, n_b, sum_sq,
+         CAST(ABS(sum_p // n_b
+                  - n_pos * CAST({MICRO} AS BIGINT) // n_b) AS BIGINT)
+           AS gap
+  FROM (
+    SELECT lang, CAST(LEAST(p * 10 // {MICRO}, 9) AS INTEGER) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(p) AS BIGINT) AS sum_p,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM((p - y * {MICRO}) * (p - y * {MICRO})) AS BIGINT)
+             AS sum_sq
+    FROM per_doc GROUP BY lang, bin
+  )
+)
+SELECT lang, CAST(SUM(n_b) AS BIGINT) AS n_docs,
+       CAST(SUM(n_b * gap) // SUM(n_b) AS BIGINT) AS ece_micro,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_micro,
+       CAST(SUM(sum_sq) // (SUM(n_b) * CAST({MICRO} AS BIGINT))
+         AS BIGINT) AS brier_micro
+FROM binned GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q291 asymmetric containment direction audit
+# ---------------------------------------------------------------------------
+
+_Q291_STRIDE = 13
+
+def q291_containment_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ASYMMETRIC near-dup audit: Jaccard (q36) misses inclusion —
+    a short doc quoted inside a long one scores low symmetric
+    similarity while containment |Sa∩Sb|/|Sa| ~ 1. This query
+    measures 3-gram shingle containment in BOTH directions over two
+    pair panels and reports per panel the direction histogram at the
+    0.5 threshold plus exact mean containments, all micro integers:
+
+    - ``prefix`` — each document (>= 6 tokens) paired against its
+      own first-half token prefix. The prefix's shingle set is a
+      SUBSET of the full set by construction, so containment(prefix
+      in full) = 1 exactly; the in-result ``all_a_subsets`` column
+      PROVES the intersection machinery (i == |Sa| on every pair —
+      the q255/q278 discipline).
+    - ``background`` — a strided sample (doc_id % stride == 0
+      paired with doc_id + 1): the unrelated-pair control.
+
+    100 TB shape: pair panels are candidate-generated (prefix pairs
+    are doc-local; production near-dup pairs ride the LSH band
+    candidates, the q249 discipline — NEVER all-pairs); the
+    intersection is one (doc, shingle) equi-join over only the
+    panel docs' shingle sets."""
+    import synthea_etl_spark.operators.text as T
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select("doc_id", T.tokens("text").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    sh_full = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingles_of(F.col("w")))).alias("s"),
+    )
+    # first-half prefix pseudo-doc (>= 6 tokens -> >= 1 shingle)
+    sh_pref = (
+        toks.filter(F.size("w") >= 6)
+        .select(
+            "doc_id",
+            F.slice(
+                F.col("w"), 1, ((F.size("w") + 1) / 2).cast("int")
+            ).alias("wp"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingles_of(F.col("wp"))))
+            .alias("s"),
+        )
+    )
+    sz_full = sh_full.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    sz_pref = sh_pref.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+
+    # prefix panel: a = prefix, b = full, keyed by doc_id
+    inter_pref = (
+        sh_pref.join(sh_full, ["doc_id", "s"])
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    pref = (
+        sz_pref.withColumnRenamed("sz", "sz_a")
+        .join(sz_full.withColumnRenamed("sz", "sz_b"), "doc_id")
+        .join(inter_pref, "doc_id", "left")
+        .select(
+            F.lit("prefix").alias("panel"),
+            F.coalesce("i", F.lit(0)).alias("i"),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    # background panel: strided adjacent pairs over full docs
+    ids = toks.select("doc_id")
+    adj = (
+        ids.filter(F.col("doc_id") % _Q291_STRIDE == 0)
+        .select(F.col("doc_id").alias("a"))
+        .join(
+            ids.select((F.col("doc_id") - 1).alias("a")), "a", "left_semi"
+        )
+        .select("a", (F.col("a") + 1).alias("b"))
+    )
+    inter_adj = (
+        adj.join(sh_full.select(F.col("doc_id").alias("a"), "s"), "a")
+        .join(sh_full.select(F.col("doc_id").alias("b"), "s"), ["b", "s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    bg = (
+        adj.join(inter_adj, ["a", "b"], "left")
+        .join(
+            sz_full.select(F.col("doc_id").alias("a"),
+                           F.col("sz").alias("sz_a")), "a"
+        )
+        .join(
+            sz_full.select(F.col("doc_id").alias("b"),
+                           F.col("sz").alias("sz_b")), "b"
+        )
+        .select(
+            F.lit("background").alias("panel"),
+            F.coalesce("i", F.lit(0)).alias("i"),
+            "sz_a",
+            "sz_b",
+        )
+    )
+    half = MICRO // 2
+    scored = pref.unionByName(bg).select(
+        "panel",
+        (F.col("i") == F.col("sz_a")).cast("long").alias("subset"),
+        F.expr(f"i * cast({MICRO} as bigint) div sz_a")
+        .cast("long").alias("ca"),
+        F.expr(f"i * cast({MICRO} as bigint) div sz_b")
+        .cast("long").alias("cb"),
+    )
+    return scored.groupBy("panel").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.expr("sum(ca) div count(*)").cast("long")
+        .alias("mean_cont_a_micro"),
+        F.expr("sum(cb) div count(*)").cast("long")
+        .alias("mean_cont_b_micro"),
+        F.sum(((F.col("ca") >= half) & (F.col("cb") < half)).cast("long"))
+        .cast("long").alias("n_a_in_b"),
+        F.sum(((F.col("cb") >= half) & (F.col("ca") < half)).cast("long"))
+        .cast("long").alias("n_b_in_a"),
+        F.sum(((F.col("ca") >= half) & (F.col("cb") >= half)).cast("long"))
+        .cast("long").alias("n_symmetric"),
+        F.sum(((F.col("ca") < half) & (F.col("cb") < half)).cast("long"))
+        .cast("long").alias("n_unrelated"),
+        (F.sum("subset") == F.count("*")).alias("all_a_subsets"),
+    )
+
+
+def _shingles_of(w):
+    """3-gram shingles of a token-array column (the operators.text
+    idiom, lifted to arrays so the prefix pseudo-doc reuses it)."""
+    k = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - 2),
+        lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+    )
+    return F.when(k >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _oracle_q291() -> str:
+    half = MICRO // 2
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+sh_full AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) u
+),
+pref AS (
+  SELECT doc_id, w[1:(len(w)+1)//2] AS wp FROM toks WHERE len(w) >= 6
+),
+sh_pref AS (
+  SELECT DISTINCT doc_id, wp[i] || ' ' || wp[i+1] || ' ' || wp[i+2] AS s
+  FROM pref, LATERAL (SELECT UNNEST(generate_series(1, len(wp)-2)) AS i) u
+  WHERE len(wp) >= 3
+),
+sz_full AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh_full GROUP BY doc_id
+),
+sz_pref AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh_pref GROUP BY doc_id
+),
+inter_pref AS (
+  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh_pref p JOIN sh_full f ON f.doc_id = p.doc_id AND f.s = p.s
+  GROUP BY p.doc_id
+),
+prefp AS (
+  SELECT 'prefix' AS panel, COALESCE(i.i, 0) AS i,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM sz_pref a
+  JOIN sz_full b USING (doc_id)
+  LEFT JOIN inter_pref i USING (doc_id)
+),
+adj AS (
+  SELECT x.doc_id AS a, x.doc_id + 1 AS b
+  FROM toks x JOIN toks y ON y.doc_id = x.doc_id + 1
+  WHERE x.doc_id % {_Q291_STRIDE} = 0
+),
+inter_adj AS (
+  SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM adj p
+  JOIN sh_full sa ON sa.doc_id = p.a
+  JOIN sh_full sb ON sb.doc_id = p.b AND sb.s = sa.s
+  GROUP BY p.a, p.b
+),
+bg AS (
+  SELECT 'background' AS panel, COALESCE(i.i, 0) AS i,
+         za.sz AS sz_a, zb.sz AS sz_b
+  FROM adj p
+  LEFT JOIN inter_adj i ON i.a = p.a AND i.b = p.b
+  JOIN sz_full za ON za.doc_id = p.a
+  JOIN sz_full zb ON zb.doc_id = p.b
+),
+scored AS (
+  SELECT panel,
+         CASE WHEN i = sz_a THEN 1 ELSE 0 END AS subset,
+         CAST(i * CAST({MICRO} AS BIGINT) // sz_a AS BIGINT) AS ca,
+         CAST(i * CAST({MICRO} AS BIGINT) // sz_b AS BIGINT) AS cb
+  FROM (SELECT * FROM prefp UNION ALL SELECT * FROM bg)
+)
+SELECT panel, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ca) // COUNT(*) AS BIGINT) AS mean_cont_a_micro,
+       CAST(SUM(cb) // COUNT(*) AS BIGINT) AS mean_cont_b_micro,
+       CAST(SUM(CASE WHEN ca >= {half} AND cb < {half} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_a_in_b,
+       CAST(SUM(CASE WHEN cb >= {half} AND ca < {half} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_b_in_a,
+       CAST(SUM(CASE WHEN ca >= {half} AND cb >= {half} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_symmetric,
+       CAST(SUM(CASE WHEN ca < {half} AND cb < {half} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_unrelated,
+       SUM(subset) = COUNT(*) AS all_a_subsets
+FROM scored GROUP BY panel
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q284_quality_auc": QuerySpec(
         q284_quality_auc,
@@ -1003,5 +1384,19 @@ QUERIES: dict[str, QuerySpec] = {
         "store-served heavy-hitter report with proven sandwich"
         " bounds and completeness certificate",
         ("llm", "tokenizer", "streaming"),
+    ),
+    "q290_ece_calibration": QuerySpec(
+        q290_ece_calibration,
+        ORACLE_Q290,
+        "reliability decomposition of the quality signal: ECE, max"
+        " gap, Brier — held-out half predicts the other",
+        ("llm", "quality", "governance"),
+    ),
+    "q291_containment_direction": QuerySpec(
+        q291_containment_direction,
+        _oracle_q291(),
+        "asymmetric shingle-containment direction audit over dup-"
+        "cluster and background pair panels",
+        ("llm", "dedup", "quality"),
     ),
 }

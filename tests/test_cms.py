@@ -179,3 +179,28 @@ def test_cms_erasure_matches_rebuild(spark, tmp_path):
     rb = {r.t: r.c for r in counting_store_totals(spark, cand_rebuilt, ["t"], "c").collect()}
     for t, c in rb.items():
         assert c <= exact_surv.get(t, 0), (t, c, exact_surv.get(t))
+
+
+def test_candidate_store_all_empty_slices_reads_empty(spark, tmp_path):
+    """A near-uniform corpus admits ZERO candidates per batch (the
+    measured organic-sf10 regime); the store then holds only
+    _SUCCESS markers and must read as EMPTY, not raise."""
+    from synthea_etl_spark.operators.dedup import (
+        hh_candidate_store,
+        hh_lower_from_store,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"u{i}_{j}" for j in range(40))) for i in range(40)],
+    )
+    store = str(tmp_path / "cand")
+    for b in (0, 1):
+        hh_candidate_store(
+            docs.filter(F.col("doc_id") % 2 == b), store, f"batch{b}"
+        )
+    assert hh_lower_from_store(spark, store).collect() == []
+    # a store dir that was never written at all also reads empty
+    assert (
+        hh_lower_from_store(spark, str(tmp_path / "never")).collect() == []
+    )

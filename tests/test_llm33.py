@@ -95,3 +95,34 @@ def test_q289_classes_proven_and_complete(spark):
     for r in rows:
         assert r.lower <= r.exact <= r.est
         assert r["class"] in ("heavy", "light", "uncertain")
+
+
+def test_q290_ece_bounds(spark):
+    from synthea_etl_spark.plans.llm33 import q290_ece_calibration
+
+    rows = q290_ece_calibration(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.ece_micro <= r.max_gap_micro <= 1_000_000
+        assert 0 <= r.brier_micro <= 1_000_000
+        assert r.n_docs > 0
+
+
+def test_q291_prefix_panel_proven(spark):
+    """The prefix panel PROVES the intersection machinery: every
+    prefix shingle set is a subset of its full doc's set, so
+    containment(a in b) is exactly 1 for every pair."""
+    from synthea_etl_spark.plans.llm33 import q291_containment_direction
+
+    rows = {r.panel: r for r in
+            q291_containment_direction(spark, SF_DIR).collect()}
+    assert set(rows) == {"prefix", "background"}
+    p = rows["prefix"]
+    assert p.all_a_subsets
+    assert p.mean_cont_a_micro == 1_000_000
+    assert p.n_a_in_b + p.n_symmetric == p.n_pairs
+    b = rows["background"]
+    assert (
+        b.n_a_in_b + b.n_b_in_a + b.n_symmetric + b.n_unrelated
+        == b.n_pairs
+    )
