@@ -1112,6 +1112,7 @@ FROM binned GROUP BY lang
 # ---------------------------------------------------------------------------
 
 _Q291_STRIDE = 13
+_Q291_PREFIX_STRIDE = 7
 
 def q291_containment_direction(
     spark: SparkSession, sf_dir: str
@@ -1123,35 +1124,56 @@ def q291_containment_direction(
     pair panels and reports per panel the direction histogram at the
     0.5 threshold plus exact mean containments, all micro integers:
 
-    - ``prefix`` — each document (>= 6 tokens) paired against its
-      own first-half token prefix. The prefix's shingle set is a
-      SUBSET of the full set by construction, so containment(prefix
-      in full) = 1 exactly; the in-result ``all_a_subsets`` column
-      PROVES the intersection machinery (i == |Sa| on every pair —
-      the q255/q278 discipline).
-    - ``background`` — a strided sample (doc_id % stride == 0
-      paired with doc_id + 1): the unrelated-pair control.
+    - ``prefix`` — every stride-7th document (>= 6 tokens) paired
+      against its own first-half token prefix. The prefix's shingle
+      set is a SUBSET of the full set by construction, so
+      containment(prefix in full) = 1 exactly; the in-result
+      ``all_a_subsets`` column PROVES the intersection machinery
+      (i == |Sa| on every pair — the q255/q278 discipline).
+    - ``background`` — a strided sample (doc_id % 13 == 0 paired
+      with doc_id + 1): the unrelated-pair control.
 
-    100 TB shape: pair panels are candidate-generated (prefix pairs
-    are doc-local; production near-dup pairs ride the LSH band
-    candidates, the q249 discipline — NEVER all-pairs); the
-    intersection is one (doc, shingle) equi-join over only the
-    panel docs' shingle sets."""
+    100 TB shape: pair panels are candidate-generated AND strided
+    (a sampled audit, the q249 sample-fraction discipline — the
+    strides are declared constants, no silent truncation; production
+    near-dup pairs ride the LSH band candidates, NEVER all-pairs),
+    and the shingle sets are built ONLY for panel documents — the
+    semi-join runs before the shingle explode, so the expensive
+    construction scales with the panel, not the corpus."""
     import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.util import rebalance_by_key
 
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
-    toks = d.select("doc_id", T.tokens("text").alias("w")).filter(
-        F.size("w") >= 3
+    # narrow-scan rebalance (the SCALE.md round-13 lesson: the sf1
+    # replica is one file -> 2 input partitions, and every shingle
+    # stage below would run on 2 of 32 cores) + EAGER checkpoints
+    # (the q278 lesson: toks feeds the prefix derivation and both
+    # panels, sh_full has FIVE consumers)
+    toks_all = rebalance_by_key(
+        d.select("doc_id", T.tokens("text").alias("w")), "doc_id"
+    ).filter(F.size("w") >= 3)
+    ids_all = toks_all.select("doc_id")
+    panel_ids = (
+        ids_all.filter(F.col("doc_id") % _Q291_PREFIX_STRIDE == 0)
+        .unionByName(ids_all.filter(F.col("doc_id") % _Q291_STRIDE == 0))
+        .unionByName(
+            ids_all.filter((F.col("doc_id") - 1) % _Q291_STRIDE == 0)
+        )
+        .distinct()
     )
+    toks = toks_all.join(panel_ids, "doc_id", "left_semi").localCheckpoint()
     sh_full = toks.select(
         "doc_id",
         F.explode(F.array_distinct(_shingles_of(F.col("w")))).alias("s"),
-    )
+    ).localCheckpoint()
     # first-half prefix pseudo-doc (>= 6 tokens -> >= 1 shingle)
     sh_pref = (
-        toks.filter(F.size("w") >= 6)
+        toks.filter(
+            (F.size("w") >= 6)
+            & (F.col("doc_id") % _Q291_PREFIX_STRIDE == 0)
+        )
         .select(
             "doc_id",
             F.slice(
@@ -1268,13 +1290,18 @@ WITH d AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
   FROM documents WHERE length(trim(text)) > 0
 ),
-toks AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+toks_all AS (SELECT doc_id, w FROM d WHERE len(w) >= 3),
+toks AS (
+  SELECT * FROM toks_all
+  WHERE doc_id % {_Q291_PREFIX_STRIDE} = 0 OR doc_id % {_Q291_STRIDE} = 0 OR (doc_id - 1) % {_Q291_STRIDE} = 0
+),
 sh_full AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
   FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w)-2)) AS i) u
 ),
 pref AS (
-  SELECT doc_id, w[1:(len(w)+1)//2] AS wp FROM toks WHERE len(w) >= 6
+  SELECT doc_id, w[1:(len(w)+1)//2] AS wp FROM toks
+  WHERE len(w) >= 6 AND doc_id % {_Q291_PREFIX_STRIDE} = 0
 ),
 sh_pref AS (
   SELECT DISTINCT doc_id, wp[i] || ' ' || wp[i+1] || ' ' || wp[i+2] AS s
@@ -1301,7 +1328,7 @@ prefp AS (
 ),
 adj AS (
   SELECT x.doc_id AS a, x.doc_id + 1 AS b
-  FROM toks x JOIN toks y ON y.doc_id = x.doc_id + 1
+  FROM toks_all x JOIN toks_all y ON y.doc_id = x.doc_id + 1
   WHERE x.doc_id % {_Q291_STRIDE} = 0
 ),
 inter_adj AS (
