@@ -222,6 +222,8 @@ HEADLINE_OPT = [
     "q289_heavy_hitter_bounds",
     "q290_ece_calibration",
     "q291_containment_direction",
+    "q292_cms_drift_bound",
+    "q293_rate_cusum_monitor",
     # q202/q203 recall-eval reports (and their q205/q206 sampled
     # forms) are NOT benched: their exact-truth sides are
     # deliberately quadratic measurement passes (the same reason

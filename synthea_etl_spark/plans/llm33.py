@@ -1369,6 +1369,333 @@ FROM scored GROUP BY panel
 """
 
 
+# ---------------------------------------------------------------------------
+# q292 CMS epoch-drift PROVEN lower bound
+# ---------------------------------------------------------------------------
+
+def q292_cms_drift_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift alarm from two Count-Min generations,
+    store-sized: for epochs A/B (doc parity), each sketch row's
+    cell-difference mass sum_b |cellA - cellB| is a PROVEN LOWER
+    bound of the true L1 term-frequency shift (triangle inequality:
+    cells are sums of per-term differences), so max over the D rows
+    is a certified "shift is at least X" alarm that never reads the
+    corpus — the sandwich family's drift monitor (q224/q267 class,
+    now with a proof instead of a point estimate). The gate verifies
+    bound <= exact L1 in-result and reports the slack.
+
+    100 TB shape: the serving path touches 2·D·W store rows total;
+    the exact side is the gate-scale truth twin. Epoch slices are
+    the store's own batch slices — no re-ingest, the monitor reads
+    what the stream already maintains."""
+    import shutil
+    import tempfile
+
+    import synthea_etl_spark.operators.text as T
+    from synthea_etl_spark.operators.dedup import (
+        CMS_D,
+        cms_slice_from_counts,
+        publish_counting_slice,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    tcb = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .select(
+            (F.col("doc_id") % 2).alias("bt"),
+            F.explode(T.tokens("text")).alias("t"),
+        )
+        .groupBy("bt", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    store = tempfile.mkdtemp(prefix="q292_cms_")
+    try:
+        for b in (0, 1):
+            publish_counting_slice(
+                cms_slice_from_counts(
+                    tcb.filter(F.col("bt") == b).select("t", "c")
+                ),
+                store,
+                f"batch{b}",
+            )
+        cells = (
+            spark.read.parquet(store)
+            .select(
+                "d",
+                "b",
+                F.when(F.col("slice_id") == "batch0", F.col("c"))
+                .otherwise(0).alias("ca"),
+                F.when(F.col("slice_id") == "batch1", F.col("c"))
+                .otherwise(0).alias("cb"),
+            )
+            .groupBy("d", "b")
+            .agg(
+                F.sum("ca").cast("long").alias("ca"),
+                F.sum("cb").cast("long").alias("cb"),
+            )
+        )
+        per_row = cells.groupBy("d").agg(
+            F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long")
+            .alias("l1_row"),
+            F.sum("ca").cast("long").alias("n_a"),
+            F.sum("cb").cast("long").alias("n_b"),
+        )
+        exact = (
+            tcb.groupBy("t")
+            .agg(
+                F.sum(F.when(F.col("bt") == 0, F.col("c")).otherwise(0))
+                .alias("ca"),
+                F.sum(F.when(F.col("bt") == 1, F.col("c")).otherwise(0))
+                .alias("cb"),
+            )
+            .agg(
+                F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("long")
+                .alias("exact_l1")
+            )
+        )
+        out = (
+            per_row.groupBy()
+            .agg(
+                F.max("n_a").cast("long").alias("n_a"),
+                F.max("n_b").cast("long").alias("n_b"),
+                F.max("l1_row").cast("long").alias("l1_lower"),
+                F.min("l1_row").cast("long").alias("l1_row_min"),
+                F.count("*").cast("int").alias("n_rows"),
+            )
+            .crossJoin(F.broadcast(exact))
+            .select(
+                "n_a",
+                "n_b",
+                "n_rows",
+                "l1_row_min",
+                "l1_lower",
+                "exact_l1",
+                (F.col("l1_lower") <= F.col("exact_l1")).alias("bound_ok"),
+                F.expr("l1_lower * 1000 div greatest(1, n_a + n_b)")
+                .cast("long").alias("shift_permille_lower"),
+                F.expr(
+                    "(exact_l1 - l1_lower) * 1000"
+                    " div greatest(1, exact_l1)"
+                ).cast("long").alias("slack_permille"),
+            )
+        )
+        assert CMS_D >= 1
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _oracle_q292() -> str:
+    from synthea_etl_spark.operators.dedup import CMS_D, CMS_W
+
+    idx = ", ".join(str(i) for i in range(CMS_D))
+    return f"""
+WITH tokb AS (
+  SELECT doc_id % 2 AS bt,
+         UNNEST(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+tcb AS (
+  SELECT bt, t, CAST(COUNT(*) AS BIGINT) AS c FROM tokb GROUP BY bt, t
+),
+cells AS (
+  SELECT i AS d,
+         CAST(concat('0x', substr(md5(t || ':cms' || CAST(i AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % {CMS_W} AS b,
+         CAST(SUM(CASE WHEN bt = 0 THEN c ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN bt = 1 THEN c ELSE 0 END) AS BIGINT) AS cb
+  FROM tcb CROSS JOIN (SELECT UNNEST([{idx}]) AS i) u
+  GROUP BY d, b
+),
+per_row AS (
+  SELECT d, CAST(SUM(ABS(ca - cb)) AS BIGINT) AS l1_row,
+         CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+  FROM cells GROUP BY d
+),
+exact AS (
+  SELECT CAST(SUM(ABS(ca - cb)) AS BIGINT) AS exact_l1
+  FROM (
+    SELECT t,
+           SUM(CASE WHEN bt = 0 THEN c ELSE 0 END) AS ca,
+           SUM(CASE WHEN bt = 1 THEN c ELSE 0 END) AS cb
+    FROM tcb GROUP BY t
+  )
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS INTEGER) AS n_rows,
+       CAST(MIN(l1_row) AS BIGINT) AS l1_row_min,
+       CAST(MAX(l1_row) AS BIGINT) AS l1_lower,
+       CAST(MAX(e.exact_l1) AS BIGINT) AS exact_l1,
+       MAX(l1_row) <= MAX(e.exact_l1) AS bound_ok,
+       CAST(MAX(l1_row) * 1000
+            // GREATEST(1, MAX(n_a) + MAX(n_b)) AS BIGINT)
+         AS shift_permille_lower,
+       CAST((MAX(e.exact_l1) - MAX(l1_row)) * 1000
+            // GREATEST(1, MAX(e.exact_l1)) AS BIGINT)
+         AS slack_permille
+FROM per_row CROSS JOIN exact e
+"""
+
+
+# ---------------------------------------------------------------------------
+# q293 CUSUM change-point monitor over event rates
+# ---------------------------------------------------------------------------
+
+_Q293_SLACK_PERMILLE = 100   # k = mean * 1.1 (10% allowance)
+_Q293_H_MEAN_HOURS = 5       # alarm at 5 mean-hours of excess
+
+
+def q293_rate_cusum_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sided CUSUM change-point monitor over hourly event rates,
+    per event type (Page 1954) — the drift alarm an ingest pipeline
+    runs on its own telemetry. The recursive S_t = max(0, S_{t-1} +
+    x_t - k) is computed WITHOUT a recursive loop via the prefix-sum
+    identity S_t = P_t - min_{i<=t} P_i (P = running sum of x - k),
+    so both engines evaluate it as two window functions over the
+    hour spine; gap hours count as zero via an explicit generated
+    spine (a missing hour IS a rate observation). Integer micro
+    arithmetic; alarms at S_t > 5 mean-hours.
+
+    100 TB shape: the corpus collapses to a (type, hour) aggregate
+    (one shuffle); the spine, prefix sums, and running minima run on
+    the hours-per-type frame (720 rows/type here) — bounded by the
+    monitoring window, never by event volume."""
+    from synthea_etl_spark.plans.common import load_events
+
+    ev = load_events(spark, sf_dir)
+    hours = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+    )
+    counts = hours.groupBy("event_type", "h").agg(
+        F.count("*").cast("long").alias("x")
+    )
+    bounds = hours.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    grid = spine.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    means = grid.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.expr(f"sum(x) * cast({MICRO} as bigint) div count(*)")
+        .cast("long").alias("mean_micro"),
+    )
+    k_expr = (
+        F.col("mean_micro")
+        + F.expr(
+            f"mean_micro * {_Q293_SLACK_PERMILLE} div 1000"
+        )
+    ).alias("k_micro")
+    w = Window.partitionBy("event_type").orderBy("h")
+    scored = (
+        grid.join(F.broadcast(means.select("event_type", k_expr,
+                                           "mean_micro", "n_hours")),
+                  "event_type")
+        .select(
+            "event_type",
+            "h",
+            "mean_micro",
+            "n_hours",
+            (F.col("x") * MICRO - F.col("k_micro")).alias("dx"),
+        )
+        .select(
+            "*",
+            F.sum("dx").over(w).alias("p"),
+        )
+        .select(
+            "*",
+            (F.col("p") - F.least(F.min("p").over(w), F.lit(0)))
+            .alias("s"),
+        )
+    )
+    h_thresh = F.col("mean_micro") * _Q293_H_MEAN_HOURS
+    return scored.groupBy("event_type").agg(
+        F.max("n_hours").cast("long").alias("n_hours"),
+        F.max("mean_micro").cast("long").alias("mean_rate_micro"),
+        F.max("s").cast("long").alias("max_excursion_micro"),
+        F.sum((F.col("s") > h_thresh).cast("long")).cast("long")
+        .alias("n_alarm_hours"),
+        F.coalesce(
+            F.min(F.when(F.col("s") > h_thresh, F.col("h"))),
+            F.lit(-1),
+        ).cast("long").alias("first_alarm_hour"),
+        F.max((F.col("s") > h_thresh).cast("long") == 1).alias("drifted"),
+    )
+
+
+ORACLE_Q293 = f"""
+WITH hours AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h
+  FROM events
+),
+counts AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS x
+  FROM hours GROUP BY event_type, h
+),
+bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hours),
+spine AS (
+  SELECT et.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM counts) et
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT UNNEST(generate_series(h0, h1)) AS h
+  ) g
+),
+grid AS (
+  SELECT s.event_type, s.h, COALESCE(c.x, 0) AS x
+  FROM spine s LEFT JOIN counts c USING (event_type, h)
+),
+means AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(x) * CAST({MICRO} AS BIGINT) // COUNT(*) AS BIGINT)
+           AS mean_micro
+  FROM grid GROUP BY event_type
+),
+scored AS (
+  SELECT g.event_type, g.h, m.mean_micro, m.n_hours,
+         SUM(g.x * {MICRO} - (m.mean_micro
+             + m.mean_micro * {_Q293_SLACK_PERMILLE} // 1000))
+           OVER (PARTITION BY g.event_type ORDER BY g.h) AS p
+  FROM grid g JOIN means m USING (event_type)
+),
+cusum AS (
+  SELECT *,
+         p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY h), 0)
+           AS s
+  FROM scored
+)
+SELECT event_type,
+       CAST(MAX(n_hours) AS BIGINT) AS n_hours,
+       CAST(MAX(mean_micro) AS BIGINT) AS mean_rate_micro,
+       CAST(MAX(s) AS BIGINT) AS max_excursion_micro,
+       CAST(SUM(CASE WHEN s > mean_micro * {_Q293_H_MEAN_HOURS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_hours,
+       CAST(COALESCE(MIN(CASE WHEN s > mean_micro * {_Q293_H_MEAN_HOURS}
+                              THEN h END), -1) AS BIGINT)
+         AS first_alarm_hour,
+       MAX(CASE WHEN s > mean_micro * {_Q293_H_MEAN_HOURS}
+                THEN 1 ELSE 0 END) = 1 AS drifted
+FROM cusum GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q284_quality_auc": QuerySpec(
         q284_quality_auc,
@@ -1425,5 +1752,19 @@ QUERIES: dict[str, QuerySpec] = {
         "asymmetric shingle-containment direction audit over dup-"
         "cluster and background pair panels",
         ("llm", "dedup", "quality"),
+    ),
+    "q292_cms_drift_bound": QuerySpec(
+        q292_cms_drift_bound,
+        _oracle_q292(),
+        "proven L1 term-shift lower bound from two Count-Min"
+        " generations, slack verified vs exact",
+        ("llm", "tokenizer", "streaming"),
+    ),
+    "q293_rate_cusum_monitor": QuerySpec(
+        q293_rate_cusum_monitor,
+        ORACLE_Q293,
+        "CUSUM change-point monitor over hourly event rates via the"
+        " prefix-sum running-min identity",
+        ("streaming", "governance"),
     ),
 }

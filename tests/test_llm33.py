@@ -126,3 +126,69 @@ def test_q291_prefix_panel_proven(spark):
         b.n_a_in_b + b.n_b_in_a + b.n_symmetric + b.n_unrelated
         == b.n_pairs
     )
+
+
+def test_q292_drift_bound_holds(spark):
+    from synthea_etl_spark.plans.llm33 import q292_cms_drift_bound
+
+    r = q292_cms_drift_bound(spark, SF_DIR).collect()[0]
+    assert r.bound_ok
+    assert 0 <= r.l1_row_min <= r.l1_lower <= r.exact_l1
+    assert r.n_rows == 4
+    assert 0 <= r.slack_permille <= 1000
+
+
+def test_q293_cusum_identity_matches_recursion(spark):
+    """The prefix-sum/running-min identity equals the textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k), checked per type by
+    replaying the recursion on the collected hourly grid."""
+    from synthea_etl_spark.plans.common import load_events
+    from synthea_etl_spark.plans.llm33 import (
+        _Q293_H_MEAN_HOURS,
+        _Q293_SLACK_PERMILLE,
+        q293_rate_cusum_monitor,
+    )
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in
+           q293_rate_cusum_monitor(spark, SF_DIR).collect()}
+    ev = load_events(spark, SF_DIR)
+    rows = (
+        ev.select(
+            "event_type",
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("x"))
+        .collect()
+    )
+    h0 = min(r.h for r in rows)
+    h1 = max(r.h for r in rows)
+    by_type: dict[str, dict[int, int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[r.h] = r.x
+    M = 1_000_000
+    for et, counts in by_type.items():
+        n_hours = h1 - h0 + 1
+        total = sum(counts.values())
+        mean = total * M // n_hours
+        k = mean + mean * _Q293_SLACK_PERMILLE // 1000
+        thresh = mean * _Q293_H_MEAN_HOURS
+        s = 0
+        max_s = 0
+        alarms = 0
+        first = -1
+        for h in range(h0, h1 + 1):
+            s = max(0, s + counts.get(h, 0) * M - k)
+            max_s = max(max_s, s)
+            if s > thresh:
+                alarms += 1
+                if first == -1:
+                    first = h
+        g = got[et]
+        assert g.n_hours == n_hours
+        assert g.mean_rate_micro == mean
+        assert g.max_excursion_micro == max_s, et
+        assert g.n_alarm_hours == alarms, et
+        assert g.first_alarm_hour == first, et
+        assert g.drifted == (alarms > 0)
