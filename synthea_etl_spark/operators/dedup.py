@@ -620,9 +620,12 @@ def connected_components(
     components have >15-hop paths, the loop exited at the cap
     unconverged, and q255's in-result cross-split verification
     caught the mislabeled tail (1 leaked pair) — the jump step fixed
-    it (regression: tests/test_llm29.py chain test). Convergence is
-    still checked each round (changed-label probe); each round is
-    two joins + one partial-agg groupBy on node id.
+    it (regression: tests/test_llm29.py chain test). Each round is
+    ONE edge join + one partial-agg groupBy (self-loop edges fold the
+    own-label minimum into the neighbor aggregate) plus the pointer-
+    jump self-join; convergence is checked each round by an exact
+    decimal label sum, which is monotone non-increasing under
+    min-propagation and strictly decreases iff any label changed.
     ``localCheckpoint`` truncates the growing lineage so round N
     doesn't replay rounds 1..N-1.
 
@@ -645,46 +648,62 @@ def connected_components(
     # q269 lesson (780 s -> the pair plan replayed each round; the
     # cut is one small materialization for already-cheap callers)
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
+    # Self-loop edges fold the "min of self and neighbors" relax into
+    # ONE join + ONE aggregate per round (r15 optimization): without
+    # them the relax needs a second left join back to the label frame
+    # just to include each node's own label. |V| extra edge rows buy
+    # one less node-keyed join per iteration, and the initial label
+    # frame (id -> id) is exactly the self-loop slice — no separate
+    # distinct/checkpoint for it. Derived from the already-
+    # checkpointed edges, so the pair source is still evaluated once.
+    edges_sl = edges.unionByName(
+        edges.select("src", F.col("src").alias("dst")).distinct()
+    ).localCheckpoint()
+    labels = edges_sl.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("id"), F.col("src").alias("cluster_id")
     )
+    # Labels only ever DECREASE under min-propagation, so "some label
+    # changed" ⟺ "sum of labels decreased": an exact decimal sum is
+    # the convergence probe (no _changed column, no old-label
+    # plumbing), and running it as the action that materializes the
+    # LAZY localCheckpoint makes each round exactly ONE job — the
+    # probe scan doubles as the checkpoint write. decimal(38,0) is
+    # exact far past any realistic sum of 64-bit ids. prev_sum=None
+    # skips a separate initial-sum job: round 1 of a non-empty graph
+    # always changes some label, and the empty/degenerate graph just
+    # pays one extra cheap round.
+    _lsum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = None
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges.dst == labels.id)
+        relaxed = (
+            edges_sl.join(labels, edges_sl.dst == labels.id)
             .groupBy("src")
-            .agg(F.min("cluster_id").alias("neigh_min"))
-        )
-        relaxed = labels.join(neigh, labels.id == neigh.src, "left").select(
-            "id",
-            F.col("cluster_id").alias("_old"),
-            F.least(
-                F.col("cluster_id"), F.coalesce("neigh_min", F.col("cluster_id"))
-            ).alias("cluster_id"),
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .withColumnRenamed("src", "id")
         )
         # pointer jump: label := min(label, label(label)) — halves
         # label-chain depth, making convergence O(log diameter)
         ptr = relaxed.select(
             F.col("id").alias("_pid"), F.col("cluster_id").alias("_plab")
         )
-        jumped = F.least(
-            F.col("cluster_id"), F.coalesce("_plab", F.col("cluster_id"))
-        )
         updated = (
             relaxed.join(ptr, relaxed.cluster_id == ptr._pid, "left")
             .select(
                 "id",
-                jumped.alias("cluster_id"),
-                (jumped < F.col("_old")).alias("_changed"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("_plab", F.col("cluster_id")),
+                ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        no_change = updated.filter(F.col("_changed")).limit(1).isEmpty()
-        labels = updated.drop("_changed")
-        if no_change:
+        cur_sum = updated.agg(_lsum).first()[0]
+        labels = updated
+        # cur_sum is None ⟺ zero nodes (SUM over empty): converged
+        # trivially — the empty label frame is the correct answer.
+        if cur_sum is None or cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} "
@@ -892,6 +911,12 @@ def corpus_sketch_store(
     (
         corpus_bottomk_sketch(docs, text_col, k)
         .withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
@@ -1023,6 +1048,12 @@ def line_frequency_store(
     (
         line_frequency_slice(docs, line_window, text_col, id_col)
         .withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
@@ -1272,7 +1303,13 @@ def compact_batch_partitions(
         (col == -(wm + 2)) | ((col > wm) & (col >= 0) & (col <= upto_batch))
     ).withColumn(partition_col, F.lit(new_part))
     (
-        folded.write.mode("overwrite")
+        folded.hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(store_path)
@@ -1442,7 +1479,13 @@ def compact_agg_slices(
         merged = merged.filter(alive)
     merged = merged.withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
     (
-        merged.write.mode("overwrite")
+        merged.hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
         .parquet(store_path)
@@ -1626,7 +1669,13 @@ def purge_batch_store(
         .withColumn(partition_col, F.lit(new_part))
     )
     (
-        folded.write.mode("overwrite")
+        folded.hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(store_path)
@@ -1751,6 +1800,12 @@ def token_stats_store(
     (
         token_stats_slice(docs, ref_pred, text_col)
         .withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
@@ -1898,6 +1953,12 @@ def prompt_key_store(
     (
         prompt_key_slice(docs, prompt_tokens, text_col, id_col)
         .withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
@@ -1967,6 +2028,12 @@ def prompt_key_pairs_store(
     (
         prompt_key_pairs_slice(docs, prompt_tokens, text_col, id_col)
         .withColumn("batch_id", F.lit(batch_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -2050,7 +2117,13 @@ def purge_agg_store(
         )
     merged = merged.withColumn("slice_id", F.lit(f"compacted{upto_batch}"))
     (
-        merged.write.mode("overwrite")
+        merged.hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
         .parquet(store_path)
@@ -2132,6 +2205,12 @@ def length_hist_store(
     (
         length_hist_slice(docs, text_col)
         .withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")
@@ -2282,6 +2361,12 @@ def publish_counting_slice(
         )
     (
         slice_df.withColumn("slice_id", F.lit(slice_id))
+        .hint("rebalance")  # size output files adaptively (guide §6):
+        # without it every upstream task writes a sliver into every
+        # partition dir (tasks × partitions tiny files; the store's
+        # read path then pays listing + footer per sliver). Keyless
+        # REBALANCE targets the AQE advisory size — one file per
+        # slice locally, split-by-size at scale.
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("slice_id")

@@ -581,6 +581,13 @@ def ivf_index_rollover(
     rolled = store.select(
         assign(F.col(vec_col)).alias("cluster"), *keep_cols
     )
+    if "batch_id" in store.columns:
+        # AQE rebalance by the partition column before the
+        # partitioned republish (guide §6): otherwise every
+        # re-assign task writes a sliver into every batch_id dir
+        # (tasks × batches tiny files). REBALANCE sizes output
+        # partitions adaptively, so a hot batch still splits.
+        rolled = rolled.hint("rebalance", "batch_id")
     write_swap(
         rolled,
         index_path,
@@ -617,6 +624,10 @@ def ivf_publish_versioned(
     pby = (
         {"index": ["batch_id"]} if "batch_id" in index.columns else None
     )
+    if pby:
+        # AQE rebalance before the partitioned publish (guide §6) —
+        # same file-sizing discipline as ivf_index_rollover.
+        index = index.hint("rebalance", "batch_id")
     return write_versioned_parts(
         {"index": index, "centroids": _centroids_df(spark, centroids)},
         root,

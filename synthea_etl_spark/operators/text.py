@@ -152,12 +152,10 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     return {
         "n_chars": F.length(c).cast("long"),
         "n_tokens": n_tok.cast("long"),
-        "avg_token_len": (
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-            ).cast("double")
-            / nn
-        ),
+        # codegen single-pass summed token length (r15, guide §4.1 —
+        # proven equivalent to the interpreted aggregate-of-lengths
+        # lambda in tests/test_text_expr_equiv.py)
+        "avg_token_len": (nonws_char_count(c).cast("double") / nn),
         "stopword_ratio": n_stop.cast("double") / nn,
         "punct_ratio": n_punct.cast("double")
         / F.greatest(F.length(c), F.lit(1)).cast("double"),
@@ -552,29 +550,86 @@ def gopher_repetition_covs(
     )
 
 
+def nonws_char_count(col: Column | str) -> Column:
+    """Sum of whitespace-token lengths as ONE codegen regexp pass:
+    the tokens are the non-\\s runs of the trimmed text, so their
+    total length is the trimmed text minus its \\s characters.
+    Exactly ``aggregate(tokens(c), 0, acc + length(t))`` — proven
+    equivalent in tests/test_text_expr_equiv.py — without the
+    interpreted higher-order lambda (HOFs are CodegenFallback in
+    Spark; r15 optimization, guide §4.1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("long")
+
+
+def alpha_token_count(col: Column | str) -> Column:
+    """Count of whitespace tokens containing an ASCII lowercase
+    letter, as ONE codegen regexp pass. With a sentinel space
+    prepended, each token with a letter yields exactly one
+    non-overlapping match of ``\\s\\S*[a-z]`` (the match consumes the
+    separator plus the token prefix through its last letter; the
+    token's remaining chars cannot start a match without a new
+    separator). Equivalent to
+    ``size(filter(tokens(c), t -> t rlike '[a-z]'))`` —
+    tests/test_text_expr_equiv.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.trim(c)), F.lit(r"\s\S*[a-z]")
+    ).cast("long")
+
+
+def stopword_token_count(col: Column | str) -> Column:
+    """Count of whitespace tokens that ARE one of STOPWORDS_EN
+    (exact, case-sensitive token equality — not the \\b substring
+    rule of quality_features), as ONE codegen regexp pass: with
+    sentinel spaces on both ends a token equals a stopword iff
+    ``\\s(alt)(?=\\s)`` matches at its separator (the lookahead
+    leaves the trailing separator for the next token's match, so
+    adjacent stopwords all count). Equivalent to
+    ``size(filter(tokens(c), t -> array_contains(stops, t)))`` —
+    tests/test_text_expr_equiv.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    alt = "|".join(STOPWORDS_EN)
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.trim(c), F.lit(" ")),
+        F.lit(rf"\s({alt})(?=\s)"),
+    ).cast("long")
+
+
 def gopher_quality_ok(col: Column | str) -> Column:
     """Composite boolean for the non-repetition Gopher document
     bounds (Rae et al. 2021 table A1) — the q188 rule set as one
     reusable zero-shuffle expression: word count in [50, 100000],
     mean word length in [3, 10], >= 80% of words containing an
     alphabetic character, >= 2 stop-word hits. Exact integer
-    micro-unit arithmetic, identical to the q188 gate columns."""
-    toks = tokens(col)
-    n = F.size(toks)
-    nn = F.greatest(n, F.lit(1)).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    micro-unit arithmetic, identical to the q188 gate columns.
+
+    r15 optimization (guide §4.1): the per-token sums previously ran
+    as interpreted higher-order array lambdas (``F.aggregate`` / two
+    ``F.filter`` — CodegenFallback, evaluated per element); they are
+    now single-pass codegen regexp counts, proven equivalent row for
+    row (tests/test_text_expr_equiv.py; measured ~20% off the
+    whole-scan wall at sf0.1, more on long documents)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    # same token count as tokens(): split of the trimmed text, with
+    # the empty-text -> 0 special case tokens() encodes
+    n = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
     )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
-    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    nn = F.greatest(n, F.lit(1).cast("long"))
+    sum_len = nonws_char_count(c)
+    n_alpha = alpha_token_count(c)
+    n_stop = stopword_token_count(c)
     # product comparisons == q188's micro-div bounds on the region
     # where the word-count bound holds (exact integers, no division)
     return (
-        (n.cast("long") >= 50)
-        & (n.cast("long") <= 100_000)
+        (n >= 50)
+        & (n <= 100_000)
         & (sum_len >= 3 * nn)
         & (sum_len <= 10 * nn)
         & (n_alpha * 5 >= nn * 4)
-        & (n_stop.cast("long") >= 2)
+        & (n_stop >= 2)
     )

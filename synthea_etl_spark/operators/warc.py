@@ -44,7 +44,11 @@ def encode_warc_gz(records: list[dict]) -> bytes:
             f"{k}: {v}\r\n" for k, v in headers
         ) + "\r\n"
         member = head.encode("utf-8") + payload + b"\r\n\r\n"
-        co = zlib.compressobj(6, zlib.DEFLATED, 31)  # gzip framing
+        # level 1: the encoder exists to frame spec-valid members for
+        # gates/tests — nothing reads the compressed SIZE, and level 1
+        # deflates ~3x faster than the old 6 (r15 optimization; the
+        # decoder is level-agnostic)
+        co = zlib.compressobj(1, zlib.DEFLATED, 31)  # gzip framing
         out += co.compress(member) + co.flush()
     return bytes(out)
 

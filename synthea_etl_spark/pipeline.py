@@ -318,7 +318,8 @@ def near_dedup_ingest_stream(
         # own partition — idempotent publication, no dup appends
         for df, path in ((survivors, corpus_dir), (surviving_bands, index_dir)):
             (
-                df.write.mode("overwrite")
+                df.hint("rebalance")  # output-file sizing, guide §6
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(path)
@@ -396,6 +397,7 @@ def retrieval_index_ingest_stream(
         (
             inverted_index(batch_df)
             .withColumn("batch_id", F.lit(batch_id))
+            .hint("rebalance")  # output-file sizing, guide §6
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -465,6 +467,7 @@ def ann_index_ingest_stream(
         (
             ivf_index(batch_df, centroids, id_col=id_col, vec_col=vec_col)
             .withColumn("batch_id", F.lit(batch_id))
+            .hint("rebalance")  # output-file sizing, guide §6
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -653,7 +656,8 @@ def curation_ingest_stream(
         # the replay indistinguishable from a clean retry
         for df, path in ((admitted, admitted_dir), (verdicts, verdicts_dir)):
             (
-                df.write.mode("overwrite")
+                df.hint("rebalance")  # output-file sizing, guide §6
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("batch_id")
                 .parquet(path)

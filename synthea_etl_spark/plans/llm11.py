@@ -63,10 +63,10 @@ def q200_token_budget_curriculum(
     toks = T.tokens("text")
     n = F.size(toks).cast("long")
     nn = F.greatest(n, F.lit(1))
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(
-        F.filter(toks, lambda t: F.array_contains(stops, t))
-    ).cast("long")
+    # codegen single-pass stopword count (r15, guide §4.1 — the
+    # proven-equivalent regexp form of the interpreted array filter,
+    # tests/test_text_expr_equiv.py)
+    n_stop = T.stopword_token_count("text")
     scored = d.select(
         "doc_id",
         n.alias("n_tokens"),

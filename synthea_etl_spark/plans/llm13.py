@@ -72,6 +72,15 @@ def q204_ivf_rollover_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             S.ivf_index(e, c1)
             .withColumn("batch_id", (F.col("neighbor_id") % 2).cast("int"))
+            # AQE rebalance by the partition column before the
+            # partitioned write (guide §6): without it every scan
+            # task writes a sliver into every batch_id dir (32 tasks
+            # × 2 partitions = 64 tiny files here; task-commit and
+            # footer overhead dominate). REBALANCE targets the
+            # advisory partition size, so it stays skew-safe at
+            # scale where plain repartition("batch_id") would
+            # serialize into one task per batch.
+            .hint("rebalance", "batch_id")
             .write.partitionBy("batch_id")
             .parquet(index_path)
         )

@@ -318,7 +318,16 @@ def q214_split_leakage_audit(
     report is one aggregate on the eval doc id plus a right join
     back to the eval side (so clean eval docs report 0)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    splits = docs.select("doc_id", split_expr("text").alias("split"))
+    # localCheckpoint (r15 optimization, guide §1.2/§2.3): `splits`
+    # feeds THREE join sides below (sa, sb, eval_docs) and each is a
+    # separate plan subtree, so the documents scan + split_expr md5
+    # ran three extra times (4 corpus text scans total, read in the
+    # captured before-plan). The narrow (doc_id, split) proxy is
+    # materialized once; the only remaining corpus text scan is the
+    # MinHash banding pass.
+    splits = docs.select(
+        "doc_id", split_expr("text").alias("split")
+    ).localCheckpoint()
     sig = D.minhash_signature(docs, "text", "doc_id", 32, 3)
     pairs = D.lsh_candidates(sig, "doc_id", 32, 8)
     sa = splits.select(
@@ -544,34 +553,39 @@ def q216_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything else is UNCHANGED. In production the key is the
     canonical URL (q210) and the fingerprint the q30 content hash.
 
-    100 TB shape: both sides are zero-shuffle projections of the
-    same scan; the diff is ONE full-outer equi-join on the resource
-    key. Fingerprints compare as 16-byte strings — content never
-    moves, only (key, fp)."""
+    100 TB shape: ZERO shuffles. Both synthetic snapshots derive
+    from the same scan and membership is a pure key predicate, so
+    the full-outer diff collapses to one projection per row (r15
+    optimization, guide §2.4: the first cut self-joined two
+    projections of the same scan full-outer on doc_id — two corpus
+    scans plus a corpus-wide exchange for a row-local decision; the
+    rewrite is proven row-for-row: every doc appears in at least one
+    side, 'new'/'deleted' are the membership predicates, and the
+    fingerprint comparison only fires when both sides exist). With a
+    REAL previous snapshot (a second table) the full-outer equi-join
+    on the resource key comes back — that shape is certified by the
+    store-diff queries (q178/q193)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", snapshot_status_expr().alias("status"))
+
+
+def snapshot_status_expr() -> F.Column:
+    """q216's per-row churn verdict as a reusable zero-shuffle
+    expression over (doc_id, text) — shared with q219 so the
+    recrawl schedule can fuse the churn aggregate into its own
+    corpus scan without drifting from the gated q216 definition."""
     fp = T.fingerprint("text")
-    prev = (
-        docs.filter(F.col("doc_id") % 7 != 1)
-        .select(
-            "doc_id",
-            F.when(
-                (F.col("doc_id") % 7).isin(2, 3),
-                T.fingerprint(F.concat(F.col("text"), F.lit(" rev0marker"))),
-            )
-            .otherwise(fp)
-            .alias("prev_fp"),
-        )
-    )
-    cur = docs.filter(F.col("doc_id") % 7 != 5).select(
-        "doc_id", fp.alias("cur_fp")
-    )
-    return prev.join(cur, "doc_id", "full_outer").select(
-        "doc_id",
-        F.when(F.col("prev_fp").isNull(), F.lit("new"))
-        .when(F.col("cur_fp").isNull(), F.lit("deleted"))
-        .when(F.col("prev_fp") != F.col("cur_fp"), F.lit("changed"))
+    in_prev = F.col("doc_id") % 7 != 1
+    in_cur = F.col("doc_id") % 7 != 5
+    prev_fp = F.when(
+        (F.col("doc_id") % 7).isin(2, 3),
+        T.fingerprint(F.concat(F.col("text"), F.lit(" rev0marker"))),
+    ).otherwise(fp)
+    return (
+        F.when(~in_prev, F.lit("new"))
+        .when(~in_cur, F.lit("deleted"))
+        .when(prev_fp != fp, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
-        .alias("status"),
     )
 
 

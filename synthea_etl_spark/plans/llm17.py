@@ -34,8 +34,6 @@ import synthea_etl_spark.operators.text as T
 from synthea_etl_spark.plans.common import QuerySpec, load
 from synthea_etl_spark.plans.llm16 import (
     _oracle_q215,
-    q215_host_reputation,
-    q216_snapshot_churn,
     ORACLE_Q216,
 )
 
@@ -152,53 +150,61 @@ def q219_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 10% changed at double. Exact integer day arithmetic; the
     churn join keys on the same doc_id -> host mapping as q215.
 
-    100 TB shape: two already-aggregated host-sized frames joined
-    on host (broadcast-sized at any real host cardinality ~1e6),
-    plus ONE doc-sized aggregate for the churn shares — no new
-    corpus-scale exchange beyond what q215/q216 already do."""
-    tiers = q215_host_reputation(spark, sf_dir).select("host", "crawl_tier")
-    churn = q216_snapshot_churn(spark, sf_dir).select(
-        "doc_id", "status"
+    100 TB shape: ONE corpus scan, ONE map-side-combined host
+    aggregate, zero joins (r15 optimization, guide §2.4/§1.2: the
+    first cut ran q215 and q216 as separate subtrees — two full
+    corpus scans, each paying its own expression pass — then joined
+    two host-sized frames; but both legs aggregate BY THE SAME HOST
+    KEY, so the tier inputs and the churn counters fold into one
+    aggregate over one scan. Proven equivalent: q215's host —
+    lower(parse_url(HOST)) of the synthetic URL — equals the direct
+    'siteN.com' synthesis for every doc_id, every host occurs in
+    both legs, so the inner join was a bijection on host; tier and
+    churn-share arithmetic are unchanged on the same exact
+    integers)."""
+    from synthea_etl_spark.plans.llm16 import snapshot_status_expr
+    from synthea_etl_spark.plans.llm15 import canonical_url, _synth_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = docs.select(
+        F.lower(F.parse_url(_synth_url(), F.lit("HOST"))).alias("host"),
+        canonical_url(_synth_url()).alias("curl"),
+        T.gopher_quality_ok("text").alias("_ok"),
+        (snapshot_status_expr() == "changed").alias("_chg"),
     )
-    host = F.concat(
-        F.lit("site"),
-        (F.expr("doc_id div 4") % 40).cast("string"),
-        F.lit(".com"),
+    agg = per_doc.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("curl").cast("long").alias("n_resources"),
+        F.sum(F.col("_ok").cast("long")).cast("long").alias("n_quality"),
+        F.sum(F.col("_chg").cast("long")).cast("long").alias("n_changed"),
     )
-    churn_host = (
-        churn.select(host.alias("host"), "status")
-        .groupBy("host")
-        .agg(
-            F.count("*").cast("long").alias("n_resources"),
-            F.sum((F.col("status") == "changed").cast("long"))
-            .cast("long")
-            .alias("n_changed"),
-        )
-        .select(
-            "host",
-            "n_resources",
-            F.expr(f"n_changed * {MICRO} div n_resources")
-            .cast("long")
-            .alias("changed_share_micro"),
-        )
+    dup_rate = F.expr(f"(n_docs - n_resources) * {MICRO} div n_docs").cast(
+        "long"
+    )
+    q_share = F.expr(f"n_quality * {MICRO} div n_docs").cast("long")
+    tier = (
+        F.when((q_share >= 600_000) & (dup_rate <= 900_000), F.lit("high"))
+        .when(q_share >= 400_000, F.lit("medium"))
+        .otherwise(F.lit("low"))
     )
     base = (
-        F.when(F.col("crawl_tier") == "high", F.lit(1))
-        .when(F.col("crawl_tier") == "medium", F.lit(7))
+        F.when(tier == "high", F.lit(1))
+        .when(tier == "medium", F.lit(7))
         .otherwise(F.lit(30))
     )
+    changed_share = F.expr(f"n_changed * {MICRO} div n_docs").cast("long")
     adj = (
         F.when(
-            F.col("changed_share_micro") >= 300_000,
+            changed_share >= 300_000,
             F.greatest(F.lit(1), (base / 2).cast("int")),
         )
-        .when(F.col("changed_share_micro") < 100_000, base * 2)
+        .when(changed_share < 100_000, base * 2)
         .otherwise(base)
     )
-    return tiers.join(churn_host, "host").select(
+    return agg.select(
         "host",
-        "crawl_tier",
-        "changed_share_micro",
+        tier.alias("crawl_tier"),
+        changed_share.alias("changed_share_micro"),
         adj.cast("int").alias("crawl_interval_days"),
     )
 
@@ -275,12 +281,20 @@ def q220_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_bigram_nll(
+    spark: SparkSession, sf_dir: str, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """q220's per-bigram scored stream — (doc_id, nll_micro), one
     row per bigram occurrence, NLL pre-quantized in the vocab-sized
     dims — factored out so the source-level consumers (q229 mixture
     reweighting) reuse the identical LM and quantization instead of
-    drifting from the gated q220 definition."""
+    drifting from the gated q220 definition.
+
+    ``carry_cols``: extra ``documents`` columns carried through the
+    explode onto every scored row (r15 optimization for q229: a few
+    bytes per compact doc row through the one doc_id exchange buys
+    back a corpus-sized scored⋈documents join downstream — guide
+    §2.3/§2.4)."""
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
@@ -299,12 +313,18 @@ def _doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in place on the established partitioning, so the shuffle moves
     # ~200 MB of text instead of ~1.6 GB of exploded (doc_id, nll)
     # rows — measured 9.6 s -> 6.0 s at sf10
+    carry = list(carry_cols)
     doc_bi = (
-        d.select("doc_id", toks.alias("_t"))
+        d.select("doc_id", *carry, toks.alias("_t"))
         .filter(F.size("_t") >= 2)
         .repartition("doc_id")
-        .select("doc_id", F.explode(pairs).alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select("doc_id", *carry, F.explode(pairs).alias("p"))
+        .select(
+            "doc_id",
+            *carry,
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+        )
     )
     ref_bi = doc_bi.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
     c2 = ref_bi.groupBy("w1", "w2").agg(
@@ -348,6 +368,7 @@ def _doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(oov_nll))
         .select(
             "doc_id",
+            *carry,
             F.coalesce(
                 F.col("bg_nll"), F.col("w1_nll"), F.col("oov_nll")
             ).alias("nll_micro"),

@@ -56,13 +56,16 @@ def q221_quality_feature_frame(
     slice as positives). Every feature reuses a certified
     expression or plan (q31/q188/q217/q185 shapes).
 
-    100 TB shape: the surface features and verdicts are one
-    zero-shuffle projection; the NLL feature is the q185 plan
-    (vocab aggregate + broadcast nll join + doc aggregate); the two
-    doc-keyed frames join on doc_id. The docs are repartitioned by
-    doc_id up front so the per-doc NLL aggregate AND the final join
-    reuse one partitioning (the q220 lesson) — total: the vocab
-    shuffle, the doc_id repartition, nothing else corpus-sized."""
+    100 TB shape: the text-level verdicts are one zero-shuffle
+    projection; the token-grain surface stats aggregate over the
+    SAME exploded pass the NLL feature uses (codegen sums, not
+    interpreted array lambdas — see inline note); the NLL feature
+    is the q185 plan (vocab aggregate + broadcast nll join + doc
+    aggregate); the doc-keyed frames join on doc_id. The docs are
+    repartitioned by doc_id up front so the per-doc aggregates AND
+    the final joins reuse one partitioning (the q220 lesson) —
+    total: the vocab shuffle, the doc_id repartition, nothing else
+    corpus-sized."""
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -70,49 +73,39 @@ def q221_quality_feature_frame(
         .repartition("doc_id")
     )
     toks = T.tokens("text")
-    n = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast(
-        "long"
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
 
     # the SAME guarded-alternation helper q217 scores with — shared
     # so the feature and the verdict can never drift apart
     block_score = (
         blocklist_wb_count(_BLOCK_SEVERE) * 4 + blocklist_wb_count(_BLOCK_MILD)
     ).cast("long")
-    scalars = (
-        d.select(
-            "doc_id",
-            "text",
-            n.alias("_n"),
-            sum_len.alias("_sum_len"),
-            n_alpha.alias("_n_alpha"),
-            n_stop.alias("_n_stop"),
-        )
-        .select(
-            "doc_id",
-            F.col("_n").alias("n_tokens"),
-            F.expr(f"_sum_len * {MICRO} div greatest(_n, 1)")
-            .cast("long")
-            .alias("mean_word_len_micro"),
-            F.expr(f"_n_alpha * {MICRO} div greatest(_n, 1)")
-            .cast("long")
-            .alias("alpha_share_micro"),
-            F.col("_n_stop").alias("stopword_hits"),
-            T.gopher_quality_ok("text").alias("gopher_ok"),
-            block_score.alias("block_score"),
-            F.when(F.col("doc_id") % _REF_MOD < _REF_LT, F.lit("ref"))
-            .otherwise(F.lit("crawl"))
-            .alias("label"),
-        )
+    textual = d.select(
+        "doc_id",
+        T.gopher_quality_ok("text").alias("gopher_ok"),
+        block_score.alias("block_score"),
+        F.when(F.col("doc_id") % _REF_MOD < _REF_LT, F.lit("ref"))
+        .otherwise(F.lit("crawl"))
+        .alias("label"),
+    )
+    # token-grain surface stats ride the SAME exploded pass the NLL
+    # feature needs (r15 optimization): the per-token sums were
+    # previously four interpreted higher-order array lambdas per doc
+    # (F.aggregate / F.filter run outside codegen; the 30-literal
+    # array_contains alone is O(30·n_tok) interpreted ops), and the
+    # exploded twin aggregates codegen-side (isin compiles to an
+    # InSet hash probe) on the doc_id partitioning already paid for.
+    tok = d.select("doc_id", F.explode(toks).alias("t"))
+    tokstats = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.length("t")).cast("long").alias("_sum_len"),
+        F.sum(F.col("t").rlike("[a-z]").cast("long"))
+        .cast("long")
+        .alias("_n_alpha"),
+        F.sum(F.col("t").isin(*T.STOPWORDS_EN).cast("long"))
+        .cast("long")
+        .alias("_n_stop"),
     )
     # unigram NLL (q185's plan riding the doc_id partitioning)
-    tok = d.select("doc_id", F.explode(toks).alias("t"))
     vocab = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("_nn"))
     nll = vocab.crossJoin(F.broadcast(total)).select(
@@ -129,7 +122,25 @@ def q221_quality_feature_frame(
         .groupBy("doc_id")
         .agg(F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"))
     )
-    return scalars.join(doc_nll, "doc_id")
+    return (
+        textual.join(tokstats, "doc_id")
+        .join(doc_nll, "doc_id")
+        .select(
+            "doc_id",
+            F.col("_n").alias("n_tokens"),
+            F.expr(f"_sum_len * {MICRO} div greatest(_n, 1)")
+            .cast("long")
+            .alias("mean_word_len_micro"),
+            F.expr(f"_n_alpha * {MICRO} div greatest(_n, 1)")
+            .cast("long")
+            .alias("alpha_share_micro"),
+            F.col("_n_stop").alias("stopword_hits"),
+            "gopher_ok",
+            "block_score",
+            "label",
+            "nll_micro_mean",
+        )
+    )
 
 
 def _oracle_q221() -> str:
@@ -198,19 +209,42 @@ def q222_token_drift_monitor(
     100 TB shape: one (source, token) aggregate (map-side combined)
     + a broadcast join of the vocab-sized reference distribution +
     one source-sized aggregate. The corpus is read once; everything
-    after the first aggregate is dim-sized."""
+    after the first aggregate is dim-sized.
+
+    r15 optimization (guide §1.2, §2.3): the corpus explode was
+    consumed by FOUR separate plan subtrees (st feeds ns / vstats /
+    terms — duplicated each time — and the ref slice re-ran the
+    explode for rt), so the scan + tokenize pass ran 4x. Now ONE
+    map-side-combined (source, token) aggregate also counts the
+    ref-slice hits (c_rt per source-cell; summing those cells over
+    sources IS the reference count — exact integers), the vocab x
+    sources frame is localCheckpointed once, and every downstream
+    frame (ns, rt, vstats, terms) derives from it. Results are
+    bit-identical: same counts, same smoothing, same quantization."""
     d = load(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0
     )
     tok = d.select(
         "source", "doc_id", F.explode(T.tokens("text")).alias("t")
     )
-    st = tok.groupBy("source", "t").agg(
-        F.count("*").cast("long").alias("c_st")
+    st = (
+        tok.groupBy("source", "t")
+        .agg(
+            F.count("*").cast("long").alias("c_st"),
+            F.sum(
+                (F.col("doc_id") % _REF_MOD < _REF_LT).cast("long")
+            )
+            .cast("long")
+            .alias("_c_ref"),
+        )
+        .localCheckpoint()
     )
     ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
-    ref = tok.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
-    rt = ref.groupBy("t").agg(F.count("*").cast("long").alias("c_rt"))
+    rt = (
+        st.filter(F.col("_c_ref") > 0)
+        .groupBy("t")
+        .agg(F.sum("_c_ref").cast("long").alias("c_rt"))
+    )
     # union vocabulary size + ref total for add-one smoothing
     vstats = (
         st.select("t")
@@ -329,7 +363,15 @@ def q223_site_boilerplate_removal(
     fingerprints LESS skewed than the global rule, since a
     web-wide boilerplate line splits across its hosts), one verdict
     rejoin, one doc aggregate. Returns (doc_id, host, n_lines,
-    n_removed, tokens_removed)."""
+    n_removed, tokens_removed).
+
+    r15 optimization (guide §2.3, §8): the verdict rejoin's two
+    sides both grew from the raw chunk explode, so the scan +
+    chunker + per-line md5 ran TWICE (duplicated join subtrees);
+    the frame both sides actually need is only (host, fp16, doc_id,
+    line_tokens) — the §8 lightweight proxy, line_text dropped —
+    localCheckpointed once. The join itself keeps the q212 shape
+    (skew-safe: no per-key collect)."""
     from synthea_etl_spark.plans.llm16 import _lines
 
     host = F.concat(
@@ -337,7 +379,12 @@ def q223_site_boilerplate_removal(
         (F.expr("doc_id div 4") % 40).cast("string"),
         F.lit(".com"),
     )
-    lines = _lines(spark, sf_dir).withColumn("host", host)
+    lines = (
+        _lines(spark, sf_dir)
+        .withColumn("host", host)
+        .select("host", "fp", "doc_id", "line_tokens")
+        .localCheckpoint()
+    )
     freq = (
         lines.select("host", "fp", "doc_id")
         .distinct()
@@ -533,10 +580,9 @@ def q225_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens("text")
     n = F.size(toks).cast("long")
     nn = F.greatest(n, F.lit(1))
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(
-        F.filter(toks, lambda t: F.array_contains(stops, t))
-    ).cast("long")
+    # codegen single-pass stopword count (r15, guide §4.1 — the
+    # proven-equivalent regexp form of the interpreted array filter)
+    n_stop = T.stopword_token_count("text")
     scored = d.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -547,7 +593,9 @@ def q225_annealing_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.expr(f"(_sm div _nn) div {_Q225_BUCKET}").cast("int").alias("bucket"),
         F.md5(F.concat(F.lit("an"), F.col("doc_id").cast("string"))).alias("_h"),
-    )
+    ).localCheckpoint()  # r15 (guide §1.2): four consumers (budget
+    # total, both _prefix_admit passes, the final join) each re-ran
+    # the tokenize + stopword pass; the narrow frame cuts it to once
     total = scored.agg(F.sum("n_tokens").cast("long").alias("_ttok"))
     b1 = total.select(
         F.expr(f"_ttok * {_P1_NUM} div {_P1_DEN}").alias("_budget")

@@ -148,6 +148,13 @@ def q226_crawl_training_pipeline(
     )
 
     # ---- stage 1: line curation (q212 boilerplate + q213 C4) ------
+    # localCheckpoint (r15 optimization, guide §1.2): the
+    # boilerplate-frequency join below consumes `lines` on BOTH
+    # sides (freq build + probe), and a join's sides are duplicated
+    # subtrees — without the cut the WARC encode/decode + HTML
+    # extraction (the only Python leg) ran TWICE per document. The
+    # round-12 cuts on `cur`/`surv` bounded the downstream fan-out
+    # but not this in-stage duplication.
     lines = T.chunk_by_tokens(
         pages, window=_LINE_W, overlap=0
     ).select(
@@ -156,7 +163,7 @@ def q226_crawl_training_pipeline(
         F.col("chunk_tokens").alias("line_tokens"),
         F.col("chunk_text").alias("line_text"),
         F.md5("chunk_text").alias("fp"),
-    )
+    ).localCheckpoint()
     freq = (
         lines.select("fp", "doc_id")
         .distinct()
@@ -208,10 +215,14 @@ def q226_crawl_training_pipeline(
     # ---- stages 2-4: exact-dup, quality, split (survivors only) ---
     s1 = cur.filter("_line_ok")
     fpw = Window.partitionBy(T.fingerprint("ctext")).orderBy("doc_id")
+    # localCheckpoint (r15): s2 feeds the survivor frame AND the
+    # final assembly join — without the cut the fingerprint window +
+    # quality + split expressions re-ran on the second consumer
     s2 = (
         s1.withColumn("_fprn", F.row_number().over(fpw))
         .withColumn("_q_ok", T.gopher_quality_ok("ctext"))
         .withColumn("split", split_expr("ctext"))
+        .localCheckpoint()
     )
     surv = s2.filter(
         (F.col("_fprn") == 1) & F.col("_q_ok")
@@ -245,15 +256,8 @@ def q226_crawl_training_pipeline(
     ).distinct().withColumn("_leak", F.lit(True))
 
     # ---- stage 6: two-phase annealing over clean TRAIN survivors --
-    toks = T.tokens("ctext")
-    n_stop = F.size(
-        F.filter(
-            toks,
-            lambda t: F.array_contains(
-                F.array(*[F.lit(s) for s in T.STOPWORDS_EN]), t
-            ),
-        )
-    ).cast("long")
+    # codegen single-pass stopword count (r15, guide §4.1)
+    n_stop = T.stopword_token_count("ctext")
     scored = (
         surv.filter(F.col("split") == "train")
         .select(
@@ -272,6 +276,9 @@ def q226_crawl_training_pipeline(
                 F.concat(F.lit("an"), F.col("doc_id").cast("string"))
             ).alias("_h"),
         )
+        # three consumers (total budget, phase-1, phase-2): cut so
+        # the stopword scoring pass runs once (r15, guide §1.2)
+        .localCheckpoint()
     )
     total = scored.agg(F.sum("n_tokens").cast("long").alias("_ttok"))
     b1 = total.select(

@@ -139,7 +139,17 @@ def q228_crawl_budget_allocation(
     ~40 hosts (or ~1e6 real ones, each possibly huge) never
     serialize into one-sort-task-per-host — the q199/q201 lesson.
     No global sort, no corpus window."""
-    rep = q215_host_reputation(spark, sf_dir).select("host", "crawl_tier")
+    # localCheckpoint (r15 optimization, guide §1.2): the broadcast
+    # of `rep` appears in TWO join subtrees below (per_host and the
+    # ranked admission pass), and each broadcast build re-ran q215's
+    # whole corpus gopher/token aggregate (8 corpus scans in the
+    # captured before-plan). The 40-row tier table is materialized
+    # once; host cardinality (~1e6 real) keeps this driver-safe.
+    rep = (
+        q215_host_reputation(spark, sf_dir)
+        .select("host", "crawl_tier")
+        .localCheckpoint()
+    )
     tier_w = F.when(F.col("crawl_tier") == "high", F.lit(_TIER_W["high"])) \
         .when(F.col("crawl_tier") == "medium", F.lit(_TIER_W["medium"])) \
         .otherwise(F.lit(_TIER_W["low"]))
@@ -157,7 +167,8 @@ def q228_crawl_budget_allocation(
     per_host = d.groupBy("host").agg(
         F.count("*").cast("long").alias("_n"),
         F.first("_w").alias("_hw"),
-    )
+    ).localCheckpoint()  # host-sized; two consumers (totals, quotas)
+    # would otherwise re-run the doc_id scan + host aggregate each
     totals = per_host.agg(
         F.sum(F.expr("_n * _hw")).cast("long").alias("_wn"),
         F.sum("_n").cast("long").alias("_total"),
@@ -254,22 +265,43 @@ def q229_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic: exp() runs once per SOURCE (tens of rows), the
     normalizing sum is one broadcast scalar, and the integer
     division keeps the output exact (the q220/q222 micro-unit
-    discipline)."""
+    discipline).
+
+    r15 optimization (guide §2.3/§2.4, §1.2): the first cut joined
+    the corpus-sized scored stream back to ``documents`` for the
+    source column AND evaluated the scored subtree TWICE (once for
+    the per-source aggregate, once for the reference-slice NLL —
+    self-referencing frames are duplicated subtrees in Spark's
+    physical plan). Now ``source`` rides the bigram explode itself
+    (carry_cols — bytes per compact doc row through the exchange
+    already paid for) and ONE map-side-combined aggregate keyed on
+    (source, is_ref) produces partial (count, sum) cells that both
+    the per-source rollup and the global reference NLL derive from
+    exactly (counts and sums are additive; each ``div`` runs once on
+    the combined totals, so the integer results are bit-identical to
+    the two-pass form). The tiny partial frame is localCheckpointed
+    so the corpus subtree runs ONCE."""
     from synthea_etl_spark.plans.llm17 import _doc_bigram_nll
 
-    scored = _doc_bigram_nll(spark, sf_dir)  # (doc_id, nll_micro)
-    src = load(spark, sf_dir, "documents").select("doc_id", "source")
-    per_source = (
-        scored.join(src, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.expr("sum(nll_micro) div count(*)").alias("nll_micro"),
+    scored = _doc_bigram_nll(spark, sf_dir, carry_cols=("source",))
+    parts = (
+        scored.groupBy(
+            "source",
+            (F.col("doc_id") % _REF_MOD < _REF_LT).alias("_ref"),
         )
+        .agg(
+            F.count("*").cast("long").alias("_c"),
+            F.sum("nll_micro").cast("long").alias("_s"),
+        )
+        .localCheckpoint()  # sources×2 rows; the materializing job IS
+        # the single corpus pass (two consumers below)
     )
-    ref_nll = (
-        scored.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
-        .agg(F.expr("sum(nll_micro) div count(*)").alias("_ref_nll"))
+    per_source = parts.groupBy("source").agg(
+        F.sum("_c").cast("long").alias("n_bigrams"),
+        F.expr("sum(_s) div sum(_c)").alias("nll_micro"),
+    )
+    ref_nll = parts.filter(F.col("_ref")).agg(
+        F.expr("sum(_s) div sum(_c)").alias("_ref_nll")
     )
     ex = per_source.crossJoin(F.broadcast(ref_nll)).select(
         "source",

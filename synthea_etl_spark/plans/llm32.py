@@ -1322,34 +1322,81 @@ def q282_rep_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs)
     member = comp.join(
         scored, comp["id"] == scored["doc_id"]
-    ).select("cluster_id", "doc_id", "margin_micro")
-    reps_min = member.groupBy("cluster_id").agg(
-        F.min("doc_id").alias("rep")
-    )
-    reps_q = member.groupBy("cluster_id").agg(
+    ).select("cluster_id", "doc_id", "margin_micro", "n_tokens")
+
+    # r15 optimization (guide §2.4, §1.2): the first cut ran, PER
+    # POLICY, a cluster aggregate + a member-vs-reps anti-join + a
+    # corpus-sized scored-vs-dropped anti-join + a full kept
+    # aggregate — 4 doc-keyed joins and 2 corpus aggregates total.
+    # kept = scored \ dropped and dropped ⊆ member, so kept totals
+    # are CORPUS TOTALS minus DROPPED totals (exact int64 sums);
+    # both policies' reps come from ONE cluster aggregate, dropped
+    # stats for both from ONE join of member back to it (cluster-
+    # keyed, the partitioning the aggregate just produced) + ONE
+    # aggregate. Proven equivalent: a cluster's dropped set under a
+    # policy is exactly its members minus its (always-member) rep,
+    # and sums/counts are additive over the partition.
+    reps = member.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("rep_min"),
         F.max_by(
             "doc_id",
             F.struct(F.col("margin_micro"), (-F.col("doc_id")).alias("nid")),
-        ).alias("rep")
+        ).alias("rep_q"),
+    )
+    dropped = (
+        member.join(reps, "cluster_id")
+        .select(
+            "doc_id",
+            "margin_micro",
+            "n_tokens",
+            (F.col("doc_id") != F.col("rep_min")).alias("_d_min"),
+            (F.col("doc_id") != F.col("rep_q")).alias("_d_q"),
+        )
+        .agg(
+            F.sum(F.col("_d_min").cast("long")).alias("n_min"),
+            F.sum(F.when(F.col("_d_min"), F.col("n_tokens"))).alias("t_min"),
+            F.sum(F.when(F.col("_d_min"), F.col("margin_micro"))).alias(
+                "m_min"
+            ),
+            F.sum(F.col("_d_q").cast("long")).alias("n_q"),
+            F.sum(F.when(F.col("_d_q"), F.col("n_tokens"))).alias("t_q"),
+            F.sum(F.when(F.col("_d_q"), F.col("margin_micro"))).alias("m_q"),
+        )
+    )
+    totals = scored.agg(
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("n_tokens").cast("long").alias("t_all"),
+        F.sum("margin_micro").cast("long").alias("m_all"),
     )
 
-    def kept_stats(reps: DataFrame, policy: str) -> DataFrame:
-        dropped = member.join(
-            reps, member["doc_id"] == reps["rep"], "left_anti"
-        ).select("doc_id")
-        kept = scored.join(dropped, "doc_id", "left_anti")
-        return kept.agg(
-            F.lit(policy).alias("policy"),
-            F.count("*").cast("long").alias("n_kept"),
-            F.sum("n_tokens").cast("long").alias("tokens_kept"),
-            F.expr(
-                f"(sum(margin_micro) + {MICRO} * count(*))"
-                f" div count(*) - {MICRO}"
-            ).cast("long").alias("mean_margin_kept_micro"),
+    def kept_row(policy: str, nd, td, md) -> DataFrame:
+        kept_n = F.col("n_all") - F.coalesce(nd, F.lit(0)).cast("long")
+        kept_t = F.col("t_all") - F.coalesce(td, F.lit(0)).cast("long")
+        kept_m = F.col("m_all") - F.coalesce(md, F.lit(0)).cast("long")
+        return (
+            totals.crossJoin(F.broadcast(dropped))
+            .select(
+                F.lit(policy).alias("policy"),
+                kept_n.cast("long").alias("n_kept"),
+                kept_t.cast("long").alias("tokens_kept"),
+                kept_m.cast("long").alias("_m_kept"),
+            )
+            # same exact-integer mean as the first cut: non-negative
+            # offset numerator, integer `div` (== floor there)
+            .select(
+                "policy",
+                "n_kept",
+                "tokens_kept",
+                F.expr(
+                    f"(_m_kept + {MICRO} * n_kept) div n_kept - {MICRO}"
+                ).cast("long").alias("mean_margin_kept_micro"),
+            )
         )
 
-    return kept_stats(reps_min, "min_doc").unionByName(
-        kept_stats(reps_q, "best_quality")
+    return kept_row(
+        "min_doc", F.col("n_min"), F.col("t_min"), F.col("m_min")
+    ).unionByName(
+        kept_row("best_quality", F.col("n_q"), F.col("t_q"), F.col("m_q"))
     )
 
 

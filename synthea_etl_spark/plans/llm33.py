@@ -218,8 +218,15 @@ def q285_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. Long arithmetic holds to ~1e6 matches per pair cell
     (W*M^2 < 2^63); past that, pre-scale the matrix by total games
     — a store-sized rescale, noted not implemented."""
-    per_doc = _per_doc_signals(spark, sf_dir).select(
-        "doc_id", "raw_margin"
+    # localCheckpoint before the self-join (r15 optimization, guide
+    # §1.2/§5): a self-join's two sides are DUPLICATED subtrees in
+    # the physical plan, so the exploded scoring pass ran twice; the
+    # checkpoint materializes the narrow (doc_id, raw_margin) frame
+    # once and both join sides read it.
+    per_doc = (
+        _per_doc_signals(spark, sf_dir)
+        .select("doc_id", "raw_margin")
+        .localCheckpoint()
     )
     a = per_doc.alias("a")
     b = per_doc.alias("b")

@@ -172,12 +172,12 @@ def q188_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = T.tokens("text")
     n = F.size(toks)
     nn = F.greatest(n, F.lit(1)).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    stops = F.array(*[F.lit(s) for s in T.STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    # codegen single-pass regexp counts (r15, guide §4.1) — the
+    # proven-equivalent forms of the interpreted array lambdas
+    # (tests/test_text_expr_equiv.py; gopher_quality_ok shares them)
+    sum_len = T.nonws_char_count("text")
+    n_alpha = T.alpha_token_count("text")
+    n_stop = T.stopword_token_count("text")
     out = d.select(
         "doc_id",
         n.cast("long").alias("n_words"),

@@ -204,8 +204,14 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 2: Gopher bounds — the reusable composite expression
     # (operators/text.gopher_quality_ok), the same boolean q188's
-    # micro-div columns induce and the curation stream applies
-    d2 = d1.withColumn("_q_ok", T.gopher_quality_ok("text"))
+    # micro-div columns induce and the curation stream applies.
+    # localCheckpoint (r15 optimization, guide §1.2): d2 feeds the
+    # repetition leg AND both sides of the staged/quota join chain —
+    # duplicated join subtrees re-ran the fingerprint window + the
+    # quality expression up to 4x; one cut bounds it to once.
+    d2 = d1.withColumn(
+        "_q_ok", T.gopher_quality_ok("text")
+    ).localCheckpoint()
 
     # stage 3: repetition thresholds on stage-1/2 survivors only
     # (single-Arrow-pass cov operator — no gram-stream shuffles;
@@ -230,11 +236,19 @@ def q192_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 4: per-language quota, ranked only among docs passing
     # every prior stage (md5 pick order = deterministic uniform)
-    staged = d2.join(rep, "doc_id", "left").withColumn(
-        "_pass",
-        (F.col("_fprn") == 1)
-        & F.col("_q_ok")
-        & F.coalesce(F.col("_r_ok"), F.lit(False)),
+    # narrow staged frame (text dropped — the label needs only the
+    # flags), localCheckpointed: it too is consumed on both sides of
+    # the quota join below (guide §2.3: cut the proxy, not the text)
+    staged = (
+        d2.select("doc_id", "lang", "_fprn", "_q_ok")
+        .join(rep, "doc_id", "left")
+        .withColumn(
+            "_pass",
+            (F.col("_fprn") == 1)
+            & F.col("_q_ok")
+            & F.coalesce(F.col("_r_ok"), F.lit(False)),
+        )
+        .localCheckpoint()
     )
     # skew-free quota rank over filter survivors (util.bucketed_rank:
     # a handful of language keys would serialize a plain window into

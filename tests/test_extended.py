@@ -210,6 +210,9 @@ def test_no_accidental_cartesian_products(spark):
         "q252_hard_negatives",           # bm25_topk's 1-row corpus-stats crossJoin
         "q254_bootstrap_ci",             # crossJoin of the 1-row point estimate x 1-row bounds
         "q272_ann_health_verdict",       # q183's class: crossJoins of 1-row cell/hit totals
+        "q282_rep_policy_audit",         # crossJoins of the 1-row totals x 1-row dropped stats
+        "q285_bt_strength",              # crossJoin of the 1-row strength total
+        "q293_rate_cusum_monitor",       # crossJoin of the 1-row hour-bounds frame
     }
     bad = []
     for name, fn in ent.queries().items():
