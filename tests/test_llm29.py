@@ -124,6 +124,17 @@ def test_connected_components_raises_when_unconverged(spark):
     assert {r.cluster_id for r in ok} == {0}
 
 
+def test_connected_components_empty_edge_frame(spark):
+    """The r15 loop restructure converges via an exact decimal
+    label-sum probe; SUM over zero rows is NULL and must mean 'empty
+    graph, converged trivially' — an empty label frame, never a
+    raise or a NULL-labeled row."""
+    from synthea_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).collect() == []
+
+
 def test_llm29_match_duckdb_on_testdata(duck, spark):
     from synthea_etl_spark.plans.llm29 import QUERIES
 

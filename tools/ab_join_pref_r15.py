@@ -44,13 +44,18 @@ def main() -> None:
     out: dict[str, dict[str, list[float]]] = {}
     for name in QUERIES:
         fn = reg[name].fn
-        walls: dict[str, list[float]] = {"smj": [], "shj": []}
+        arms = (
+            ("smj", "true", "0"),        # default planner + no AQE rewrite
+            ("aqe", "true", "64MB"),     # SMJ planner, AQE runtime rewrite
+            ("shj", "false", "64MB"),    # planner prefers shuffled hash
+        )
+        walls: dict[str, list[float]] = {a: [] for a, _, _ in arms}
         for _ in range(reps):
-            for arm, pref in (("smj", "true"), ("shj", "false")):
+            for arm, pref, thresh in arms:
                 spark.conf.set("spark.sql.join.preferSortMergeJoin", pref)
                 spark.conf.set(
                     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                    "0" if pref == "true" else "64MB",
+                    thresh,
                 )
                 spark.sparkContext.setJobDescription(f"ab {name} {arm}")
                 t0 = time.time()
@@ -60,8 +65,9 @@ def main() -> None:
                 walls[arm].append(round(time.time() - t0, 3))
         out[name] = walls
         print(
-            f"{name}: smj best {min(walls['smj']):.3f} "
-            f"shj best {min(walls['shj']):.3f}",
+            name
+            + ": "
+            + " ".join(f"{a} best {min(walls[a]):.3f}" for a, _, _ in arms),
             flush=True,
         )
     print(json.dumps(out))
