@@ -680,6 +680,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .withColumnRenamed("src", "id")
+            # lazy checkpoint: the pointer jump below consumes
+            # `relaxed` on BOTH join sides, and Catalyst plans the
+            # two as separate subtrees whose exchanges hash on
+            # DIFFERENT keys (cluster_id vs id), so ReusedExchange
+            # cannot dedup them — measured plan: 2x the edge join +
+            # aggregate per round. Backing `relaxed` by one
+            # checkpointed RDD makes both sides read the same
+            # blocks; still ONE job per round (the probe action
+            # materializes updated -> relaxed as its parent).
+            .localCheckpoint(eager=False)
         )
         # pointer jump: label := min(label, label(label)) — halves
         # label-chain depth, making convergence O(log diameter)
