@@ -988,9 +988,15 @@ def corpus_overlap_estimate(
     scans both corpora; production keeps per-slice sketches in a
     ``corpus_sketch_store`` and calls
     ``corpus_overlap_from_sketches`` on the stored k-row tables."""
+    # localCheckpoint (r15, guide §1.2): the estimator consumes each
+    # sketch twice (union bottom-k + intersection probe), so without
+    # a barrier each corpus was scanned twice. The sketches are k
+    # rows by construction — materialize once. The store path
+    # (corpus_overlap_from_sketches on read-back slices) reads k-row
+    # parquet and needs no barrier.
     return corpus_overlap_from_sketches(
-        corpus_bottomk_sketch(a, text_col, k),
-        corpus_bottomk_sketch(b, text_col, k),
+        corpus_bottomk_sketch(a, text_col, k).localCheckpoint(),
+        corpus_bottomk_sketch(b, text_col, k).localCheckpoint(),
         k,
     )
 

@@ -46,10 +46,18 @@ def pagerank(
 
     ``n_nodes`` may be passed when known (saves one count job); the
     node set itself always derives from the edges."""
+    # localCheckpoint (r15, guide §1.2 — the connected_components
+    # lesson applied here): nodes consumes edges TWICE (src ∪ dst),
+    # outdeg/en once more, and the loop re-plans en and nodes every
+    # iteration — so an expensive caller edge plan (q118's 4-table
+    # lineitem join) re-ran per consumer and per round. The operator
+    # now pins its own edge-derived frames once; the iteration then
+    # joins two materialized RDDs.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     if n_nodes is None:
         n_nodes = nodes.count()
@@ -65,6 +73,7 @@ def pagerank(
                 "_wnorm"
             ),
         )
+        .localCheckpoint()
     )
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))

@@ -383,22 +383,33 @@ def proximity_search(
     occ = index.join(F.broadcast(qt), "t").select(
         F.col(query_id_col), F.col(id_col), "t", "pos", "_n_terms"
     )
-    starts = occ.select(
-        "*",
-        F.expr(f"pos div {seg}").alias("_seg"),
-        F.lit(True).alias("_is_start"),
-    )
-    # overlap rows: context for the previous segment (never starts)
-    ctx = occ.filter(
-        (F.expr(f"pos % {seg}") < F.lit(window))
-        & (F.expr(f"pos div {seg}") > 0)
-    ).select(
-        "*",
-        (F.expr(f"pos div {seg}") - 1).alias("_seg"),
-        F.lit(False).alias("_is_start"),
+    # r15 optimization (guide §1.2): start rows and context rows
+    # were a unionByName of TWO branches over ``occ``, so the whole
+    # index-join subtree (the positional explode over the corpus)
+    # planned and ran twice. One explode now emits each occurrence's
+    # 1-2 (segment, is_start) assignments in a single pass — the
+    # identical row multiset (every occurrence as a start in its own
+    # segment, plus a context-only copy in the previous segment when
+    # pos % S < window), groupBy order-insensitive as before.
+    seg_assign = F.expr(
+        f"filter(array("
+        f"struct(pos div {seg} AS _seg, true AS _is_start),"
+        f"IF(pos % {seg} < {window} AND pos div {seg} > 0,"
+        f" struct(pos div {seg} - 1 AS _seg, false AS _is_start),"
+        f" CAST(NULL AS struct<_seg:bigint,_is_start:boolean>))"
+        f"), x -> x IS NOT NULL)"
     )
     grouped = (
-        starts.unionByName(ctx)
+        occ.select("*", F.explode(seg_assign).alias("_sc"))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            "t",
+            "pos",
+            "_n_terms",
+            F.col("_sc._seg").alias("_seg"),
+            F.col("_sc._is_start").alias("_is_start"),
+        )
         .groupBy(query_id_col, id_col, "_seg", "_n_terms")
         .agg(
             F.sort_array(

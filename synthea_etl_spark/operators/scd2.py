@@ -90,9 +90,21 @@ def scd2_merge(
         how="left",
     )
     # F4: changed = hash mismatch or brand-new key (Patient_datamart.py:74-76)
-    changed_new = joined.filter(
-        (F.col("old_hash").isNull()) | (F.col("new.row_hash") != F.col("old_hash"))
-    ).select(*keys, *attrs, "row_hash")
+    # localCheckpoint (r15, guide §1.2): changed_new feeds THREE
+    # consumers (the two changed_keys broadcasts and fresh), so the
+    # snapshot-vs-active join above planned and ran three times per
+    # merge. The frame is the churn set — small by SCD2's premise
+    # (the same bound that justifies broadcasting changed_keys) —
+    # so one materialization is cheaper than two recomputes at any
+    # scale where the merge itself is viable.
+    changed_new = (
+        joined.filter(
+            (F.col("old_hash").isNull())
+            | (F.col("new.row_hash") != F.col("old_hash"))
+        )
+        .select(*keys, *attrs, "row_hash")
+        .localCheckpoint()
+    )
 
     changed_keys = changed_new.select(*keys)
 

@@ -90,7 +90,15 @@ def q25_scd2_two_loads(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("name")
         ),
     )
-    dim1 = scd2_merge(None, snap1, ["k"], ["name", "segment"], TS1)
+    # localCheckpoint (r15, guide §1.2): the second merge consumes
+    # `existing` four times (active x3 + history), so the chained
+    # in-memory dim state re-planned the whole first load each time
+    # (the executed plan scanned customer 8x). Production persists
+    # between loads (write_swap) — this barrier is that same
+    # boundary for the in-query chain.
+    dim1 = scd2_merge(
+        None, snap1, ["k"], ["name", "segment"], TS1
+    ).localCheckpoint()
     return scd2_merge(dim1, snap2, ["k"], ["name", "segment"], TS2)
 
 

@@ -60,9 +60,12 @@ def q197_bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-wise), probes broadcast-join the words table. The exact
     column exists because production uses Bloom as the PRE-filter:
     only `maybe_dup` docs pay the exact-index lookup."""
+    # narrow (doc_id, fp) proxy; the history fold, the probe
+    # explode, and the exact-dup check each re-ran the corpus
+    # fingerprint pass — checkpoint once (r15, guide §1.2, §8)
     d = load(spark, sf_dir, "documents").select(
         "doc_id", T.fingerprint("text").alias("fp")
-    )
+    ).localCheckpoint()
     hist = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
 

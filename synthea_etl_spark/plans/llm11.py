@@ -81,7 +81,13 @@ def q200_token_budget_curriculum(
         F.md5(F.concat(F.lit("cb"), F.col("doc_id").cast("string"))).alias(
             "_h"
         ),
-    )
+    ).localCheckpoint()
+    # ^ r15 optimization (guide §1.2, §8): scored feeds hist, the
+    # boundary-bucket window, and the final verdict join — without a
+    # barrier the corpus scan + stopword scoring planned and ran up
+    # to six times. The checkpointed frame is the narrow per-doc
+    # proxy (4 scalar columns, text dropped) — exactly the §8
+    # lightweight-proxy discipline.
     hist = scored.groupBy("bucket").agg(
         F.sum("n_tokens").cast("long").alias("_btok")
     )
@@ -101,6 +107,10 @@ def q200_token_budget_curriculum(
             "_before",
             F.expr(f"_ttok * {_Q200_NUM} div {_Q200_DEN}").alias("_budget"),
         )
+        # bucket-histogram-sized (~20 rows), consumed by boundary
+        # and the verdict join — checkpoint so the hist/total
+        # aggregates over the proxy run once (r15, guide §1.2)
+        .localCheckpoint()
     )
     # the prefix window runs over the BOUNDARY bucket only (at most
     # one bucket straddles the budget) — every other doc's verdict is
@@ -234,9 +244,11 @@ def q201_epoch_repetition_plan(
         .cast("long")
         .alias("_h"),
     )
+    # source-sized; wq/totals/alloc consume it three ways — without
+    # a barrier the corpus count scan ran three times (r15, §1.2)
     per_src = d.groupBy("source").agg(
         F.count("*").cast("long").alias("_cnt")
-    )
+    ).localCheckpoint()
     wq = per_src.select(
         "source",
         "_cnt",

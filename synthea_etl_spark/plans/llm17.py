@@ -327,14 +327,29 @@ def _doc_bigram_nll(
         )
     )
     ref_bi = doc_bi.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
-    c2 = ref_bi.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("c2")
+    # r15 optimization (guide §1.2): the LM dims were three
+    # INDEPENDENT aggregates over the corpus explode — c2, ctx, and
+    # vocab_n — and every broadcast build below re-planned its whole
+    # subtree (ctx twice, vocab_n three times), so the executed plan
+    # ran the tokenize+explode up to SIX times. One checkpointed
+    # (w1, w2) cell frame now feeds everything: ctx(w1) is EXACTLY
+    # sum_w2 c2(w1, w2) (integer count algebra, bit-identical), and
+    # the cell frame is the vocab²-bounded dim table the docstring
+    # already argues is small (Heaps' law). vocab_n stays its own
+    # unigram pass (a one-token doc adds vocabulary but no bigram,
+    # so it is NOT derivable from the cells) but is a 1-row frame —
+    # checkpointed so its three consumers stop re-running it.
+    c2 = (
+        ref_bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c2"))
+        .localCheckpoint()
     )
-    ctx = ref_bi.groupBy("w1").agg(F.count("*").cast("long").alias("ctx"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("ctx"))
     vocab_n = (
         d.filter(F.col("doc_id") % _REF_MOD < _REF_LT)
         .select(F.explode(toks).alias("t"))
         .agg(F.count_distinct("t").cast("long").alias("v"))
+        .localCheckpoint()
     )
 
     def qnll(num: F.Column, den: F.Column) -> F.Column:

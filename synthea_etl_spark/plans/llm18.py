@@ -95,18 +95,14 @@ def q221_quality_feature_frame(
     # exploded twin aggregates codegen-side (isin compiles to an
     # InSet hash probe) on the doc_id partitioning already paid for.
     tok = d.select("doc_id", F.explode(toks).alias("t"))
-    tokstats = tok.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("_n"),
-        F.sum(F.length("t")).cast("long").alias("_sum_len"),
-        F.sum(F.col("t").rlike("[a-z]").cast("long"))
-        .cast("long")
-        .alias("_n_alpha"),
-        F.sum(F.col("t").isin(*T.STOPWORDS_EN).cast("long"))
-        .cast("long")
-        .alias("_n_stop"),
+    # unigram NLL (q185's plan riding the doc_id partitioning).
+    # vocab is checkpointed (r15, guide §1.2 — the q220 LM-dim
+    # discipline): total and the nll build consumed it twice.
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
     )
-    # unigram NLL (q185's plan riding the doc_id partitioning)
-    vocab = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("_nn"))
     nll = vocab.crossJoin(F.broadcast(total)).select(
         "t",
@@ -117,14 +113,29 @@ def q221_quality_feature_frame(
         .cast("long")
         .alias("nll_micro"),
     )
-    doc_nll = (
+    # r15 optimization (guide §1.2): the surface stats and the NLL
+    # mean were TWO groupBy(doc_id) aggregates over the same token
+    # stream. Every token survives the nll broadcast join (vocab is
+    # built from this very stream, keys unique), so both fold into
+    # ONE aggregate over the joined rows — count/sums identical by
+    # construction.
+    tokfeats = (
         tok.join(F.broadcast(nll), "t")
         .groupBy("doc_id")
-        .agg(F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"))
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.length("t")).cast("long").alias("_sum_len"),
+            F.sum(F.col("t").rlike("[a-z]").cast("long"))
+            .cast("long")
+            .alias("_n_alpha"),
+            F.sum(F.col("t").isin(*T.STOPWORDS_EN).cast("long"))
+            .cast("long")
+            .alias("_n_stop"),
+            F.expr("sum(nll_micro) div count(*)").alias("nll_micro_mean"),
+        )
     )
     return (
-        textual.join(tokstats, "doc_id")
-        .join(doc_nll, "doc_id")
+        textual.join(tokfeats, "doc_id")
         .select(
             "doc_id",
             F.col("_n").alias("n_tokens"),

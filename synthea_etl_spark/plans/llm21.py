@@ -48,9 +48,12 @@ def q230_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     q201 allocation discipline with a cap instead of a temperature.
     The corpus is touched once, for token counts."""
     docs = load(spark, sf_dir, "documents").select("lang", "text")
+    # language-sized (tens of rows); the caps/tot/ranked/kstats
+    # chain consumes it four ways — without a barrier the corpus
+    # token-count scan ran four times (r15, guide §1.2)
     per_lang = docs.groupBy("lang").agg(
         F.sum(T.token_count("text").cast("long")).cast("long").alias("n_tokens")
-    )
+    ).localCheckpoint()
     caps = per_lang.select(
         "lang",
         "n_tokens",

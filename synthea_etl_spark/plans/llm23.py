@@ -256,10 +256,13 @@ def q238_filter_threshold_sweep(
         F.expr(f"score_micro div {_SWEEP_BIN_MICRO}").alias("bin"),
         F.coalesce(F.col("is_pos"), F.lit(False)).alias("is_pos"),
     )
+    # ~11-row bin frame; consumed by tot AND the cumulative window —
+    # without a barrier both corpus passes (score projection +
+    # 8-gram explode) planned and ran twice (r15, guide §1.2)
     bins = per_doc.groupBy("bin").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.col("is_pos").cast("long")).cast("long").alias("n_pos"),
-    )
+    ).localCheckpoint()
     wcum = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -403,6 +406,14 @@ def ranking_metrics_from_topk(
     lbl_n = labels.groupBy("label").agg(
         F.count("*").cast("long").alias("n_lbl")
     )
+    # r15 optimization (guide §1.2): qrel is consumed twice (the
+    # scored probe and the final metric join) and `scored` twice
+    # (per_q and dcg) — without a barrier the ENTIRE candidate
+    # pipeline behind ``topk`` (the IVF train/assign/probe in q259,
+    # the brute-force scan in q239) planned and ran TWICE, and the
+    # executed plan scanned embeddings 12x. Both frames are
+    # query-grain tiny ({_RANK_QUERIES} resp. x{_RANK_K} rows):
+    # checkpoint once, every consumer reads the tiny RDD.
     qrel = (
         labels.filter(F.col("vec_id") < _RANK_QUERIES)
         .join(F.broadcast(lbl_n), "label")
@@ -411,6 +422,7 @@ def ranking_metrics_from_topk(
             F.col("label").alias("qlabel"),
             (F.col("n_lbl") - 1).cast("long").alias("n_rel"),
         )
+        .localCheckpoint()
     )
     scored = (
         topk.join(
@@ -423,6 +435,7 @@ def ranking_metrics_from_topk(
             "rank",
             (F.col("label") == F.col("qlabel")).alias("rel"),
         )
+        .localCheckpoint()
     )
     per_q = scored.groupBy("query_id").agg(
         F.min(F.when(F.col("rel"), F.col("rank"))).alias("_first"),

@@ -78,12 +78,29 @@ def q244_dedup_axis_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # r15 optimization (guide §1.2, §8): the exact/prompt axes and
+    # the span rollup each re-scanned the corpus text. One narrow
+    # key proxy (ids + two md5 keys + token count — text dropped)
+    # now feeds all three; only the winnow explode (fp grain) keeps
+    # its own text pass. Same expressions, same filters — the
+    # prompt axis filter moves AFTER key computation (md5 of an
+    # empty slice is computed then discarded, never aggregated).
+    keys = d.select(
+        "doc_id",
+        "source",
+        T.fingerprint("text").alias("_fp"),
+        T.token_count("text").cast("long").alias("_nt"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(T.tokens("text"), 1, PROMPT_KEY_TOKENS)
+            )
+        ).alias("_pk"),
+    ).localCheckpoint()
+
     wfp = Window.partitionBy("_k")
     exact = survival(
-        d.select(
-            "source",
-            "doc_id",
-            T.fingerprint("text").alias("_k"),
+        keys.select(
+            "source", "doc_id", F.col("_fp").alias("_k")
         ).select(
             "source",
             (F.col("doc_id") != F.min("doc_id").over(wfp)).alias("_drop"),
@@ -91,16 +108,8 @@ def q244_dedup_axis_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
     )
     prompt = survival(
-        d.filter(T.token_count("text") > 0)
-        .select(
-            "source",
-            "doc_id",
-            F.md5(
-                F.concat_ws(
-                    " ", F.slice(T.tokens("text"), 1, PROMPT_KEY_TOKENS)
-                )
-            ).alias("_k"),
-        )
+        keys.filter(F.col("_nt") > 0)
+        .select("source", "doc_id", F.col("_pk").alias("_k"))
         .select(
             "source",
             (F.col("doc_id") != F.min("doc_id").over(wfp)).alias("_drop"),
@@ -121,7 +130,7 @@ def q244_dedup_axis_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("_shared").alias("_drop"))
     )
     span = survival(
-        d.select("doc_id", "source")
+        keys.select("doc_id", "source")
         .join(span_flags, "doc_id", "left")
         .select("source", F.coalesce("_drop", F.lit(False)).alias("_drop")),
         "span",

@@ -695,12 +695,25 @@ def q250_ppl_rules_calibration(
         "doc_id", "doc_kept"
     )
     j = lm.join(rules, "doc_id")
-    buckets = j.groupBy("ppl_bucket").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.col("doc_kept").cast("long")).cast("long").alias("n_pass"),
+    # r15 optimization (guide §1.2): `j` fed TWO aggregates, so the
+    # entire q220 LM build + q213 rules subtree ran twice (the
+    # executed plan scanned documents 2x). The base rate is exactly
+    # derivable from the bucket frame — sum(n_pass) over buckets IS
+    # sum(doc_kept) over j and sum(n_docs) IS count(*), all exact
+    # int64, so one corpus pass feeds both. The bucket frame is
+    # bucket-sized; localCheckpoint stops ITS subtree duplicating.
+    buckets = (
+        j.groupBy("ppl_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("doc_kept").cast("long"))
+            .cast("long")
+            .alias("n_pass"),
+        )
+        .localCheckpoint()
     )
-    base = j.agg(
-        F.expr(f"sum(CAST(doc_kept AS LONG)) * {MICRO} div count(*)").alias(
+    base = buckets.agg(
+        F.expr(f"sum(n_pass) * {MICRO} div sum(n_docs)").alias(
             "base_micro"
         )
     )

@@ -85,7 +85,12 @@ def q252_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         F.col("text").alias("query_text"),
     )
-    res = bm25_topk(docs, queries, k=5)
+    # r15 optimization (guide §1.2): `res` feeds both the gold slice
+    # and the negatives join, so without a materialization barrier
+    # the whole BM25 stack (postings build + top-k window) planned
+    # and ran TWICE. The frame is k x queries rows (15 here) —
+    # checkpoint it once and both consumers read the tiny RDD.
+    res = bm25_topk(docs, queries, k=5).localCheckpoint()
     fp = docs.select("doc_id", T.fingerprint("text").alias("_fp"))
     qfp = fp.filter(F.col("doc_id") < 3).select(
         F.col("doc_id").alias("query_id"), F.col("_fp").alias("_qfp")

@@ -95,6 +95,10 @@ def q272_ann_health_verdict(
             F.floor(F.sum("_sm") / F.count("*")).cast("long")
             .alias("mean_sim_micro"),
         )
+        # cell-count-sized; consumed by cell_tot AND hot — without a
+        # barrier the assignment+coherence pass ran twice (r15,
+        # guide §1.2)
+        .localCheckpoint()
     )
     cell_tot = per_cell.agg(
         F.count("*").cast("long").alias("n_cells"),
@@ -116,7 +120,10 @@ def q272_ann_health_verdict(
     ann = S.knn_ann_ivf_probe(
         index, centroids, panel, k=_Q272_K, n_probe=_Q272_PROBE
     )
-    exact = S.knn_bruteforce(e, panel, k=_Q272_K)
+    # panel x k rows; consumed by hits AND truth — without a barrier
+    # the exact brute-force measurement pass (the query's single
+    # most expensive leg) planned and ran twice (r15, guide §1.2)
+    exact = S.knn_bruteforce(e, panel, k=_Q272_K).localCheckpoint()
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(
@@ -317,7 +324,10 @@ def q273_vocab_drift_jaccard(
         [F.desc("c"), F.asc("t")],
         _Q273_V,
         bucket_col="t",
-    )
+    ).localCheckpoint()
+    # ^ V-rows-per-(lang, half); consumed by ref/live which feed
+    # nr/nl/ni — without a barrier the corpus explode + top-V ran
+    # FOUR times (r15, guide §1.2)
     ref = top.filter(F.col("half") == 0).select("lang", "t")
     live = top.filter(F.col("half") == 1).select("lang", "t")
     nr = ref.groupBy("lang").agg(F.count("*").cast("long").alias("n_ref"))

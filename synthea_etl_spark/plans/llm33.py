@@ -412,11 +412,16 @@ def q286_vocab_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import synthea_etl_spark.operators.text as T
 
     d = load(spark, sf_dir, "documents")
+    # r15 (guide §1.2): tc feeds stats AND the head-term semi-join,
+    # stats feeds tops AND the final join — without barriers the
+    # corpus explode ran 3x. tc is the vocab-sized dim frame (Heaps'
+    # law), stats lang-sized.
     tc = (
         d.filter(F.length(F.trim("text")) > 0)
         .select("lang", F.explode(T.tokens("text")).alias("t"))
         .groupBy("lang", "t")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()
     )
     stats = tc.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n_tokens"),
@@ -425,7 +430,7 @@ def q286_vocab_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("c") == 2).cast("long")).cast("long").alias("dis"),
         F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("_coll"),
         F.max("c").cast("long").alias("_top_c"),
-    )
+    ).localCheckpoint()
     tops = stats.select(F.col("lang").alias("_l"), "_top_c")
     top = (
         tc.join(
@@ -1578,10 +1583,19 @@ def q293_rate_cusum_monitor(
         "event_type",
         (F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
     )
-    counts = hours.groupBy("event_type", "h").agg(
-        F.count("*").cast("long").alias("x")
+    # r15 optimization (guide §1.2): counts/bounds/grid consumers
+    # re-planned the events scan SIX times (counts feeds spine and
+    # grid, grid feeds means and scored, bounds had its own pass).
+    # One checkpointed (type, hour) frame — bounded by the
+    # monitoring window, never by event volume — feeds everything;
+    # bounds derives from it exactly (min/max over the grouped hour
+    # set IS min/max over the raw rows).
+    counts = (
+        hours.groupBy("event_type", "h")
+        .agg(F.count("*").cast("long").alias("x"))
+        .localCheckpoint()
     )
-    bounds = hours.agg(
+    bounds = counts.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
     spine = (

@@ -386,10 +386,14 @@ def q182_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("_h"),
-    )
+    ).localCheckpoint()
+    # ^ r15 (guide §1.2, §8): the narrow (doc_id, lang, hash) proxy
+    # fed the per-language counts AND the rank window — the
+    # lang_guess regex tower ran over the corpus 3x. per_lang below
+    # is lang-sized and feeds the wq->total/alloc chain twice.
     per_lang = lang.groupBy("lang_guess").agg(
         F.count("*").cast("long").alias("_cnt")
-    )
+    ).localCheckpoint()
     wq = per_lang.select(
         "lang_guess",
         "_cnt",

@@ -171,7 +171,14 @@ def q185_unigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim("text")) > 0
     )
     tok = d.select("doc_id", F.explode(T.tokens("text")).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+    # vocab-dim (Heaps' law); consumed by total AND the nll build —
+    # checkpoint so the corpus explode behind it runs once (r15,
+    # guide §1.2, the q220 LM-dim discipline)
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
     total = vocab.agg(F.sum("cnt").cast("double").alias("_n"))
     nll = vocab.crossJoin(F.broadcast(total)).select(
         "t",

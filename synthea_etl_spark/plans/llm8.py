@@ -63,8 +63,22 @@ def q191_mined_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = docs.join(
         embs, docs["doc_id"] == embs["vec_id"]
     ).select("vec_id", "embedding", "lang")
-    en = j.filter(F.col("lang") == "en").select("vec_id", "embedding")
-    other = j.filter(F.col("lang") != "en").select("vec_id", "embedding")
+    # localCheckpoint (r15, guide §1.2): each side frame feeds one
+    # direction's corpus leg (trained AND assigned) plus the other
+    # direction's query leg, so the docs⋈embeddings join above
+    # re-planned and re-ran up to three times per side (docs x5 /
+    # embeddings x4 scans in the executed plan). One materialization
+    # per side; the ANN internals then read the joined RDD.
+    en = (
+        j.filter(F.col("lang") == "en")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    other = (
+        j.filter(F.col("lang") != "en")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
 
     # A: best EN match per non-en doc (quantizer seeded on the EN side).
     # Grouped/BLAS scorer: the "query" side here is half the corpus,
@@ -393,21 +407,29 @@ def q193_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     v1 = d.select("doc_id", T.fingerprint("text").alias("fp1"))
     kept = d.filter(F.col("doc_id") % 7 != 0)
-    edited = kept.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(F.col("text"), F.lit(" v2 edit")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    added = kept.filter(F.col("doc_id") % 13 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    # r15 optimization (guide §1.2): edited ∪ added were TWO
+    # branches over `kept`, so the corpus scanned twice for v2 (3x
+    # total). One explode emits each kept row's 1-2 v2 variants —
+    # the edited row always, plus the %13 'added' copy (of the
+    # ORIGINAL text, as before) — the identical row multiset in a
+    # single pass.
+    v2_variants = F.expr(
+        "filter(array("
+        " struct(doc_id AS doc_id,"
+        "        IF(doc_id % 11 = 0, concat(text, ' v2 edit'), text)"
+        "        AS text),"
+        " IF(doc_id % 13 = 0,"
+        "    struct(doc_id + 1000000 AS doc_id,"
+        "           concat('new ', text) AS text),"
+        "    CAST(NULL AS struct<doc_id:bigint,text:string>))"
+        "), x -> x IS NOT NULL)"
     )
     v2 = (
-        edited.unionByName(added)
+        kept.select(F.explode(v2_variants).alias("_r"))
+        .select(
+            F.col("_r.doc_id").alias("doc_id"),
+            F.col("_r.text").alias("text"),
+        )
         .select("doc_id", T.fingerprint("text").alias("fp2"))
     )
     full = v1.join(v2, "doc_id", "full_outer")

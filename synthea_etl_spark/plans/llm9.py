@@ -73,7 +73,9 @@ def q194_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("lang") == "en").cast("long"))
         .cast("long")
         .alias("c_tgt"),
-    )
+    ).localCheckpoint()
+    # ^ vocab-dim; consumed by totals AND the nll build — checkpoint
+    # so the corpus explode behind it runs once (r15, guide §1.2)
     totals = vocab.agg(
         F.sum("c_src").cast("double").alias("_n_src"),
         F.count("*").cast("double").alias("_v_src"),
@@ -263,7 +265,12 @@ def q196_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
     )
-    fp = d.select("doc_id", T.fingerprint("text").alias("fp"))
+    # narrow (doc_id, 16-byte fp) proxy; consumed by fpc AND the
+    # dup join — checkpoint so the corpus fingerprint pass runs
+    # once (r15, guide §1.2, §8)
+    fp = d.select(
+        "doc_id", T.fingerprint("text").alias("fp")
+    ).localCheckpoint()
     fpc = fp.groupBy("fp").agg(F.count("*").alias("_nfp"))
     dup = fp.join(fpc, "fp").select(
         "doc_id", (F.col("_nfp") > 1).alias("_dup")

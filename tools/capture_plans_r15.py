@@ -57,6 +57,38 @@ TOUCHED = [
     # third batch: q219 scan fusion, q222 single-pass fold
     "q219_recrawl_schedule",
     "q222_token_drift_monitor",
+    # fourth batch (found by tools/scan_audit.py): q250's double
+    # LM-build, q252's double BM25 stack
+    "q250_ppl_rules_calibration",
+    "q252_hard_negatives",
+    # fourth batch: q220's internal LM-dim duplication (ctx derived
+    # from the checkpointed c2 cells; vocab_n checkpointed)
+    "q220_bigram_lm_quality",
+    "q236_selective_pruning",
+    # fifth batch (scan_audit sweep): duplicated-subtree cuts across
+    # the remaining multi-scan queries
+    "q239_ranking_metrics",
+    "q259_ranking_metrics_ann",
+    "q25_scd2_two_loads",
+    "q82_scd2_asof",
+    "q293_rate_cusum_monitor",
+    "q272_ann_health_verdict",
+    "q273_vocab_drift_jaccard",
+    "q244_dedup_axis_funnel",
+    "q238_filter_threshold_sweep",
+    "q230_unimax_allocation",
+    "q201_epoch_repetition_plan",
+    "q176_corpus_overlap",
+    "q174_proximity_search",
+    "q191_mined_bitext",
+    "q286_vocab_zipf_audit",
+    "q182_temperature_mixture",
+    "q185_unigram_nll_quality",
+    "q194_dsir_importance",
+    "q193_dataset_diff",
+    "q196_dataset_card",
+    "q197_bloom_dedup_probe",
+    "q118_pagerank",
 ]
 
 
