@@ -296,13 +296,21 @@ def dup_span_frame(
     win = exploded_shingles(docs, text_col, id_col, window_n).select(
         id_col, "pos", _hex_int(F.col("s"), 15).alias("h")
     )
-    dup_h = (
-        win.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .select("h")
+    # r15 optimization (guide §1.2, §2.4): the duplicate-window set
+    # was a groupBy(h) whose result equi-joined back to `win` — two
+    # h-keyed exchanges AND a second run of the windowed explode
+    # (the join's left side re-planned the whole scan+md5 subtree).
+    # A count-over-hash window marks the same rows in ONE pass: the
+    # equi-join co-located rows by h exactly as this window does, so
+    # the skew exposure is unchanged, one explode and one exchange
+    # are gone, and the mark set is identical by definition
+    # (count(*) over h > 1  ⟺  h appears in the c>1 group).
+    w_h = Window.partitionBy("h")
+    marks = (
+        win.withColumn("_c", F.count(F.lit(1)).over(w_h))
+        .filter(F.col("_c") > 1)
+        .select(id_col, "pos")
     )
-    marks = win.join(dup_h, "h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = marks.withColumn(
         "new_island",
