@@ -397,18 +397,35 @@ def main() -> None:
         sf = 0.01
     elif "sf0.001" in SF_DIR:
         sf = 0.001
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "canary": canary,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "canary": canary,
+            "sf": sf,
+        }
     )
+    print(line)
+    # Self-preserve the full JSON line on disk: the driver's BENCH_r{N}
+    # artifacts keep only a ~2-8 KB stdout tail, which truncated r14's
+    # 196-entry line and broke the round-over-round comparison
+    # (PERF_r15 prev_bench_ok:false). bench_last.json always holds the
+    # newest complete line; bench_history.jsonl appends one per run.
+    # Stdout contract unchanged. Best-effort: a read-only checkout must
+    # not fail the bench.
+    try:
+        art_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_artifacts"
+        )
+        os.makedirs(art_dir, exist_ok=True)
+        with open(os.path.join(art_dir, "bench_last.json"), "w") as fh:
+            fh.write(line + "\n")
+        with open(os.path.join(art_dir, "bench_history.jsonl"), "a") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 

@@ -2,10 +2,11 @@
 SimHash, and n-gram Jaccard (beyond-reference surface; BASELINE.json
 north star).
 
-Everything runs as built-in expressions + joins — no Python on the data
-path — and every algorithm is deterministic: hash functions are derived
-from md5 (stable across engines/runs), so results are reproducible and
-DuckDB-oracle-checkable.
+Everything runs as built-in expressions + joins, except the MinHash
+signature which is one vectorized Arrow batch pass (numpy + hashlib —
+no row-at-a-time Python), and every algorithm is deterministic: hash
+functions are derived from md5 (stable across engines/runs), so results
+are reproducible and DuckDB-oracle-checkable.
 
 Scale design (100 TB):
 - exact dedup = hash groupBy: one shuffle on a 16-byte key, partial
@@ -141,16 +142,109 @@ def minhash_signature(
     """Per-doc MinHash signature: sig_i = min over shingles of
     (a_i*h + b_i) mod p, h = 32-bit md5 prefix of the shingle.
 
-    One shingle explode + one groupBy computing all num_hashes minima
-    together (the reference-style per-column-job pattern would be
-    num_hashes scans). Duplicate shingles are NOT pre-deduped: min is
-    duplicate-insensitive, so the per-doc distinct (an extra full
-    shuffle of the exploded set) would change nothing — partial
-    aggregation absorbs the duplicates map-side instead. Docs with no
-    shingles are dropped (nothing to hash).
+    Computed in ONE Arrow pass (mapInArrow): every document lives whole
+    in one row, so the signature is a per-row function — no shingle
+    explode, no window sort over the exploded tokens, no 32-min hash
+    aggregate. Per batch, shingle md5 prefixes go into one int64 buffer
+    and the num_hashes affine permutations + per-doc minima run as
+    numpy vector ops (segment minima via minimum.reduceat). The r15
+    sf1 stage profile put ~124 s of q209's 352 s executor time in the
+    old explode→md5→conv→32-way-partial-min stages; this pass removes
+    the exploded-row materialization and the per-shingle conv/hexstring
+    work while keeping the hash family bit-identical (verified against
+    the expression form in tests/test_minhash_equiv.py, and against the
+    DuckDB oracle by every rider query).
 
-    exploded_shingles hash-partitions by id, so the groupBy below
-    reuses that exchange — the exploded rows never shuffle again."""
+    Bit-equality notes (the oracle mirrors the md5 family, so every
+    step replicates the old expression semantics exactly):
+    - tokens(): Spark trim strips SPACES only -> bytes.strip(b" ");
+      F.split(_, r"\\s+") is Java regex (ASCII \\s, limit -1 keeps
+      leading/trailing empties) -> re.split(b"[ \\t\\n\\x0b\\f\\r]+").
+      Splitting UTF-8 bytes is safe: multi-byte code points never
+      contain ASCII bytes.
+    - shingle = concat_ws(" ", w_j..w_{j+n-1}) -> b" ".join (no NULL
+      tokens exist post-split, so concat_ws's null-skip is moot).
+    - h = conv(substring(md5(s),1,8),16,10) -> first 4 digest bytes
+      big-endian; sig arithmetic stays in int64 (h < 2^32, a_i <= 63,
+      so a_i*h + b_i < 2^38 — no overflow, matches Spark's LongType).
+    - docs with < shingle_n tokens (or empty/null text) yield no row,
+      exactly like the old groupBy over their zero exploded rows.
+
+    The input is rebalanced by id first (same exchange the old explode
+    path paid), so a narrow 1-file scan does not bound parallelism and
+    downstream per-doc consumers see the same partitioning as before.
+    Only (id, text) cross the Python boundary (guide §4.1)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField
+
+    src = rebalance_by_key(df.select(id_col, text_col), id_col)
+    out_schema = StructType(
+        [src.schema[id_col]]
+        + [StructField(f"sig_{i}", LongType(), True) for i in range(num_hashes)]
+    )
+    sig_names = [f.name for f in out_schema.fields]
+    n = shingle_n
+    coef_a = [2 * i + 1 for i in range(num_hashes)]
+    coef_b = [(1000000007 * (i + 1)) % MINHASH_P for i in range(num_hashes)]
+
+    def compute(batches):
+        import re
+        from hashlib import md5
+
+        ws = re.compile(rb"[ \t\n\x0b\f\r]+")
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1)
+            hs: list[int] = []
+            offs = [0]
+            keep: list[int] = []
+            for i in range(batch.num_rows):
+                t = texts[i].as_py()
+                if t is None:
+                    continue
+                bt = t.encode("utf-8").strip(b" ")
+                if not bt:
+                    continue
+                toks = ws.split(bt)
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue
+                hs.extend(
+                    int.from_bytes(
+                        md5(b" ".join(toks[j : j + n])).digest()[:4], "big"
+                    )
+                    for j in range(m)
+                )
+                keep.append(i)
+                offs.append(len(hs))
+            if not keep:
+                continue
+            h = np.asarray(hs, dtype="int64")
+            starts = np.asarray(offs[:-1], dtype="int64")
+            cols = [ids.take(keep)] + [
+                pa.array(
+                    np.minimum.reduceat((h * a + b) % MINHASH_P, starts),
+                    type=pa.int64(),
+                )
+                for a, b in zip(coef_a, coef_b)
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=sig_names)
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def _minhash_signature_expr(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The original pure-expression MinHash pipeline (shingle explode +
+    md5/conv + one groupBy of num_hashes minima). Kept as the reference
+    implementation the Arrow path is property-tested against
+    (tests/test_minhash_equiv.py); not on any query path."""
     sh = exploded_shingles(
         df.select(id_col, text_col), text_col, id_col, shingle_n
     ).withColumn("h", _hex_int(F.col("s"), 8))

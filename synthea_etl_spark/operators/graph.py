@@ -46,13 +46,15 @@ def pagerank(
 
     ``n_nodes`` may be passed when known (saves one count job); the
     node set itself always derives from the edges."""
-    # localCheckpoint (r15, guide §1.2 — the connected_components
-    # lesson applied here): nodes consumes edges TWICE (src ∪ dst),
-    # outdeg/en once more, and the loop re-plans en and nodes every
+    # localCheckpoint (r15/r16, guide §1.2 — the connected_components
+    # lesson applied here): nodes consumes edges TWICE (src ∪ dst) and
+    # outdeg/en twice more, and the loop re-plans en and nodes every
     # iteration — so an expensive caller edge plan (q118's 4-table
     # lineitem join) re-ran per consumer and per round. The operator
-    # now pins its own edge-derived frames once; the iteration then
-    # joins two materialized RDDs.
+    # pins a narrow (src, dst, weight) projection of the caller's plan
+    # FIRST, so that plan executes exactly once; nodes and en are then
+    # derived from (and themselves pinned over) the materialized RDD.
+    edges = edges.select(src, dst, weight).localCheckpoint()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))

@@ -73,6 +73,17 @@ def scd2_merge(
     Returns the new dimension state: for each business key either the
     carried-forward rows (no change), or expired old version(s) plus a
     new active version (change/new key).
+
+    Fault-tolerance trade-off (mirrors graph.py's): the changed-row set
+    is eagerly ``localCheckpoint``ed below, which (a) runs Spark jobs at
+    call time and (b) stores the blocks executor-locally, so on a real
+    cluster an executor loss (e.g. dynamic allocation reclaiming one)
+    makes the merge unrecoverable mid-job — rerun the merge, or swap in
+    reliable ``checkpoint()``/persist for deployments that cannot. The
+    "churn set is small" premise also breaks on first-delta loads where
+    most keys change (the checkpoint then materializes a snapshot-sized
+    frame); such loads should take the ``existing is None`` initial
+    path or pre-split the snapshot.
     """
     if existing is None:
         return scd2_initial(snapshot, keys, attrs, load_ts)

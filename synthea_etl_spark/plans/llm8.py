@@ -60,25 +60,22 @@ def q191_mined_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicable (plans/llm3.py q160's certification argument)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     embs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    j = docs.join(
-        embs, docs["doc_id"] == embs["vec_id"]
-    ).select("vec_id", "embedding", "lang")
-    # localCheckpoint (r15, guide §1.2): each side frame feeds one
+    # localCheckpoint (r15/r16, guide §1.2): each side frame feeds one
     # direction's corpus leg (trained AND assigned) plus the other
-    # direction's query leg, so the docs⋈embeddings join above
-    # re-planned and re-ran up to three times per side (docs x5 /
-    # embeddings x4 scans in the executed plan). One materialization
-    # per side; the ANN internals then read the joined RDD.
-    en = (
-        j.filter(F.col("lang") == "en")
-        .select("vec_id", "embedding")
+    # direction's query leg, so the docs⋈embeddings join re-planned
+    # and re-ran up to three times per side (docs x5 / embeddings x4
+    # scans in the executed plan). The join itself is pinned FIRST so
+    # it executes exactly once (r15 pinned only the two lang slices,
+    # which each re-ran the join for their own materialization); the
+    # slices are then trivial filters of the materialized RDD and the
+    # ANN internals read those.
+    j = (
+        docs.join(embs, docs["doc_id"] == embs["vec_id"])
+        .select("vec_id", "embedding", "lang")
         .localCheckpoint()
     )
-    other = (
-        j.filter(F.col("lang") != "en")
-        .select("vec_id", "embedding")
-        .localCheckpoint()
-    )
+    en = j.filter(F.col("lang") == "en").select("vec_id", "embedding")
+    other = j.filter(F.col("lang") != "en").select("vec_id", "embedding")
 
     # A: best EN match per non-en doc (quantizer seeded on the EN side).
     # Grouped/BLAS scorer: the "query" side here is half the corpus,

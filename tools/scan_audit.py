@@ -14,7 +14,9 @@ Caveats, so the numbers are read honestly:
 - InMemoryTableScan (persist) likewise hides its build subtree
   after the first materialization.
 
-Usage: python tools/scan_audit.py [--sf-dir ...] [--out ...] [names|all]
+Usage: python tools/scan_audit.py [--sf-dir ...] [--out ...] [names ... | all]
+(``names`` defaults to ``all``; the JSON is rewritten atomically after
+every query so a hang or crash mid-sweep keeps all prior results.)
 """
 
 from __future__ import annotations
@@ -57,11 +59,20 @@ def main() -> None:
     ap.add_argument(
         "--out", default="bench_artifacts/scan_audit.json"
     )
-    ap.add_argument("names", nargs="+")
+    ap.add_argument("names", nargs="*", default=["all"])
     args = ap.parse_args()
     spark = get_session()
     qs = all_queries()
     names = list(qs) if args.names == ["all"] else args.names
+
+    def dump(partial: dict) -> None:
+        # atomic rewrite per query: a mid-sweep hang/kill loses at most
+        # the in-flight query, never the accumulated results
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(partial, f, indent=1)
+        os.replace(tmp, args.out)
+
     out = {}
     for name in names:
         try:
@@ -69,9 +80,8 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - audit must not die mid-sweep
             out[name] = {"error": str(e)[:200]}
         print(name, out[name], flush=True)
+        dump(out)
     spark.stop()
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
     print("wrote", args.out)
 
 
