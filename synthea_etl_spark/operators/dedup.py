@@ -11,8 +11,9 @@ are reproducible and DuckDB-oracle-checkable.
 Scale design (100 TB):
 - exact dedup = hash groupBy: one shuffle on a 16-byte key, partial
   aggregation absorbs duplicates map-side.
-- MinHash-LSH: per-doc signature needs ONE explode + ONE groupBy
-  (num_hashes min-aggregates computed together, not num_hashes jobs);
+- MinHash-LSH: per-doc signature is ONE Arrow batch pass (each doc
+  lives whole in one row — no exploded-row materialization, all
+  num_hashes minima per batch as numpy segment ops);
   banding turns all-pairs O(n^2) into per-bucket joins. Bucket skew
   (giant near-dup clusters) is handled by AQE skew-join splitting.
 - SimHash: 64->60-bit fingerprint; candidate pairs via 4-band

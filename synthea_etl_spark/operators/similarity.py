@@ -507,11 +507,7 @@ def save_centroids(
     restarts. k*dim floats — driver-sized by construction."""
     from synthea_etl_spark.operators.scd2 import write_swap
 
-    df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cid int, centroid array<double>",
-    )
-    write_swap(df.coalesce(1), path)
+    write_swap(_centroids_df(spark, centroids), path)
 
 
 def load_centroids(spark, path: str) -> list[list[float]]:
@@ -599,10 +595,17 @@ def ivf_index_rollover(
 
 
 def _centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """k-row quantizer frame, built in ONE partition at the source
+    (``parallelize(rows, 1)``) so the single-file publish needs no
+    ``coalesce(1)``: coalescing the 32-slice local relation costs a
+    consistent ~4 s per write on local[32] (measured r16 — the lone
+    coalesced task sits in the scheduler, plain/1-slice writes take
+    ~0.5 s), which was most of q204's bench wall."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
     return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        spark.sparkContext.parallelize(rows, 1),
         "cid int, centroid array<double>",
-    ).coalesce(1)
+    )
 
 
 def ivf_publish_versioned(
@@ -1234,17 +1237,129 @@ def random_projection_dims(
     in_dim: int = 64,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with ±1 planes:
-    proj[j] = sum_d sign(j, d) * x_d, computed per row as JVM
-    higher-order expressions (zip_with + aggregate) — ZERO shuffles,
-    zero Python, whole-stage codegen end to end; the one explode
-    (the 16 output dims) is narrow. Sign flips are exact in IEEE and
-    each sum accumulates in DECIMAL(25,6), so the projection is
-    bit-reproducible at any parallelism and in any engine — the
-    plans/common.dsum discipline applied to linear algebra. Returns
-    the exploded scalar frame (id, pos, value); downstream ANN
-    (IVF/LSH) runs on 4x fewer dimensions at ~unchanged recall for
-    near-dup thresholds, which at 100 TB is a 4x cut in every
-    vector-shuffle byte count."""
+    proj[j] = sum_d sign(j, d) * x_d — ZERO shuffles; returns the
+    exploded scalar frame (id, pos, value). Downstream ANN (IVF/LSH)
+    runs on 4x fewer dimensions at ~unchanged recall for near-dup
+    thresholds, which at 100 TB is a 4x cut in every vector-shuffle
+    byte count.
+
+    Computed as ONE Arrow batch pass (r16, guide §4.2): quantize each
+    element to exact DECIMAL(25,6) micro-units (int64), one int64
+    matmul against the ±1 sign matrix per batch, one correctly-rounded
+    division back to double. The r15 expression form (16 zip_with +
+    aggregate lambda towers over 1024 literals) spent ~1.3 s PER RUN
+    in Catalyst analysis alone and executed interpreted
+    (CodegenFallback); a chained element_at/Add rewrite analyzed even
+    slower (decimal-widening resolution on 64-deep chains, measured
+    4x worse — negative result kept in OPTIMIZATION_r16.md). The
+    Arrow pass is bit-identical (q171 oracle + the retained
+    expression twin, tests/test_llm4.py):
+
+    - cast(double as decimal(25,6)) is HALF_UP on the exact binary
+      value; vectorized as rint(x*1e6) with an exact-Decimal fixup
+      for elements within 1e-6 of a rounding halfway point (float
+      scaling error can only flip the rounding inside that band;
+      dyadic inputs CAN sit exactly on a halfway point, where rint's
+      half-even and decimal's half-away diverge — the fixup decides
+      those exactly).
+    - HALF_UP is symmetric (q(-x) = -q(x)) and |x| is bounded, so the
+      per-term sign flip + decimal sum equals an int64 dot product of
+      quantized micro-units with the sign matrix — exact, no overflow
+      (|sum| <= in_dim * |x|max * 1e6 << 2^63).
+    - cast(decimal as double) is the correctly-rounded double of the
+      exact sum == float64(sum_micro) / 1e6 (sum_micro < 2^53).
+    - null/short/long vectors produce 16 null values, exactly like
+      the old zip_with's null poisoning.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    sgn = np.asarray(
+        random_projection_signs(out_dim, in_dim), dtype="int64"
+    ).T  # (in_dim, out_dim)
+    src = df.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            StructField("pos", IntegerType(), False),
+            StructField("value", DoubleType(), True),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def compute(batches):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+
+        def quantize(x: np.ndarray) -> np.ndarray:
+            scaled = x * 1e6
+            r = np.rint(scaled)
+            frac = scaled - np.floor(scaled)
+            suspect = np.abs(frac - 0.5) < 1e-6
+            for p in np.nonzero(suspect)[0]:
+                r[p] = float(
+                    Decimal(float(x[p])).scaleb(6).quantize(one, ROUND_HALF_UP)
+                )
+            return r.astype("int64")
+
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            offs = vecs.offsets.to_numpy()
+            lens = np.diff(offs)
+            flat = vecs.values
+            clean = (
+                vecs.null_count == 0
+                and flat.null_count == 0
+                and bool((lens == in_dim).all())
+            )
+            vals = np.empty((nrows, out_dim), dtype="float64")
+            if clean:
+                x = flat.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+                vals[:] = (
+                    quantize(x).reshape(nrows, in_dim) @ sgn
+                ).astype("float64") / 1e6
+                null_rows = np.zeros(nrows, dtype=bool)
+            else:
+                null_rows = np.ones(nrows, dtype=bool)
+                row_valid = np.asarray(vecs.is_valid())
+                for i in range(nrows):
+                    if not row_valid[i] or lens[i] != in_dim:
+                        continue
+                    row = flat.slice(offs[i], in_dim)
+                    if row.null_count:
+                        continue
+                    x = row.to_numpy(zero_copy_only=False)
+                    vals[i] = (quantize(x) @ sgn).astype("float64") / 1e6
+                    null_rows[i] = False
+            out_ids = ids.take(np.repeat(np.arange(nrows), out_dim))
+            pos = pa.array(np.tile(np.arange(out_dim, dtype="int32"), nrows))
+            value = pa.array(
+                vals.reshape(-1),
+                type=pa.float64(),
+                mask=np.repeat(null_rows, out_dim),
+            )
+            yield pa.RecordBatch.from_arrays([out_ids, pos, value], names=names)
+
+    return src.mapInArrow(compute, out_schema)
+
+
+def _random_projection_dims_expr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """The original zip_with/aggregate expression form of
+    :func:`random_projection_dims` — kept as the reference twin the
+    Arrow pass is property-tested against (tests/test_llm4.py); not on
+    any query path."""
     signs = random_projection_signs(out_dim, in_dim)
     v = F.col(vec_col).cast("array<double>")
     projs = [

@@ -91,9 +91,20 @@ def q204_ivf_rollover_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=12,
             lloyd_iters=0,
         )
-        c2 = S.load_centroids(spark, cent_path)
+        # guide §2.6: the two reader-side driver-blocking steps —
+        # the centroid collect job and the swapped index's file
+        # listing/schema read — are independent; overlap them from a
+        # 2-thread pool (job descriptions are thread-local, order of
+        # completion irrelevant, certified write order above
+        # untouched).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            c2_f = pool.submit(S.load_centroids, spark, cent_path)
+            idx_f = pool.submit(spark.read.parquet, index_path)
+            c2, idx = c2_f.result(), idx_f.result()
         out = S.knn_ann_ivf_probe(
-            spark.read.parquet(index_path),
+            idx,
             c2,
             e.filter(F.col("vec_id") < 10),
             k=5,

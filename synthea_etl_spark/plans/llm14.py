@@ -165,17 +165,27 @@ def q209_incremental_clusters(
     history = docs.filter(F.col("doc_id") % 5 < 3)
     batch = docs.filter(F.col("doc_id") % 5 >= 3)
 
+    # localCheckpoint (r16, guide §1.2): each band frame feeds TWO
+    # consumers (hist_bands → hist_pairs + the new-vs-history probe;
+    # new_bands → new_new + the same probe), and the duplicated
+    # subtree sits ABOVE the reused rebalance exchange, so the whole
+    # signature pass (the Arrow shingle/md5/min stage) executed twice
+    # per side — invisible to the r15 scan audit (1 scan via
+    # ReusedExchange) but plain in the r16 stage profile: two PAIRS of
+    # stages reading identical shuffle bytes (342 KB / 510 KB). The
+    # pinned frames are the ~50 B/row band index, bands × n_docs —
+    # the same store-sized bound q158 argues.
     hist_bands = D.banded_signatures(
         D.minhash_signature(history, "text", "doc_id", NUM_HASHES, 3),
         "doc_id", NUM_HASHES, BANDS,
-    )
+    ).localCheckpoint()
     hist_pairs = D.lsh_candidates_from_bands(hist_bands, "doc_id")
     assignments = D.connected_components(hist_pairs)
 
     new_bands = D.banded_signatures(
         D.minhash_signature(batch, "text", "doc_id", NUM_HASHES, 3),
         "doc_id", NUM_HASHES, BANDS,
-    )
+    ).localCheckpoint()
     new_new = D.lsh_candidates_from_bands(new_bands, "doc_id")
     new_hist = D.incremental_lsh_candidates(
         new_bands, hist_bands, "doc_id"

@@ -292,6 +292,39 @@ def test_random_projection_exact_and_partition_invariant(spark):
             assert abs(outs[0][(i, j)] - want[j]) < 1e-9, (i, j)
 
 
+def test_random_projection_arrow_matches_expression_twin(spark):
+    """The r16 Arrow matmul pass is bit-identical to the original
+    zip_with/aggregate DECIMAL expression form — including rounding
+    halfway points (dyadic values like 1/128 sit EXACTLY on the 6th-
+    decimal halfway line, where naive float rounding half-evens while
+    decimal HALF_UP rounds away from zero), null poisoning, and
+    wrong-length vectors."""
+    import synthea_etl_spark.operators.similarity as S
+
+    vecs = [
+        (0, [float(i) / 7 for i in range(8)]),
+        (1, [2.0 ** -7] * 8),  # 0.0078125: exact halfway at scale 6
+        (2, [-(2.0 ** -7)] * 8),  # HALF_UP is away from zero on negatives
+        (3, [2.0 ** -20] * 8),  # rounds to 0.000001 vs nothing
+        (4, None),  # null vector -> 16 null values
+        (5, [1.0, 2.0]),  # wrong length -> nulls (zip_with poisoning)
+        (6, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),  # null element
+        (7, [123456.654321] * 8),  # large magnitude
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    new = {
+        (r.vec_id, r.pos): r.value
+        for r in S.random_projection_dims(df, out_dim=4, in_dim=8).collect()
+    }
+    old = {
+        (r.vec_id, r.pos): r.value
+        for r in S._random_projection_dims_expr(
+            df, out_dim=4, in_dim=8
+        ).collect()
+    }
+    assert new == old
+
+
 def test_raster_exact_fingerprints_cross_format_and_nulls(spark):
     """Identical pixels under PPM and BMP containers share one
     fingerprint; different pixels differ; undecodable payloads
